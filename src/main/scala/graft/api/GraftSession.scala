@@ -1,0 +1,37 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+/** Entry point for the graft engine: a tuned SparkSession factory.
+  *
+  * Replaces the reference's `main_entry/db.rs` + `client_context.rs`
+  * (TemplateDB's DatabaseInstance/ClientContext): where the reference
+  * hand-builds a volcano pipeline per query, graft declares plans on a
+  * SparkSession and lets Catalyst/Tungsten choose physical execution.
+  *
+  * Scale notes (100 TB target): AQE on (runtime re-plan, skew-join
+  * splitting, partition coalescing), broadcast threshold raised so all
+  * TPC-H-style dims broadcast, shuffle partitions sized for the local
+  * harness via `GRAFT_SHUFFLE_PARTITIONS` (on a real cluster this is
+  * set to ~2-3x total cores or left to AQE).
+  */
+object GraftSession {
+  def builder(appName: String = "graft", master: String = "local[32]"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,416 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.{Catalog, CsvSource, Tables}
+
+/** §2.1 relational core: the reference's SQL executor surface
+  * (`/root/reference/src/query_engine/src/execution/volcano_executor`,
+  * `executor/aggregate`, `executor/join`, `tests/slt`) re-expressed as
+  * declarative Spark plans. Catalyst replaces the reference's
+  * hand-written optimizer rules (`optimizer/rules`): predicate
+  * pushdown, column pruning, limit pushdown and operator fusion all
+  * happen on these plans automatically; dims are explicitly
+  * broadcast so fact-dim joins never shuffle the fact side.
+  *
+  * Determinism contract shared with the DuckDB oracles: explicit
+  * ORDER BY with unique tiebreaks, NULLS FIRST on ascending keys,
+  * floating aggregates cast to DECIMAL (Spark sums doubles in
+  * partition order; bit-identical floats are only guaranteed for
+  * per-row arithmetic, so per-row expressions stay raw doubles while
+  * multi-row sums/avgs are rounded via decimal cast).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val q1Agg: Op = Op.sql("q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(sum(l_extendedprice*(1-l_discount)) AS DECIMAL(18,2)) AS sum_disc_price,
+      |  CAST(avg(l_quantity) AS DECIMAL(18,4)) AS avg_qty,
+      |  CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS min_price,
+      |  CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS max_price,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").cast("decimal(18,2)").as("sum_qty"),
+        sum("l_extendedprice").cast("decimal(18,2)").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,2)").as("sum_disc_price"),
+        avg("l_quantity").cast("decimal(18,4)").as("avg_qty"),
+        min("l_extendedprice").cast("decimal(18,2)").as("min_price"),
+        max("l_extendedprice").cast("decimal(18,2)").as("max_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q2FilterProject: Op = Op.sql("q2_filter_project",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice*(1-l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q3JoinInner: Op = Op.sql("q3_join_inner",
+    """SELECT o_orderkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'O'
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val q4JoinLeft: Op = Op.sql("q4_join_left",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) big
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  val q5JoinRight: Op = Op.sql("q5_join_right",
+    """SELECT o_orderkey, o_totalprice, c_custkey, c_acctbal
+      |FROM (SELECT * FROM orders WHERE o_totalprice > 400000) big
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+      .select("o_orderkey", "o_totalprice", "c_custkey", "c_acctbal")
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  val q6JoinFull: Op = Op.sql("q6_join_full",
+    """SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+      |FROM (SELECT * FROM customer WHERE c_acctbal > 9000) rich
+      |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) big
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "full")
+      .select("c_custkey", "c_acctbal", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  val q7JoinSemi: Op = Op.sql("q7_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q8JoinAnti: Op = Op.sql("q8_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q9CrossJoin: Op = Op.sql("q9_cross_join",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+  }
+
+  val q10MultiJoin: Op = Op.sql("q10_multi_join",
+    """SELECT n_name, CAST(sum(l_extendedprice*(1-l_discount)) AS DECIMAL(18,2)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,2)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q11OrderLimitOffset: Op = Op.sql("q11_order_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 10 OFFSET 5""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice")
+      .offset(5).limit(10)
+  }
+
+  val q12Distinct: Op = Op.sql("q12_distinct",
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .select("c_mktsegment", "c_nationkey").distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
+  val q13AggDistinct: Op = Op.sql("q13_agg_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS cd_supp,
+      |  CAST(sum(DISTINCT l_quantity) AS DECIMAL(18,2)) AS sd_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("cd_supp"),
+        sum_distinct(col("l_quantity")).cast("decimal(18,2)").as("sd_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val q14ScalarSubquery: Op = Op.sql("q14_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT min(o_totalprice) FROM orders) AS min_tp
+      |FROM orders
+      |WHERE o_totalprice >= (SELECT max(o_totalprice) FROM orders) * 0.9
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT min(o_totalprice) FROM orders) AS min_tp
+        |FROM orders
+        |WHERE o_totalprice >= (SELECT max(o_totalprice) FROM orders) * 0.9
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q15DerivedTable: Op = Op.sql("q15_derived_table",
+    """SELECT t2.c_custkey, t2.c_acctbal
+      |FROM (SELECT t1.* FROM (SELECT * FROM customer WHERE c_acctbal > 0) t1
+      |      WHERE t1.c_nationkey < 10) t2
+      |WHERE t2.c_mktsegment = 'BUILDING'
+      |ORDER BY t2.c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT t2.c_custkey, t2.c_acctbal
+        |FROM (SELECT t1.* FROM (SELECT * FROM customer WHERE c_acctbal > 0) t1
+        |      WHERE t1.c_nationkey < 10) t2
+        |WHERE t2.c_mktsegment = 'BUILDING'
+        |ORDER BY t2.c_custkey""".stripMargin)
+  }
+
+  val q16Expressions: Op = Op.sql("q16_expressions",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity + l_tax AS add_e,
+      |  l_quantity * 2.0 AS mul_e,
+      |  l_extendedprice / 100.0 AS div_e,
+      |  l_quantity - l_discount AS sub_e,
+      |  l_quantity > 25 AS gt_e,
+      |  (l_quantity > 10 AND l_discount < 0.05) AS and_e,
+      |  (l_returnflag = 'A' OR l_linestatus = 'F') AS or_e,
+      |  NOT (l_returnflag = 'A') AS not_e,
+      |  CAST(l_linenumber AS VARCHAR) AS str_e,
+      |  CAST(FLOOR(l_quantity) AS BIGINT) AS floor_q,
+      |  CASE WHEN l_quantity < 10 THEN 'low'
+      |       WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + col("l_tax")).as("add_e"),
+        (col("l_quantity") * 2.0).as("mul_e"),
+        (col("l_extendedprice") / 100.0).as("div_e"),
+        (col("l_quantity") - col("l_discount")).as("sub_e"),
+        (col("l_quantity") > 25).as("gt_e"),
+        (col("l_quantity") > 10 && col("l_discount") < 0.05).as("and_e"),
+        (col("l_returnflag") === "A" || col("l_linestatus") === "F").as("or_e"),
+        (!(col("l_returnflag") === "A")).as("not_e"),
+        col("l_linenumber").cast("string").as("str_e"),
+        floor(col("l_quantity")).cast("bigint").as("floor_q"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid").otherwise("high").as("bucket"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q17StringFuncs: Op = Op.sql("q17_string_funcs",
+    """SELECT c_custkey,
+      |  upper(c_name) AS u, lower(c_mktsegment) AS lo,
+      |  substring(c_name, 1, 8) AS sub,
+      |  concat(c_name, '#', c_mktsegment) AS cc,
+      |  length(c_name) AS len,
+      |  (c_name LIKE '%1%') AS has1
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("u"), lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat(col("c_name"), lit("#"), col("c_mktsegment")).as("cc"),
+        length(col("c_name")).cast("bigint").as("len"),
+        col("c_name").like("%1%").as("has1"))
+      .orderBy("c_custkey")
+  }
+
+  val q18DateInterval: Op = Op.sql("q18_date_interval",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS d0,
+      |  CAST(o_orderdate + INTERVAL 1 DAY AS DATE) AS d_plus_day,
+      |  CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS d_minus_mon,
+      |  CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS d_plus_yr
+      |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d0"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).cast("date").as("d_plus_day"),
+        (col("o_orderdate") - expr("INTERVAL 1 MONTH")).cast("date").as("d_minus_mon"),
+        (col("o_orderdate") + expr("INTERVAL 1 YEAR")).cast("date").as("d_plus_yr"))
+      .orderBy("o_orderkey")
+  }
+
+  val q19ValuesScan: Op = Op.sql("q19_values_scan",
+    """SELECT 1 AS a, CAST(2.3 AS DOUBLE) AS b, 'x' AS c, true AS d,
+      |CAST(NULL AS INTEGER) AS e""".stripMargin) { (s, _) =>
+    s.sql("SELECT 1 AS a, CAST(2.3 AS DOUBLE) AS b, 'x' AS c, true AS d, CAST(NULL AS INT) AS e")
+  }
+
+  val q20Having: Op = Op.sql("q20_having",
+    """SELECT o_custkey, count(*) AS n,
+      |  CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS tot
+      |FROM orders GROUP BY o_custkey
+      |HAVING count(*) >= 12
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").cast("decimal(18,2)").as("tot"))
+      .filter(col("n") >= 12)
+      .orderBy("o_custkey")
+  }
+
+  val q21SetOps: Op = Op.sql("q21_setops",
+    """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |SELECT 'u' AS op, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+      |UNION ALL SELECT 'i' AS op, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL SELECT 'e' AS op, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |ORDER BY op, c_custkey""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer")
+    val a = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = cust.filter(col("c_acctbal") > 5000).select("c_custkey")
+    a.union(b).distinct().select(lit("u").as("op"), col("c_custkey"))
+      .unionAll(a.intersect(b).select(lit("i").as("op"), col("c_custkey")))
+      .unionAll(a.except(b).select(lit("e").as("op"), col("c_custkey")))
+      .orderBy("op", "c_custkey")
+  }
+
+  val q22WindowFuncs: Op = Op.sql("q22_window_funcs",
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rk,
+      |  CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS csum
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy("o_custkey")
+    t(s, dir, "orders").filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rn"),
+        rank().over(byCust.orderBy(col("o_orderstatus"))).as("rk"),
+        sum("o_totalprice").over(byCust).cast("decimal(18,2)").as("csum"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q23CreateInsert: Op = Op.sql("q23_create_insert",
+    """SELECT v1, v2, v3
+      |FROM (VALUES (0,4,1),(1,5,2),(2,6,3),(3,7,4),(4,8,5),(5,9,6)) t(v1,v2,v3)
+      |ORDER BY v1""".stripMargin) { (s, _) =>
+    // create table t1(v1 int, v2 int, v3 int) + two inserts + select-back
+    // (slt create_table.slt / insert_table.slt semantics on temp views).
+    import s.implicits._
+    val created = Seq((0, 4, 1), (1, 5, 2), (2, 6, 3), (3, 7, 4), (4, 8, 5))
+      .toDF("v1", "v2", "v3")
+    created.createOrReplaceTempView("graft_t1")
+    val inserted = s.table("graft_t1").unionAll(Seq((5, 9, 6)).toDF("v1", "v2", "v3"))
+    inserted.orderBy("v1")
+  }
+
+  private val csvPath = "/root/repo/target/graft_csv/nation.csv"
+
+  val q24ReadCsv: Op = Op.sql("q24_read_csv",
+    s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+       |FROM read_csv('$csvPath', header=true)
+       |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    CsvSource.materializeNationCsv(s, dir, csvPath)
+    CsvSource.read(s, csvPath, header = true)
+      .select(col("n_nationkey").cast("bigint").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("bigint").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  val q25QueryTables: Op = Op.rowsOnly("q25_query_tables") { (s, dir) =>
+    Catalog.queryTables(s, dir).orderBy("table_name")
+  }
+
+  val q26QueryColumns: Op = Op.sql("q26_query_columns", Catalog.columnsOracleSql) { (s, dir) =>
+    Catalog.queryColumns(s, dir).orderBy("table_name", "ordinal")
+  }
+
+  val q27Explain: Op = Op.rowsOnly("q27_explain") { (s, dir) =>
+    import s.implicits._
+    val plan = q1Agg.run(s, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    plan.split("\n").toSeq.zipWithIndex
+      .map { case (l, i) => (i + 1, l) }.toDF("line_no", "line")
+  }
+
+  val q28TopNAgg: Op = Op.sql("q28_topn_agg",
+    """SELECT o_custkey, CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS tot
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY tot DESC, o_custkey LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum("o_totalprice").cast("decimal(18,2)").as("tot"))
+      .orderBy(col("tot").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  val all: Seq[Op] = Seq(q1Agg, q2FilterProject, q3JoinInner, q4JoinLeft,
+    q5JoinRight, q6JoinFull, q7JoinSemi, q8JoinAnti, q9CrossJoin,
+    q10MultiJoin, q11OrderLimitOffset, q12Distinct, q13AggDistinct,
+    q14ScalarSubquery, q15DerivedTable, q16Expressions, q17StringFuncs,
+    q18DateInterval, q19ValuesScan, q20Having, q21SetOps, q22WindowFuncs,
+    q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
+    q27Explain, q28TopNAgg)
+}

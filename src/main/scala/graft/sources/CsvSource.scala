@@ -1,0 +1,39 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `read_csv` table function, Spark-first.
+  *
+  * Analog of the reference's `function/table/read_csv.rs`
+  * (`read_csv('path', header=>true, delim=>',')`): graft delegates to
+  * Spark's distributed CSV datasource (splittable, schema inference,
+  * pushdown-capable) instead of a single-threaded CSV reader.
+  */
+object CsvSource {
+  def read(spark: SparkSession, path: String,
+           header: Boolean = true, delim: String = ","): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("sep", delim)
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** Deterministic CSV fixture derived from a dim table, so the
+    * read_csv path can be oracle-checked against DuckDB's read_csv on
+    * the exact same file. Tiny dim only (nation: 25 rows). */
+  def materializeNationCsv(spark: SparkSession, sfDir: String, outPath: String): String = {
+    val rows = Tables.load(spark, sfDir, "nation")
+      .selectExpr("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+      .collect()
+    val sb = new StringBuilder("n_nationkey,n_name,n_regionkey\n")
+    rows.foreach(r => sb.append(s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}\n"))
+    val p = Paths.get(outPath)
+    Files.createDirectories(p.getParent)
+    Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
+    outPath
+  }
+}

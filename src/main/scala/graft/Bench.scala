@@ -1,23 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline operator set (SURVEY §6) at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Queries are forced through the `noop` datasource sink — unlike
+  * `count()`, that materializes every projected column (count lets
+  * Catalyst prune the payload and would overstate throughput) while
+  * writing nothing. One untimed warmup amortizes JVM/codegen startup,
+  * which a long-running cluster job wouldn't pay per-query.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q2_filter_project", "q10_multi_join", "q28_topn_agg",
+    "q22_window_funcs", "kv_compact", "kv_range_scan", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_topk_brute", "ann_lsh",
+    "text_quality", "text_tokens", "text_fingerprint",
+    "stream_window_agg", "stream_sessionize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    exec("q1_agg") // warmup (untimed)
+
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(name)
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

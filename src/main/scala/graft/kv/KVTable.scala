@@ -1,0 +1,82 @@
+package graft.kv
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LSM KV-table semantics on immutable columnar batches, Spark-first.
+  *
+  * The reference's storage engine (`/root/reference/src/storage_engine`:
+  * memtable skiplist + WAL + leveled SSTables + merge iterators +
+  * compaction + version_set snapshots) maintains *mutable* state whose
+  * read path is "merge all runs, latest sequence wins, drop
+  * tombstones". graft re-expresses exactly that read semantic over
+  * *immutable* row batches: a KV table is rows `(key, seq, tombstone,
+  * value…)` spread across any number of "run" files, and every read is
+  * a latest-wins merge.
+  *
+  * Scale design (100 TB): the merge is ONE hash shuffle on `key` via
+  * `max_by` aggregation (partial/map-side combine halves shuffle
+  * volume) — never a window sort, which would add a per-partition sort
+  * on top of the same shuffle. Point gets and range scans filter on
+  * `key` BEFORE merging, so the predicate reaches the parquet scan
+  * (partition/row-group pruning); on a real deployment runs are
+  * written partitioned by key-range (see [[compacted]]) making point
+  * reads touch one partition. Snapshots (`asOf`) filter on `seq`
+  * before the merge — also pushed to the scan.
+  *
+  * @param runs   union of all run files
+  * @param keyCol key column name
+  * @param seqCol monotonically increasing sequence (reference:
+  *               `storage_engine`'s per-write sequence number)
+  * @param tombstoneCol boolean delete marker
+  */
+final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
+                         tombstoneCol: String) {
+
+  private def payloadCols: Seq[String] =
+    runs.columns.filterNot(c => c == keyCol || c == seqCol || c == tombstoneCol).toSeq
+
+  /** Latest-wins merge of all runs, tombstones dropped: the semantic
+    * equivalent of the reference's full merge-iterator read
+    * (`storage_engine/src/iterator`). Optionally at a snapshot. */
+  def merged(asOf: Option[Long] = None): DataFrame = {
+    val visible = asOf.fold(runs)(s => runs.filter(col(seqCol) <= s))
+    val latest = visible
+      .groupBy(col(keyCol))
+      .agg(max_by(struct((seqCol +: tombstoneCol +: payloadCols).map(col): _*),
+        col(seqCol)).as("_latest"))
+    latest
+      .filter(!col(s"_latest.$tombstoneCol"))
+      .select(col(keyCol) +: (seqCol +: payloadCols).map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** Point lookup, latest version (reference: `db_impl` get through
+    * memtable → SSTable levels). Key filter applied pre-merge so it
+    * pushes down to the scan. */
+  def get(key: Column): DataFrame =
+    copy(runs = runs.filter(col(keyCol) === key)).merged()
+
+  /** Ordered key-range scan with latest-wins merge (reference:
+    * range iterators over the merge iterator). */
+  def range(lo: Column, hi: Column): DataFrame =
+    copy(runs = runs.filter(col(keyCol).between(lo, hi))).merged()
+      .orderBy(keyCol)
+
+  /** MVCC snapshot read as-of a sequence number (reference:
+    * `manager/version_set.rs` + snapshots pin a sequence). */
+  def snapshot(asOf: Long): DataFrame = merged(Some(asOf))
+
+  /** Apply a write batch (upserts + deletes with seqs above every
+    * existing seq), reference `memtable/batch.rs`: the batch is just
+    * one more run unioned in; latest-wins gives batch rows
+    * precedence. */
+  def withBatch(batch: DataFrame): KVTable =
+    copy(runs = runs.unionByName(batch))
+
+  /** Compaction: N runs → a single deduped run with tombstones
+    * dropped (reference `compaction/`). Returned sorted by key — a
+    * caller writing this out gets key-range-clustered files
+    * (`sortWithinPartitions` after `repartitionByRange` on a real
+    * cluster), which is what makes future point reads prune. */
+  def compacted(): DataFrame = merged().orderBy(keyCol)
+}

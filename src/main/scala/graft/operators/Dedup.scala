@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** §2.3 deduplication operators for training-data pipelines.
+  *
+  * Scale design (100 TB): none of the near-dup paths ever join the
+  * full corpus against itself. MinHash/SimHash/hyperplane signatures
+  * are computed per-row (shuffle-free, inside codegen'd array
+  * expressions), and pair generation happens only WITHIN small LSH
+  * buckets — the join is keyed on `(band_id, band_hash)`, so shuffle
+  * volume is O(corpus), and AQE's skew-join splitting handles hot
+  * buckets. Exact dedup is one hash-aggregate with map-side combine.
+  *
+  * The synthetic `documents` table has no duplicate texts, so the
+  * dedup corpora are derived deterministically (same derivation in
+  * the DuckDB oracles / specs): exact-dup corpus = documents plus a
+  * verbatim copy at `doc_id + 100000`; near-dup corpus = documents
+  * plus a copy with its first word dropped (3-gram-shingle Jaccard
+  * ≈ (n−3)/(n−2), i.e. a true near-duplicate).
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** documents ∪ verbatim copy (ids offset): every text exactly twice. */
+  def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ first-word-dropped copy (ids offset): 500 true
+    * near-duplicate pairs `(i, i+100000)` to recover. */
+  def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(d.select((col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  // ---- exact dedup -------------------------------------------------
+
+  /** Exact dedup via content hash, keep-first (lowest id). One
+    * hash-aggregate: partial min/count map-side, single shuffle on the
+    * 128-bit content hash. */
+  val dedupExact: Op = Op.sql("dedup_exact",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+      |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies
+      |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    corpusExact(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  // ---- shingle + MinHash LSH --------------------------------------
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** 3-word shingles of a text column (whole text if < 3 words).
+    * `bound` keeps the tokenization out of the per-shingle lambda —
+    * one split per row, not one per shingle. */
+  def shinglesCol(text: Column): Column =
+    bound(split(text, "\\s+")) { toks =>
+      when(size(toks) < 3, array(text)).otherwise(
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+    }
+
+  /** k seeded minhashes of a shingle array: for seed i, min over
+    * shingles of xxhash64(i, shingle). All per-row array math. */
+  def minhashCol(shingles: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      i => array_min(transform(shingles, sh => xxhash64(i, sh))))
+
+  /** LSH banding: (band_id, band_hash) pairs, band_hash = hash of the
+    * band's r consecutive minhashes. */
+  def bandsCol(minhashes: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      j => struct(j.as("band_id"),
+        xxhash64(j, slice(minhashes, j * RowsPerBand + 1, lit(RowsPerBand))).as("band_hash")))
+
+  /** Full text → LSH band signature, with every intermediate
+    * let-bound (tokens, shingles, minhashes each computed exactly
+    * once per row). */
+  def signatureCol(text: Column): Column =
+    bound(shinglesCol(text)) { sh =>
+      bound(minhashCol(sh))(mh => bandsCol(mh))
+    }
+
+  /** doc_id → exploded (band_id, band_hash) signature table. */
+  private def bandTable(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), explode(signatureCol(col("text"))).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+
+  /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+    * Join keyed on (band_id, band_hash) — shuffle O(n), never O(n²). */
+  def minhashCandidates(corpus: DataFrame): DataFrame = {
+    val b = bandTable(corpus)
+    b.as("a").join(b.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  val dedupMinhashLsh: Op = Op.rowsOnly("dedup_minhash_lsh") { (s, dir) =>
+    minhashCandidates(corpusNear(s, dir)).orderBy("id_a", "id_b")
+  }
+
+  // ---- n-gram Jaccard verification --------------------------------
+
+  /** Exact 3-gram Jaccard re-check of the LSH candidates (the
+    * standard candidate→verify pipeline): join shingle SETS back to
+    * the (small) candidate pair list, never to the corpus itself. */
+  def jaccardVerified(corpus: DataFrame, threshold: Double): DataFrame = {
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(shinglesCol(col("text"))).as("sh"))
+    minhashCandidates(corpus)
+      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))) * 1.0 /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  val dedupNgramJaccard: Op = Op.rowsOnly("dedup_ngram_jaccard") { (s, dir) =>
+    jaccardVerified(corpusNear(s, dir), threshold = 0.5).orderBy("id_a", "id_b")
+  }
+
+  // ---- SimHash -----------------------------------------------------
+
+  /** 64-bit SimHash of the token stream: per-token xxhash64, +1/−1
+    * vote per bit, sign → bit. Pure SQL array expressions (the Scala
+    * `shiftleft` wrapper only takes Int literals; the SQL function
+    * accepts expressions, hence `expr`). */
+  def simhashCol(textCol: String): Column = expr(
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(split($textCol, '\\\\s+'), array_repeat(0L, 64),
+       |      (acc, w) -> element_at(
+       |        transform(array(xxhash64(w)),
+       |          h -> zip_with(acc,
+       |            transform(sequence(0, 63),
+       |              i -> if((shiftright(h, i) & 1) = 1, 1L, -1L)),
+       |            (x, y) -> x + y)),
+       |        1)),
+       |    sequence(0, 63),
+       |    (c, i) -> if(c > 0, shiftleft(1L, i), 0L)),
+       |  0L, (acc, b) -> acc | b)""".stripMargin)
+
+  /** Near-dup pairs by SimHash: block on eight 8-bit chunks — by
+    * pigeonhole, two fingerprints within hamming 7 MUST agree on at
+    * least one chunk — then verify hamming ≤ maxHamming via
+    * bit_count. (On these ~70-word docs a one-word edit flips ~2-7
+    * bits of the 64-bit fingerprint, so the classic 4×16 blocking for
+    * hamming ≤ 3 would miss a quarter of true near-dups.) */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val sim = corpus.select(col("doc_id"), simhashCol("text").as("simhash"))
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 7), j -> struct(j AS chunk_id, (shiftright(simhash, j * 8) & 255) AS chunk))")).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val dedupSimhash: Op = Op.rowsOnly("dedup_simhash") { (s, dir) =>
+    simhashPairs(corpusNear(s, dir)).orderBy("id_a", "id_b")
+  }
+
+  // ---- embedding cosine near-dup ----------------------------------
+
+  /** Embedding-cosine near-dup pairs. The oracle-checked variant is
+    * the exact all-pairs form (the 500-row embeddings table makes
+    * that cheap); at scale the identical semantics run through
+    * [[Similarity.hyperplaneBands]] buckets instead — see `ann_lsh`. */
+  val dedupEmbedding: Op = Op.sql("dedup_embedding",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
+    dedupSimhash, dedupEmbedding)
+}

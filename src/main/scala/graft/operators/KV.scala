@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.kv.KVTable
+import graft.sources.Tables
+
+/** §2.2 KV storage semantics as oracle-checked operators.
+  *
+  * The KV log is derived deterministically from the `events` table so
+  * DuckDB can compute the identical semantics: key = `user_id`,
+  * seq = `event_id` (monotone), payload = `value`, and
+  * `event_type = 'error'` plays the tombstone (delete) marker.
+  */
+object KV {
+
+  private def kv(s: SparkSession, dir: String): KVTable =
+    KVTable(
+      Tables.load(s, dir, "events").select(
+        col("user_id").as("key"),
+        col("event_id").as("seq"),
+        (col("event_type") === "error").as("tombstone"),
+        col("value").as("v")),
+      keyCol = "key", seqCol = "seq", tombstoneCol = "tombstone")
+
+  /** Shared oracle prelude: the same derivation in DuckDB SQL. */
+  private val kvCte =
+    """kv AS (SELECT user_id AS key, event_id AS seq,
+      |             event_type = 'error' AS tombstone, "value" AS v
+      |      FROM events)""".stripMargin
+
+  /** Latest-wins merge in DuckDB via window (max_by equivalent). */
+  private def mergeSql(src: String, pred: String = "true") =
+    s"""(SELECT key, seq, v FROM (
+       |   SELECT key, seq, v, tombstone,
+       |          row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |   FROM $src WHERE $pred) WHERE rn = 1 AND NOT tombstone)""".stripMargin
+
+  val kvPointGet: Op = Op.sql("kv_point_get",
+    s"""WITH $kvCte
+       |SELECT * FROM ${mergeSql("kv", "key = 42")} ORDER BY key""".stripMargin) { (s, dir) =>
+    kv(s, dir).get(lit(42L)).orderBy("key")
+  }
+
+  val kvRangeScan: Op = Op.sql("kv_range_scan",
+    s"""WITH $kvCte
+       |SELECT * FROM ${mergeSql("kv", "key BETWEEN 20 AND 60")}
+       |ORDER BY key""".stripMargin) { (s, dir) =>
+    kv(s, dir).range(lit(20L), lit(60L))
+  }
+
+  val kvCompact: Op = Op.sql("kv_compact",
+    s"""WITH $kvCte
+       |SELECT * FROM ${mergeSql("kv")} ORDER BY key""".stripMargin) { (s, dir) =>
+    kv(s, dir).compacted()
+  }
+
+  val kvSnapshotRead: Op = Op.sql("kv_snapshot_read",
+    s"""WITH $kvCte,
+       |mx AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS cut FROM kv)
+       |SELECT key, seq, v FROM (
+       |  SELECT key, seq, v, tombstone,
+       |         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |  FROM kv, mx WHERE seq <= cut) WHERE rn = 1 AND NOT tombstone
+       |ORDER BY key""".stripMargin) { (s, dir) =>
+    val t = kv(s, dir)
+    val cut = t.runs.agg(floor(max("seq") * 0.6).cast("bigint")).head().getLong(0)
+    t.snapshot(cut).orderBy("key")
+  }
+
+  val kvWriteBatch: Op = Op.sql("kv_write_batch",
+    s"""WITH $kvCte,
+       |mx AS (SELECT max(seq) AS m FROM kv),
+       |batch AS (
+       |  SELECT CAST(42 AS BIGINT) AS key, m + 1 AS seq, false AS tombstone,
+       |         CAST(999.5 AS DOUBLE) AS v FROM mx
+       |  UNION ALL SELECT CAST(7 AS BIGINT), m + 2, true, CAST(0 AS DOUBLE) FROM mx
+       |  UNION ALL SELECT CAST(99999 AS BIGINT), m + 3, false, CAST(123.25 AS DOUBLE) FROM mx),
+       |allruns AS (SELECT * FROM kv UNION ALL
+       |            SELECT key, seq, tombstone, v FROM batch)
+       |SELECT * FROM ${mergeSql("allruns", "key IN (7, 42, 99999)")}
+       |ORDER BY key""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = kv(s, dir)
+    val m = t.runs.agg(max("seq")).head().getLong(0)
+    // upsert existing key, delete existing key, insert brand-new key
+    val batch = Seq(
+      (42L, m + 1, false, 999.5),
+      (7L, m + 2, true, 0.0),
+      (99999L, m + 3, false, 123.25)
+    ).toDF("key", "seq", "tombstone", "v")
+    val withB = t.withBatch(batch)
+    withB.copy(runs = withB.runs.filter(col("key").isin(7L, 42L, 99999L)))
+      .merged().orderBy("key")
+  }
+
+  val all: Seq[Op] = Seq(kvPointGet, kvRangeScan, kvCompact,
+    kvSnapshotRead, kvWriteBatch)
+}

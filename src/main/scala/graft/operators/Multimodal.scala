@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** §2.3 multimodal column plumbing: media as opaque `binary` payloads
+  * with typed metadata, decoded/feature-extracted in batched
+  * per-partition passes.
+  *
+  * The container has no image/audio codecs, so [[decodeStub]] is a
+  * clearly-marked STUB producing deterministic fake features — but
+  * the Spark-side plumbing is real and what matters at scale: a
+  * `binary` payload column rides alongside typed metadata in the same
+  * row (100 TB of payload bytes never shuffle unless a join demands
+  * it), and decode runs via `mapPartitions` over fixed-size batches —
+  * the exact shape a real codec/model UDF needs (amortize model init
+  * per partition, bound peak memory per batch).
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata. */
+  final case class MediaRow(doc_id: Long, mime: String, width: Int,
+                            height: Int, payload: Array[Byte])
+
+  /** Extracted features (decode output). */
+  final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+                                 batch_size: Int, feat_mean: Double, feat_hash: Long)
+
+  /** Synthesize the media table from `documents`: payload = utf8 bytes
+    * of the text (stand-in for image bytes), metadata derived
+    * deterministically. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      concat(lit("image/"), when(col("doc_id") % 2 === 0, "png").otherwise("jpeg")).as("mime"),
+      (col("n_chars") % 640 + 1).cast("int").as("width"),
+      (col("n_chars") % 480 + 1).cast("int").as("height"),
+      col("text").cast("binary").as("payload"))
+
+  val DecodeBatchSize = 64
+
+  /** STUB decode / feature-extract: a real implementation would hand
+    * each batch of payloads to a codec or model (e.g. via ONNX / a
+    * Pandas-UDF-style vectorized call). Here the "features" are
+    * deterministic functions of the bytes so specs can assert the
+    * batching plumbing end-to-end. */
+  def decodeStub(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "mime", "width", "height", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.grouped(DecodeBatchSize).flatMap { batch =>
+          // STUB: stands in for `model.decode(batch.map(_.payload))`
+          batch.map { r =>
+            val bytes = r.payload
+            val mean = if (bytes.isEmpty) 0.0
+              else bytes.map(_.toInt & 0xff).sum.toDouble / bytes.length
+            MediaFeatures(r.doc_id, r.mime, bytes.length.toLong,
+              batch.size, math.rint(mean * 10000) / 10000, bytes.foldLeft(1125899906842597L)(
+                (h, b) => h * 31 + (b.toInt & 0xff)))
+          }
+        }
+      }.toDF()
+  }
+
+  val mmMetadata: Op = Op.rowsOnly("mm_metadata") { (s, dir) =>
+    decodeStub(mediaTable(s, dir)).orderBy("doc_id")
+  }
+
+  val all: Seq[Op] = Seq(mmMetadata)
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.Op
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** §2.4 streaming ops, oracle-checked in their batch-equivalent form
+  * (Structured Streaming's contract: a streaming query's final result
+  * equals the batch run of the same plan — StreamingSpec proves the
+  * same transforms execute as real streams). */
+object Streaming {
+
+  val streamWindowAgg: Op = Op.sql("stream_window_agg",
+    """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start,
+      |       event_type, count(*) AS n_events,
+      |       round(sum("value"), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Streams.windowAgg(Tables.load(s, dir, "events"))
+      .orderBy("win_start", "event_type")
+  }
+
+  val streamSessionize: Op = Op.sql("stream_sessionize",
+    """WITH d AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (SELECT user_id, ts,
+      |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      |      FROM d)
+      |SELECT user_id, epoch_us(min(ts)) AS s_start,
+      |       epoch_us(max(ts)) + 1800000000 AS s_end,
+      |       count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin) { (s, dir) =>
+    Streams.sessionize(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "s_start")
+  }
+
+  val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize)
+}

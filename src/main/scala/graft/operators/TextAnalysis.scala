@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** §2.3 text-analysis operators for a large-scale training-data
+  * pipeline, over the `documents` table.
+  *
+  * Everything here is built from codegen'd `sql.functions` (split /
+  * regexp / higher-order array functions) — no UDFs — so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with
+  * input splits: per-document work only, no shuffle at all until a
+  * caller aggregates.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Tiny per-language stopword profiles for n-gram-free heuristic
+    * language ID (the classic stopword-counting approach; CJK decided
+    * by script detection first). */
+  val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "dans", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que", "con", "una"))
+
+  /** Language-ID column: script check for CJK, else the language whose
+    * stopword profile matches the most tokens; 'und' (undetermined)
+    * when nothing matches. Pure array expressions — distributed,
+    * shuffle-free. */
+  def langIdCol(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scores = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => array_contains(
+        array(words.map(lit): _*), t)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** rows+spec: predicted language per document (the synthetic corpus
+    * text is English-vocab regardless of its `lang` column, so the
+    * spec validates accuracy on known-language sentences instead). */
+  val textLangId: Op = Op.rowsOnly("text_langid") { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), langIdCol(col("text")).as("pred_lang"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scores — length, word count/lengths, stopword ratio,
+    * alpha ratio — rounded to fixed decimals on both sides. */
+  val textQuality: Op = Op.sql("text_quality",
+    """SELECT doc_id,
+      |  length(text) AS n_char,
+      |  len(string_split(text, ' ')) AS n_word,
+      |  round(length(text)*1.0 / len(string_split(text, ' ')), 4) AS chars_per_word,
+      |  round(len(list_filter(string_split(text, ' '),
+      |        w -> list_contains(['the','a','of','and','to','in','is'], w)))*1.0
+      |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |  round(length(regexp_replace(text, '[^a-z]', '', 'g'))*1.0
+      |        / length(text), 4) AS alpha_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_char"),
+      size(toks).cast("bigint").as("n_word"),
+      round(length(col("text")) * 1.0 / size(toks), 4).as("chars_per_word"),
+      round(size(filter(toks, w => array_contains(stop, w))) * 1.0 / size(toks), 4)
+        .as("stopword_ratio"),
+      round(length(regexp_replace(col("text"), "[^a-z]", "")) * 1.0
+        / length(col("text")), 4).as("alpha_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single other-symbols). */
+  val textTokens: Op = Op.sql("text_tokens",
+    """SELECT doc_id,
+      |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("bigint").as("re_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** 64-bit rolling-hash fingerprint over the token sequence
+    * (order-sensitive, whitespace-normalized): fp = fold tokens with
+    * fp' = xxhash64(fp, token) — a hash chain, so no wrapping
+    * arithmetic (ANSI mode would reject an overflowing multiply).
+    * Identical texts (mod whitespace) always collide; distinct texts
+    * virtually never do. */
+  def fingerprintCol(text: Column): Column =
+    aggregate(split(trim(text), "\\s+"), lit(0L),
+      (acc, w) => xxhash64(acc, w))
+
+  val textFingerprint: Op = Op.rowsOnly("text_fingerprint") { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint)
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** §2.4 streaming: the reference's stream design
+  * (`/root/reference/docs/stream_design.md`, streaming writes over the
+  * KV engine) mapped onto Structured Streaming.
+  *
+  * Each transform below is written against a plain DataFrame so the
+  * SAME plan runs in batch (oracle-checked against DuckDB) and as a
+  * streaming query (spec-checked via a file source + memory sink):
+  * Structured Streaming's incrementalization is exactly this
+  * batch-equivalence contract.
+  *
+  * Scale notes: watermark bounds state (1 hour of open windows per
+  * key-group); windowed aggregation state is partitioned by
+  * (window, keys) — the same hash shuffle as the batch groupBy;
+  * session windows use Spark's native session_window state merging
+  * rather than a hand-rolled mapGroupsWithState where built-in
+  * semantics suffice.
+  */
+object Streams {
+
+  /** Tumbling 1-hour window aggregation per event_type, watermarked.
+    * (`withWatermark` is a no-op in batch execution.) */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity gap) per user:
+    * session start/end (+gap) and event count. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("s_start"),
+        unix_micros(col("sw.end")).as("s_end"), col("n_events"))
+
+  /** Run a batch-defined transform as a real streaming query over a
+    * file source, writing to an in-memory sink table; returns the
+    * started query (caller awaits + reads `spark.table(sinkTable)`).
+    * Used by specs to prove the plans are streaming-executable. */
+  def runFileStream(spark: SparkSession, srcDir: String,
+                    schemaOf: DataFrame, transform: DataFrame => DataFrame,
+                    sinkTable: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(schemaOf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    transform(stream).writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("complete")
+      .start()
+  }
+}

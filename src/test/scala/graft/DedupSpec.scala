@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Near-dup detection quality on the derived corpus: 500 planted
+  * near-duplicate pairs (i, i+100000) = original text vs first word
+  * dropped (3-gram-shingle Jaccard ≈ (n−3)/(n−2) ≈ 1). */
+class DedupSpec extends SparkSuite {
+
+  private lazy val corpus = Dedup.corpusNear(spark, sfDir).cache()
+  private lazy val nDocs = corpus.count() / 2
+
+  private def plantedRecall(pairs: Array[(Long, Long)]): Double = {
+    val planted = pairs.count { case (a, b) => b == a + 100000 }
+    planted.toDouble / nDocs
+  }
+
+  test("minhash LSH recovers nearly all planted near-dup pairs") {
+    val pairs = Dedup.minhashCandidates(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val recall = plantedRecall(pairs)
+    assert(recall >= 0.95, s"recall $recall over $nDocs planted pairs")
+    // banding should not degenerate into all-pairs
+    assert(pairs.length < nDocs * nDocs / 4, s"candidate explosion: ${pairs.length}")
+  }
+
+  test("jaccard verification keeps planted pairs and only high-sim pairs") {
+    val verified = Dedup.jaccardVerified(corpus, threshold = 0.5).collect()
+    val pairs = verified.map(r => (r.getLong(0), r.getLong(1)))
+    assert(plantedRecall(pairs) >= 0.95)
+    val jac = verified.map(_.getDouble(2))
+    assert(jac.forall(_ >= 0.5))
+    // planted pairs should carry near-1 jaccard
+    val plantedJac = verified.filter(r => r.getLong(1) == r.getLong(0) + 100000)
+      .map(_.getDouble(2))
+    assert(plantedJac.nonEmpty && plantedJac.sum / plantedJac.size >= 0.9)
+  }
+
+  test("simhash near-dup pairs recover planted pairs at low hamming") {
+    val pairs = Dedup.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val recall = plantedRecall(pairs)
+    assert(recall >= 0.9, s"simhash recall $recall")
+  }
+
+  test("identical texts have identical simhash; unrelated texts differ") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhashCol("text").as("s"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.kv.KVTable
+
+/** Hand-computed oracle for the KV semantics of SURVEY §2.2:
+  * latest-seq-wins, tombstones, snapshots, batches, compaction. */
+class KVSpec extends SparkSuite {
+
+  private def fixture: KVTable = {
+    import spark.implicits._
+    // key, seq, tombstone, v — interleaved versions of 3 keys
+    val runs = Seq(
+      (1L, 1L, false, 10.0), // k1 v10
+      (2L, 2L, false, 20.0), // k2 v20
+      (1L, 3L, false, 11.0), // k1 → v11
+      (3L, 4L, false, 30.0), // k3 v30
+      (2L, 5L, true, 0.0),   // k2 deleted
+      (3L, 6L, false, 31.0)  // k3 → v31
+    ).toDF("key", "seq", "tombstone", "v")
+    KVTable(runs, "key", "seq", "tombstone")
+  }
+
+  test("merged: latest wins, tombstones dropped") {
+    val got = fixture.merged().orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 3L, 11.0), (3L, 6L, 31.0)))
+  }
+
+  test("point get sees only the latest version") {
+    val got = fixture.get(lit(1L)).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 11.0)))
+    // deleted key reads as absent
+    assert(fixture.get(lit(2L)).count() == 0)
+  }
+
+  test("snapshot read resurrects pre-delete state") {
+    // as-of seq 4: k2 not yet deleted, k1 already updated, k3 at v30
+    val got = fixture.snapshot(4L).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+  }
+
+  test("range scan bounds keys inclusively and stays sorted") {
+    val got = fixture.range(lit(1L), lit(2L)).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L)) // k2 is deleted, k3 out of range
+  }
+
+  test("write batch: upsert, delete, and fresh insert all apply in order") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, 7L, true, 0.0),   // delete k1
+      (2L, 8L, false, 22.0), // re-insert k2 over its tombstone
+      (9L, 9L, false, 90.0)  // brand-new key
+    ).toDF("key", "seq", "tombstone", "v")
+    val got = fixture.withBatch(batch).merged().orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == Seq((2L, 22.0), (3L, 31.0), (9L, 90.0)))
+  }
+
+  test("compaction output equals merged view and is one self-contained run") {
+    val compacted = fixture.compacted()
+    // re-reading the compacted run as a fresh KV table is a fixpoint
+    val recompacted = KVTable(
+      compacted.withColumn("tombstone", lit(false)), "key", "seq", "tombstone")
+      .compacted()
+    assert(compacted.collect().toSeq == recompacted.collect().toSeq)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Proves the §2.4 transforms execute as REAL streaming queries
+  * (file source → watermark → stateful agg → memory sink) and that
+  * the streaming result equals the batch run of the same plan —
+  * which is the contract that lets the DuckDB oracle check the batch
+  * form. */
+class StreamingSpec extends SparkSuite {
+
+  private def withEventsStream(test: (String, org.apache.spark.sql.DataFrame) => Unit): Unit = {
+    val events = Tables.load(spark, sfDir, "events").cache()
+    val src = Files.createTempDirectory("graft_stream_src").toString
+    // Four time-ordered chunks written with distinct mtimes so the
+    // file source replays them chronologically (maxFilesPerTrigger=1
+    // → genuine multi-batch incremental execution). An out-of-order
+    // replay would make the 1h watermark drop "late" quartiles —
+    // correct streaming semantics, but not the scenario under test.
+    val quartiles = events.stat.approxQuantile("event_id",
+      Array(0.25, 0.5, 0.75), 0.001).map(_.toLong).toSeq
+    (Seq(Long.MinValue) ++ quartiles ++ Seq(Long.MaxValue)).sliding(2).foreach {
+      case Seq(lo, hi) =>
+        events.filter(col("event_id") > lo && col("event_id") <= hi)
+          .coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(1100)
+      case _ =>
+    }
+    test(src, events)
+  }
+
+  test("windowed aggregation streams incrementally and matches batch") {
+    withEventsStream { (src, events) =>
+      val q = Streams.runFileStream(spark, src, events, Streams.windowAgg, "win_sink")
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("win_sink").orderBy("win_start", "event_type").collect()
+      val batch = Streams.windowAgg(events).orderBy("win_start", "event_type").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.nonEmpty)
+    }
+  }
+
+  test("sessionization streams with session_window state and matches batch") {
+    withEventsStream { (src, events) =>
+      val q = Streams.runFileStream(spark, src, events, Streams.sessionize, "sess_sink")
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("sess_sink").orderBy("user_id", "s_start").collect()
+      val batch = Streams.sessionize(events).orderBy("user_id", "s_start").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.nonEmpty)
+      // session invariant: end = start + ≥gap, events ≥ 1
+      streamed.foreach { r =>
+        assert(r.getLong(2) >= r.getLong(1) + 30L * 60 * 1000000)
+        assert(r.getLong(3) >= 1)
+      }
+    }
+  }
+}

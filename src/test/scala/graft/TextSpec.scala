@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Language-ID and fingerprint specs (the synthetic corpus text
+  * carries no real language signal, so known-language sentences are
+  * the oracle here). */
+class TextSpec extends SparkSuite {
+
+  test("language ID classifies known-language sentences") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat is in the house and it is happy with the dog"),
+      ("de", "der hund ist nicht mit der katze und das ist ein problem für die"),
+      ("fr", "le chat est dans la maison et il est pour les amis dans une ville"),
+      ("es", "el gato es feliz y no es por la casa con los amigos y una idea"),
+      ("zh", "这是一个中文句子用来测试语言识别"),
+      ("und", "xyzzy plugh qwerty asdfgh"))
+    val got = samples.toDF("expected", "text")
+      .select(col("expected"), TextAnalysis.langIdCol(col("text")).as("pred"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)}, predicted ${r.getString(1)}"))
+  }
+
+  test("fingerprint: whitespace-insensitive, order-sensitive, content-sensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "  alpha   beta\tgamma "), // same tokens, messy whitespace
+      (3L, "gamma beta alpha"),       // same tokens, different order
+      (4L, "alpha beta delta")        // different token
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprintCol(col("text")).as("fp"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L), "whitespace normalization")
+    assert(m(1L) != m(3L), "order sensitivity")
+    assert(m(1L) != m(4L), "content sensitivity")
+  }
+
+  test("langid over the documents table runs distributed and total") {
+    val out = graft.SparkEntry.queries("text_langid")(spark, sfDir)
+    val n = out.count()
+    assert(n == 500)
+    assert(out.filter(col("pred_lang").isNull).count() == 0)
+  }
+}

@@ -20,6 +20,7 @@ object GraftSession {
     SparkSession.builder()
       .appName(appName)
       .master(master)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.adaptive.enabled", "true")

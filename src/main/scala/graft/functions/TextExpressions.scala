@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom codegen'd Catalyst expressions for the signature hot paths
+  * (SURVEY §3: native `Expression` over UDF over interpreted HOFs).
+  * Each participates in whole-stage codegen via `defineCodeGen`
+  * emitting a single static call into [[TextHashing]] — no
+  * row-boxing, no interpreted lambda trees, no UDF serialization.
+  *
+  * Registered through `SparkSessionExtensions` (see
+  * [[graft.plans.GraftExtensions]]); the Column API resolves them by
+  * name via `call_function`.
+  */
+object TextExpressions {
+
+  case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_bands"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHashing.minhashBands(input.asInstanceOf[UTF8String], numHashes, bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextHashing.minhashBands($c, $numHashes, $bands)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+      copy(child = newChild)
+  }
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHashing.simhash64(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.simhash64($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Expression builders (used by the extension registration). */
+  def buildMinHashBands(args: Seq[Expression]): Expression = args match {
+    case Seq(t, Literal(n: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+      MinHashBands(t, n, b)
+    case Seq(t) => MinHashBands(t, 64, 16)
+    case _ => throw new IllegalArgumentException(
+      "graft_minhash_bands(text[, numHashes, bands]) — sizes must be int literals")
+  }
+
+  def buildSimHash64(args: Seq[Expression]): Expression = args match {
+    case Seq(t) => SimHash64(t)
+    case _ => throw new IllegalArgumentException("graft_simhash64(text)")
+  }
+
+  /** Column API (requires the graft extensions on the session). */
+  def minhash_bands(text: Column, numHashes: Int = 64, bands: Int = 16): Column =
+    call_function("graft_minhash_bands", text, lit(numHashes), lit(bands))
+
+  def simhash64(text: Column): Column =
+    call_function("graft_simhash64", text)
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the custom Catalyst expressions in
+  * [[TextExpressions]] — static methods so generated code can call
+  * them directly (the same pattern Spark's own expressions use).
+  *
+  * Replaces the interpreted higher-order-function formulation of the
+  * MinHash/SimHash signatures, which evaluated one lambda per
+  * shingle×seed (~60×64 interpreted expression trees per row) and
+  * dominated the benchmark. One pass here: hash each token once,
+  * derive shingle hashes by chaining token hashes, derive the k
+  * seeded minhash functions by double hashing g_i = a + i·b.
+  */
+object TextHashing {
+
+  private val Seed = 42L
+  private val Mix = 0x9E3779B97F4A7C15L // golden-ratio odd constant
+
+  /** xxh64 of each whitespace token. */
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val toks = text.toString.split("\\s+")
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), Seed)
+      i += 1
+    }
+    out
+  }
+
+  /** 3-token shingle hashes (whole-text hash if < 3 tokens). */
+  def shingleHashes(text: UTF8String): Array[Long] = {
+    val th = tokenHashes(text)
+    if (th.length < 3) return Array(XXH64.hashUTF8String(text, Seed))
+    val out = new Array[Long](th.length - 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = XXH64.hashLong(th(i), XXH64.hashLong(th(i + 1), XXH64.hashLong(th(i + 2), Seed)))
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash-LSH band hashes: k seeded minhashes over the shingle
+    * set (double hashing), folded into `bands` band hashes of
+    * k/bands rows each. Output index = band id. */
+  def minhashBands(text: UTF8String, numHashes: Int, bands: Int): ArrayData = {
+    val sh = shingleHashes(text)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var s = 0
+    while (s < sh.length) {
+      val a = sh(s)
+      val b = XXH64.hashLong(a, Mix) | 1L // odd → all k functions distinct
+      var i = 0
+      var g = a
+      while (i < numHashes) {
+        if (g < mins(i)) mins(i) = g
+        g += b
+        i += 1
+      }
+      s += 1
+    }
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var h = XXH64.hashLong(j.toLong, Seed)
+      var i = j * r
+      while (i < (j + 1) * r) {
+        h = XXH64.hashLong(mins(i), h)
+        i += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over token hashes: ±1 vote per bit, sign→bit. */
+  def simhash64(text: UTF8String): Long = {
+    val th = tokenHashes(text)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < th.length) {
+      val h = th(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+}

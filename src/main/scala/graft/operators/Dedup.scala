@@ -77,32 +77,14 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
     }
 
-  /** k seeded minhashes of a shingle array: for seed i, min over
-    * shingles of xxhash64(i, shingle). All per-row array math. */
-  def minhashCol(shingles: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      i => array_min(transform(shingles, sh => xxhash64(i, sh))))
-
-  /** LSH banding: (band_id, band_hash) pairs, band_hash = hash of the
-    * band's r consecutive minhashes. */
-  def bandsCol(minhashes: Column): Column =
-    transform(sequence(lit(0), lit(Bands - 1)),
-      j => struct(j.as("band_id"),
-        xxhash64(j, slice(minhashes, j * RowsPerBand + 1, lit(RowsPerBand))).as("band_hash")))
-
-  /** Full text → LSH band signature, with every intermediate
-    * let-bound (tokens, shingles, minhashes each computed exactly
-    * once per row). */
-  def signatureCol(text: Column): Column =
-    bound(shinglesCol(text)) { sh =>
-      bound(minhashCol(sh))(mh => bandsCol(mh))
-    }
-
-  /** doc_id → exploded (band_id, band_hash) signature table. */
+  /** doc_id → exploded (band_id, band_hash) signature table, via the
+    * codegen'd [[graft.functions.TextExpressions.minhash_bands]]
+    * kernel (k seeded minhashes by double hashing, folded into band
+    * hashes in one pass per row). */
   private def bandTable(corpus: DataFrame): DataFrame =
-    corpus
-      .select(col("doc_id"), explode(signatureCol(col("text"))).as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+    corpus.select(col("doc_id"),
+      posexplode(graft.functions.TextExpressions.minhash_bands(
+        col("text"), NumHashes, Bands)).as(Seq("band_id", "band_hash")))
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
     * Join keyed on (band_id, band_hash) — shuffle O(n), never O(n²). */
@@ -144,24 +126,11 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------
 
-  /** 64-bit SimHash of the token stream: per-token xxhash64, +1/−1
-    * vote per bit, sign → bit. Pure SQL array expressions (the Scala
-    * `shiftleft` wrapper only takes Int literals; the SQL function
-    * accepts expressions, hence `expr`). */
-  def simhashCol(textCol: String): Column = expr(
-    s"""aggregate(
-       |  zip_with(
-       |    aggregate(split($textCol, '\\\\s+'), array_repeat(0L, 64),
-       |      (acc, w) -> element_at(
-       |        transform(array(xxhash64(w)),
-       |          h -> zip_with(acc,
-       |            transform(sequence(0, 63),
-       |              i -> if((shiftright(h, i) & 1) = 1, 1L, -1L)),
-       |            (x, y) -> x + y)),
-       |        1)),
-       |    sequence(0, 63),
-       |    (c, i) -> if(c > 0, shiftleft(1L, i), 0L)),
-       |  0L, (acc, b) -> acc | b)""".stripMargin)
+  /** 64-bit SimHash of the token stream: per-token xxhash64, ±1
+    * vote per bit, sign → bit — the codegen'd
+    * [[graft.functions.TextExpressions.simhash64]] kernel. */
+  def simhashCol(text: Column): Column =
+    graft.functions.TextExpressions.simhash64(text)
 
   /** Near-dup pairs by SimHash: block on eight 8-bit chunks — by
     * pigeonhole, two fingerprints within hamming 7 MUST agree on at
@@ -170,7 +139,7 @@ object Dedup {
     * bits of the 64-bit fingerprint, so the classic 4×16 blocking for
     * hamming ≤ 3 would miss a quarter of true near-dups.) */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
-    val sim = corpus.select(col("doc_id"), simhashCol("text").as("simhash"))
+    val sim = corpus.select(col("doc_id"), simhashCol(col("text")).as("simhash"))
     val chunked = sim.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 7), j -> struct(j AS chunk_id, (shiftright(simhash, j * 8) & 255) AS chunk))")).as("c"))

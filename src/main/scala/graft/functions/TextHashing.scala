@@ -19,10 +19,11 @@ object TextHashing {
 
   private val Seed = 42L
   private val Mix = 0x9E3779B97F4A7C15L // golden-ratio odd constant
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
 
   /** xxh64 of each whitespace token. */
   def tokenHashes(text: UTF8String): Array[Long] = {
-    val toks = text.toString.split("\\s+")
+    val toks = Ws.split(text.toString)
     val out = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {

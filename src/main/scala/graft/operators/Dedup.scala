@@ -132,17 +132,30 @@ object Dedup {
   def simhashCol(text: Column): Column =
     graft.functions.TextExpressions.simhash64(text)
 
-  /** Near-dup pairs by SimHash: block on eight 8-bit chunks — by
-    * pigeonhole, two fingerprints within hamming 7 MUST agree on at
-    * least one chunk — then verify hamming ≤ maxHamming via
-    * bit_count. (On these ~70-word docs a one-word edit flips ~2-7
-    * bits of the 64-bit fingerprint, so the classic 4×16 blocking for
-    * hamming ≤ 3 would miss a quarter of true near-dups.) */
+  /** Near-dup pairs by SimHash: split the 64-bit fingerprint into
+    * eight 8-bit chunks and block on ORDERED PAIRS of chunks
+    * (C(8,2)=28 16-bit keys per doc): ≤6 differing bits can touch at
+    * most 6 chunks, leaving ≥2 clean chunks whose pair key matches —
+    * a hamming ≤ 6 guarantee, and ~98% of hamming-7 pairs besides
+    * (7 flips rarely land in 7 distinct chunks). Verified by
+    * bit_count on the full fingerprints.
+    *
+    * Pair keys matter at scale: single 8-bit chunks carry so little
+    * entropy on correlated-vocabulary corpora that bucket joins go
+    * quadratic (26.8M candidate pairs on a 10k-doc corpus); 16-bit
+    * pair keys square the per-bucket collision rate down while
+    * KEEPING the near-dup guarantee, where the classic 4×16-bit
+    * blocking would silently cap it at hamming ≤ 3. (On these
+    * ~70-word docs a one-word edit flips ~2-7 fingerprint bits.) */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
     val sim = corpus.select(col("doc_id"), simhashCol(col("text")).as("simhash"))
     val chunked = sim.select(col("doc_id"), col("simhash"),
         explode(expr(
-          "transform(sequence(0, 7), j -> struct(j AS chunk_id, (shiftright(simhash, j * 8) & 255) AS chunk))")).as("c"))
+          """flatten(transform(sequence(0, 6), i ->
+            |  transform(sequence(i + 1, 7), j -> struct(
+            |    i * 8 + j AS chunk_id,
+            |    shiftleft(shiftright(simhash, i * 8) & 255, 8)
+            |      | (shiftright(simhash, j * 8) & 255) AS chunk))))""".stripMargin)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
@@ -150,8 +163,13 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // verify BEFORE distinct: the hamming check runs codegen'd in
+      // the join's output stream, so false chunk collisions (frequent
+      // on correlated-vocabulary corpora — low-entropy fingerprint
+      // chunks) die before the dedup shuffle instead of being
+      // shuffled by the millions
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   val dedupSimhash: Op = Op.rowsOnly("dedup_simhash") { (s, dir) =>

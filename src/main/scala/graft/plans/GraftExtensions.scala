@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(TextExpressions.SimHash64.getClass.getName,
         "graft_simhash64"),
       TextExpressions.buildSimHash64 _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(graft.functions.VectorKernels.CosineSim.getClass.getName,
+        "graft_cosine"),
+      graft.functions.VectorKernels.buildCosine _))
   }
 }

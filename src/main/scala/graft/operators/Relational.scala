@@ -406,11 +406,40 @@ object Relational {
       .limit(10)
   }
 
+  val q29NullSemantics: Op = Op.sql("q29_null_semantics",
+    """WITH t(id, a, b) AS (VALUES (1, 1, 10), (2, 2, NULL),
+      |                            (3, NULL, 30), (4, NULL, NULL))
+      |SELECT id, a, b, a + b AS add_e, a * b AS mul_e,
+      |  a = b AS eq_e, a > b AS gt_e,
+      |  (a > 1 AND b > 10) AS and_e, (a > 1 OR b > 10) AS or_e,
+      |  NOT (a > 1) AS not_e, coalesce(a, b, 0) AS coal,
+      |  (a IS NULL) AS a_null, (a IS DISTINCT FROM b) AS dist
+      |FROM t ORDER BY id""".stripMargin) { (s, _) =>
+    // three-valued logic + NULL propagation through arithmetic /
+    // comparison / conjunction (reference: scalar_function.slt,
+    // comparison_function.slt, conjunction_function.slt on nullable
+    // columns)
+    import s.implicits._
+    val t = Seq((1, Some(1), Some(10)), (2, Some(2), None),
+      (3, None, Some(30)), (4, Option.empty[Int], Option.empty[Int]))
+      .toDF("id", "a", "b")
+    t.select(col("id"), col("a"), col("b"),
+      (col("a") + col("b")).as("add_e"), (col("a") * col("b")).as("mul_e"),
+      (col("a") === col("b")).as("eq_e"), (col("a") > col("b")).as("gt_e"),
+      (col("a") > 1 && col("b") > 10).as("and_e"),
+      (col("a") > 1 || col("b") > 10).as("or_e"),
+      (!(col("a") > 1)).as("not_e"),
+      coalesce(col("a"), col("b"), lit(0)).as("coal"),
+      col("a").isNull.as("a_null"),
+      (!(col("a") <=> col("b"))).as("dist"))
+      .orderBy("id")
+  }
+
   val all: Seq[Op] = Seq(q1Agg, q2FilterProject, q3JoinInner, q4JoinLeft,
     q5JoinRight, q6JoinFull, q7JoinSemi, q8JoinAnti, q9CrossJoin,
     q10MultiJoin, q11OrderLimitOffset, q12Distinct, q13AggDistinct,
     q14ScalarSubquery, q15DerivedTable, q16Expressions, q17StringFuncs,
     q18DateInterval, q19ValuesScan, q20Having, q21SetOps, q22WindowFuncs,
     q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
-    q27Explain, q28TopNAgg)
+    q27Explain, q28TopNAgg, q29NullSemantics)
 }

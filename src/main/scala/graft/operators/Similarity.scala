@@ -113,5 +113,76 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
-  val all: Seq[Op] = Seq(annTopkBrute, annLsh)
+  // ---- IVF (inverted-file) ANN ------------------------------------
+
+  val NumCentroids = 16
+  val NumProbes = 4
+
+  /** Deterministic IVF centroids: seed on the K lowest-id vectors,
+    * refine with one Lloyd iteration (assign all → per-cluster
+    * per-dimension mean via posexplode + groupBy — one shuffle of
+    * O(n·d) scalars, no driver-side math beyond collecting K·d
+    * centroid values, which is what a real IVF index trains once and
+    * broadcasts). */
+  def ivfCentroids(corpus: DataFrame): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    val seeds = typedLit(
+      corpus.orderBy("vec_id").limit(NumCentroids)
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq)
+    val assigned = corpus.withColumn("cluster",
+      array_position(
+        transform(seeds, c => cosine(col("v"), c)),
+        array_max(transform(seeds, c => cosine(col("v"), c)))) - 1)
+    val means = assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos").agg(avg("x").as("m"))
+      .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster"), transform(col("pm"), e => e.getField("m")).as("centroid"))
+      .orderBy("cluster")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    means
+  }
+
+  /** IVF-bucketed ANN: corpus partitioned into centroid cells
+    * (inverted lists); each query probes its `NumProbes` nearest
+    * cells and ranks exactly within them. The cell assignment is the
+    * shuffle key — candidate volume is (probes/centroids) of the
+    * corpus per query, and on a real deployment the inverted lists
+    * are the partitioning of the stored corpus, so probing is
+    * partition pruning. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroids: Seq[Seq[Double]]): DataFrame = {
+    val cLit = typedLit(centroids)
+    def cell(v: Column): Column =
+      array_position(
+        transform(cLit, c => cosine(v, c)),
+        array_max(transform(cLit, c => cosine(v, c)))) - 1
+    val listed = corpus.withColumn("cell", cell(col("v")))
+    // each query probes its NumProbes closest cells
+    val probed = queries.withColumn("probe_cells",
+        slice(transform(
+          array_sort(transform(sequence(lit(0), lit(NumCentroids - 1)),
+            i => struct((-cosine(col("v"), element_at(cLit, i + 1))).as("negcos"),
+              i.as("cell")))),
+          e => e.getField("cell")), 1, NumProbes))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("probe_cells")).as("cell"))
+    probed.join(listed, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_raw").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
+  val annIvf: Op = Op.rowsOnly("ann_ivf") { (s, dir) =>
+    val e = emb(s, dir)
+    ivfTopK(e, e.filter(col("vec_id") < NumQueries), TopK, ivfCentroids(e))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf)
 }

@@ -36,6 +36,30 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.3, s"LSH recall $recall")
   }
 
+  test("IVF recall against brute-force ground truth beats random chance") {
+    val truth = Similarity.bruteTopK(emb, queries, Similarity.TopK).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = Similarity.ivfCentroids(emb)
+    assert(centroids.size == Similarity.NumCentroids)
+    assert(centroids.forall(_.size == Similarity.Dim))
+    val got = Similarity.ivfTopK(emb, queries, Similarity.TopK, centroids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    // probing 4/16 cells examines ~25% of the corpus; true neighbors
+    // concentrate in the query's own cells, so recall must beat the
+    // ~25% random-sampling baseline clearly
+    assert(recall >= 0.35, s"IVF recall $recall")
+  }
+
+  test("IVF returns at most k neighbors per query, none from unprobed space twice") {
+    val centroids = Similarity.ivfCentroids(emb)
+    val rows = Similarity.ivfTopK(emb, queries, Similarity.TopK, centroids).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= Similarity.TopK))
+    // no duplicate (query, neighbor) pairs despite multi-cell probing
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
   test("LSH candidates per query stay well below the corpus size") {
     val n = emb.count()
     val cands = Similarity.lshTopK(emb, queries, k = Int.MaxValue).count()

@@ -38,16 +38,24 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
 
   /** Latest-wins merge of all runs, tombstones dropped: the semantic
     * equivalent of the reference's full merge-iterator read
-    * (`storage_engine/src/iterator`). Optionally at a snapshot. */
+    * (`storage_engine/src/iterator`). Optionally at a snapshot.
+    *
+    * Deliberately PER-COLUMN `max_by(c, seq)` (seq is unique, so all
+    * columns resolve to the same winning row) rather than one
+    * `max_by(struct(...), seq)`: a struct-valued aggregation buffer
+    * can't use HashAggregate's mutable row and silently degrades the
+    * whole merge to SortAggregate — per-partition sorts of every run
+    * on both sides of the shuffle. Primitive buffers keep it a pure
+    * hash aggregation with map-side combine. */
   def merged(asOf: Option[Long] = None): DataFrame = {
     val visible = asOf.fold(runs)(s => runs.filter(col(seqCol) <= s))
-    val latest = visible
+    val aggs = max(col(seqCol)).as(seqCol) +:
+      (tombstoneCol +: payloadCols).map(c => max_by(col(c), col(seqCol)).as(c))
+    visible
       .groupBy(col(keyCol))
-      .agg(max_by(struct((seqCol +: tombstoneCol +: payloadCols).map(col): _*),
-        col(seqCol)).as("_latest"))
-    latest
-      .filter(!col(s"_latest.$tombstoneCol"))
-      .select(col(keyCol) +: (seqCol +: payloadCols).map(c => col(s"_latest.$c").as(c)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(!col(tombstoneCol))
+      .select((keyCol +: seqCol +: payloadCols).map(col): _*)
   }
 
   /** Point lookup, latest version (reference: `db_impl` get through

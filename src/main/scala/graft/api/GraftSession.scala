@@ -16,13 +16,15 @@ import org.apache.spark.sql.SparkSession
   * set to ~2-3x total cores or left to AQE).
   */
 object GraftSession {
-  def builder(appName: String = "graft", master: String = "local[32]"): SparkSession.Builder =
+  def builder(appName: String = "graft", master: String = "local[32]",
+              shufflePartitions: Option[Int] = None): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
       .master(master)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+        shufflePartitions.map(_.toString)
+          .getOrElse(sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

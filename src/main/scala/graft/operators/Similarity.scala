@@ -95,11 +95,15 @@ object Similarity {
         col("q.band_id") === col("c.band_id") &&
         col("q.band_hash") === col("c.band_hash") &&
         col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("q.v").as("qv"),
-        col("c.vec_id").as("neighbor_id"), col("c.v").as("cv"))
-      .distinct()
+      // score per band-match BEFORE dedup: a pair matching in m bands
+      // computes cosine m(≤SigBands) times — cheap codegen'd kernel —
+      // so the dedup shuffle carries only (id, id, score) scalars
+      // instead of two 64-float vectors per candidate
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("q.v"), col("c.v")).as("cos_raw"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first("cos_raw").as("cos_raw"))
     cands
-      .withColumn("cos_raw", cosine(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos_raw").desc, col("neighbor_id"))))

@@ -40,5 +40,14 @@ object Streaming {
       .orderBy("user_id", "s_start")
   }
 
-  val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize)
+  val streamStatefulTrack: Op = Op.sql("stream_stateful_track",
+    """SELECT user_id, count(*) AS n_events,
+      |       round(sum("value"), 2) AS sum_value,
+      |       epoch_us(max(ts)) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Streams.statefulTrack(Tables.load(s, dir, "events"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack)
 }

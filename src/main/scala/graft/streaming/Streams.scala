@@ -43,13 +43,46 @@ object Streams {
       .select(col("user_id"), unix_micros(col("sw.start")).as("s_start"),
         unix_micros(col("sw.end")).as("s_end"), col("n_events"))
 
+  /** Per-user running aggregate state for [[statefulTrack]]. */
+  final case class UserState(n_events: Long, sum_value: Double, last_ts: Long)
+  final case class UserTrack(user_id: Long, n_events: Long,
+                             sum_value: Double, last_ts: Long)
+
+  /** Custom stateful tracking via `flatMapGroupsWithState` — the
+    * general tool when built-in windows can't express the state
+    * machine (reference: the stream design's per-key incremental
+    * state). State is one small struct per user (bounded), updated
+    * per micro-batch; in BATCH execution the same code sees each
+    * group once with empty initial state, so batch output == final
+    * streaming state — which is what the DuckDB oracle checks. */
+  def statefulTrack(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val typed = events.select(col("user_id"), col("value"),
+      unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Double, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserTrack](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          val next = rows.foldLeft(prev) { (s, r) =>
+            UserState(s.n_events + 1, s.sum_value + r._2, math.max(s.last_ts, r._3))
+          }
+          state.update(next)
+          Iterator.single(UserTrack(user, next.n_events,
+            math.rint(next.sum_value * 100) / 100, next.last_ts))
+      }
+      .toDF()
+  }
+
   /** Run a batch-defined transform as a real streaming query over a
     * file source, writing to an in-memory sink table; returns the
     * started query (caller awaits + reads `spark.table(sinkTable)`).
     * Used by specs to prove the plans are streaming-executable. */
   def runFileStream(spark: SparkSession, srcDir: String,
                     schemaOf: DataFrame, transform: DataFrame => DataFrame,
-                    sinkTable: String): StreamingQuery = {
+                    sinkTable: String, outputMode: String = "complete"): StreamingQuery = {
     val stream = spark.readStream
       .schema(schemaOf.schema)
       .option("maxFilesPerTrigger", "1")
@@ -57,7 +90,7 @@ object Streams {
     transform(stream).writeStream
       .format("memory")
       .queryName(sinkTable)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .start()
   }
 }

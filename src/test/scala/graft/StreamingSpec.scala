@@ -46,6 +46,26 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("flatMapGroupsWithState tracks per-user state across micro-batches") {
+    withEventsStream { (src, events) =>
+      val q = Streams.runFileStream(spark, src, events, Streams.statefulTrack,
+        "track_sink", outputMode = "update")
+      q.processAllAvailable()
+      q.stop()
+      // update mode emits one row per touched user per micro-batch;
+      // the LAST emission per user is the final state
+      val finalState = spark.table("track_sink")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id").collect()
+      val batch = Streams.statefulTrack(events).orderBy("user_id").collect()
+      assert(finalState.toSeq == batch.toSeq)
+      assert(finalState.nonEmpty)
+    }
+  }
+
   test("sessionization streams with session_window state and matches batch") {
     withEventsStream { (src, events) =>
       val q = Streams.runFileStream(spark, src, events, Streams.sessionize, "sess_sink")

@@ -87,4 +87,20 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
     * (`sortWithinPartitions` after `repartitionByRange` on a real
     * cluster), which is what makes future point reads prune. */
   def compacted(): DataFrame = merged().orderBy(keyCol)
+
+  /** Compaction write path: materialize the merged view as
+    * `numRanges` key-range-clustered parquet runs (the Spark analog
+    * of the reference's leveled output: disjoint key ranges per
+    * file). Range partitioning + within-partition sort give every
+    * file tight min/max key stats, so subsequent [[get]]/[[range]]
+    * predicates prune to one file/row-group at the scan. */
+  def compactTo(path: String, numRanges: Int): KVTable = {
+    merged()
+      .repartitionByRange(numRanges, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+    val reloaded = runs.sparkSession.read.parquet(path)
+      .withColumn(tombstoneCol, org.apache.spark.sql.functions.lit(false))
+    KVTable(reloaded, keyCol, seqCol, tombstoneCol)
+  }
 }

@@ -59,6 +59,25 @@ class KVSpec extends SparkSuite {
     assert(got.toSeq == Seq((2L, 22.0), (3L, 31.0), (9L, 90.0)))
   }
 
+  test("compactTo writes key-range-clustered runs that read back equivalent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_compact").toString + "/runs"
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+    val big = graft.kv.KVTable(
+      events.selectExpr("user_id AS key", "event_id AS seq",
+        "event_type = 'error' AS tombstone", "value AS v"),
+      "key", "seq", "tombstone")
+    val compacted = big.compactTo(dir, numRanges = 4)
+    // same merged content before and after the rewrite
+    assert(compacted.merged().orderBy("key").collect().toSeq ==
+      big.merged().orderBy("key").collect().toSeq)
+    // clustered output: 4 disjoint key-range files
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    // point get on the compacted table matches the original
+    assert(compacted.get(org.apache.spark.sql.functions.lit(42L)).collect().toSeq ==
+      big.get(org.apache.spark.sql.functions.lit(42L)).collect().toSeq)
+  }
+
   test("compaction output equals merged view and is one self-contained run") {
     val compacted = fixture.compacted()
     // re-reading the compacted run as a fresh KV table is a fixpoint

@@ -30,12 +30,14 @@ object Multimodal {
                                  batch_size: Int, feat_mean: Double, feat_hash: Long)
 
   /** Synthesize the media table from `documents`: payload = utf8 bytes
-    * of the text (stand-in for image bytes), metadata derived
-    * deterministically. */
+    * of the text (stand-in for image/video bytes), metadata derived
+    * deterministically; every 5th doc is "video", the rest images. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents").select(
       col("doc_id"),
-      concat(lit("image/"), when(col("doc_id") % 2 === 0, "png").otherwise("jpeg")).as("mime"),
+      when(col("doc_id") % 5 === 0, "video/mp4")
+        .when(col("doc_id") % 2 === 0, "image/png")
+        .otherwise("image/jpeg").as("mime"),
       (col("n_chars") % 640 + 1).cast("int").as("width"),
       (col("n_chars") % 480 + 1).cast("int").as("height"),
       col("text").cast("binary").as("payload"))
@@ -65,9 +67,48 @@ object Multimodal {
       }.toDF()
   }
 
+  /** STUB resize: 1→1 metadata rewrite + payload passthrough (a real
+    * implementation re-encodes the payload per batch). The plumbing
+    * point: payload bytes stay in-row — no shuffle, no driver
+    * round-trip — and the transform composes with [[decodeStub]]. */
+  def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "mime", "width", "height", "payload").as[MediaRow]
+      .mapPartitions(_.map(r => r.copy(width = w, height = h)))
+      .toDF()
+  }
+
+  /** One sampled frame of a video payload. */
+  final case class Frame(doc_id: Long, frame_no: Int, n_frames: Int,
+                         frame_bytes: Long, frame_hash: Long)
+
+  /** STUB frame-sampling: the 1→N flatMap plumbing shape a video
+    * pipeline needs (each video row fans out to up to `maxFrames`
+    * frame rows; images fan out to zero). A real implementation
+    * decodes keyframes per batch; the deterministic fake slices the
+    * payload so specs can assert fan-out and content lineage. */
+  def frameSampleStub(media: DataFrame, maxFrames: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "mime", "width", "height", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.filter(_.mime.startsWith("video/")).flatMap { r =>
+          val n = math.min(maxFrames, math.max(1, r.payload.length / 64))
+          (0 until n).iterator.map { i =>
+            val slice = r.payload.slice(i * 64, i * 64 + 64)
+            Frame(r.doc_id, i, n, slice.length.toLong,
+              slice.foldLeft(1125899906842597L)((h, b) => h * 31 + (b.toInt & 0xff)))
+          }
+        }
+      }.toDF()
+  }
+
   val mmMetadata: Op = Op.rowsOnly("mm_metadata") { (s, dir) =>
     decodeStub(mediaTable(s, dir)).orderBy("doc_id")
   }
 
-  val all: Seq[Op] = Seq(mmMetadata)
+  val mmFrameSample: Op = Op.rowsOnly("mm_frame_sample") { (s, dir) =>
+    frameSampleStub(mediaTable(s, dir)).orderBy("doc_id", "frame_no")
+  }
+
+  val all: Seq[Op] = Seq(mmMetadata, mmFrameSample)
 }

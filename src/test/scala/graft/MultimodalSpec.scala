@@ -30,6 +30,29 @@ class MultimodalSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("resize rewrites metadata and keeps payloads intact") {
+    val resized = Multimodal.resizeStub(media, 224, 224)
+    assert(resized.filter(col("width") =!= 224 || col("height") =!= 224).count() == 0)
+    // payload lineage unchanged
+    val a = media.select("doc_id", "payload").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    val b = resized.select("doc_id", "payload").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("frame sampling fans out video rows 1→N and skips images") {
+    val frames = Multimodal.frameSampleStub(media).cache()
+    val videos = media.filter(col("mime") === "video/mp4")
+    // only videos produce frames
+    assert(frames.select("doc_id").distinct().count() == videos.count())
+    assert(frames.join(media.filter(col("mime") =!= "video/mp4"), "doc_id").count() == 0)
+    // fan-out respects n_frames and is 1..4 per video
+    val byDoc = frames.groupBy("doc_id").count()
+    assert(byDoc.filter(col("count") < 1 || col("count") > 4).count() == 0)
+    assert(frames.filter(col("frame_no") >= col("n_frames")).count() == 0)
+  }
+
   test("features reflect payload bytes (n_bytes matches source text length)") {
     val joined = Multimodal.decodeStub(media).as("d")
       .join(graft.sources.Tables.load(spark, sfDir, "documents").as("s"), "doc_id")

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Executable plan audit (SURVEY §4): the scale-critical physical
+  * plan properties, asserted so they can't silently regress. These
+  * are the properties that don't show up in correctness tests but
+  * decide whether a plan survives 100 TB. */
+class PlanAuditSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("filters and projections reach the parquet scan (q2)") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "filter not pushed to scan")
+    assert(!p.contains("l_returnflag"), "column pruning lost: unneeded column read")
+  }
+
+  test("fact-dim join chain broadcasts every dimension (q10)") {
+    // customer/nation/region are explicitly broadcast; lineitem⋈orders
+    // is fact⋈fact and may legitimately shuffle at scale
+    val p = plan("q10_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "expected the 3 explicit dim joins broadcast")
+  }
+
+  test("KV merge is a pure hash aggregation, never SortAggregate") {
+    Seq("kv_compact", "kv_point_get", "kv_snapshot_read").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q: no HashAggregate")
+      assert(!p.contains("SortAggregate"),
+        s"$q: struct-buffer fallback to SortAggregate (see KVTable.merged)")
+    }
+  }
+
+  test("KV point get pushes the key to the scan") {
+    assert(plan("kv_point_get").contains("EqualTo(user_id,42)"),
+      "point-get key predicate not pushed to parquet")
+  }
+
+  test("brute-force ANN top-k is partial per partition (WindowGroupLimit)") {
+    val p = plan("ann_topk_brute")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k not pushed to partial per-partition limits")
+  }
+
+  test("near-dup candidate joins are keyed (hash/broadcast), not nested-loop") {
+    Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate generation degenerated to an unkeyed join")
+    }
+  }
+}

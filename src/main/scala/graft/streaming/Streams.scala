@@ -76,6 +76,26 @@ object Streams {
       .toDF()
   }
 
+  /** Streaming ingestion INTO the KV store — the scenario the
+    * reference's stream design actually describes
+    * (`/root/reference/docs/stream_design.md`: a stream of writes
+    * absorbed by the LSM engine): each micro-batch is appended as
+    * one immutable KV run (the memtable-flush analog), and any
+    * [[graft.kv.KVTable]] read over the accumulated runs sees
+    * latest-seq-wins semantics. No per-row writes, no state store —
+    * the LSM "many runs, merge on read" shape IS the streaming
+    * sink. */
+  def kvIngest(stream: DataFrame, runsDir: String): StreamingQuery =
+    stream
+      .select(col("user_id").as("key"), col("event_id").as("seq"),
+        (col("event_type") === "error").as("tombstone"), col("value").as("v"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(runsDir)
+      }
+      .outputMode("append")
+      .start()
+
   /** Run a batch-defined transform as a real streaming query over a
     * file source, writing to an in-memory sink table; returns the
     * started query (caller awaits + reads `spark.table(sinkTable)`).

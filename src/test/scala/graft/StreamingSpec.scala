@@ -66,6 +66,32 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming KV ingestion: micro-batch runs merge to the batch KV view") {
+    withEventsStream { (src, events) =>
+      val runsDir = Files.createTempDirectory("graft_kv_runs").toString + "/runs"
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = Streams.kvIngest(stream, runsDir)
+      q.processAllAvailable()
+      q.stop()
+      // ≥4 independent run files were appended (one per micro-batch)
+      val files = new java.io.File(runsDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 4, s"expected one run per micro-batch, got ${files.length}")
+      // merged read over the accumulated runs == batch KV merge
+      val streamedKv = graft.kv.KVTable(
+        spark.read.parquet(runsDir), "key", "seq", "tombstone")
+        .merged().orderBy("key").collect()
+      val batchKv = graft.kv.KVTable(
+        events.selectExpr("user_id AS key", "event_id AS seq",
+          "event_type = 'error' AS tombstone", "value AS v"),
+        "key", "seq", "tombstone")
+        .merged().orderBy("key").collect()
+      assert(streamedKv.toSeq == batchKv.toSeq)
+      assert(streamedKv.nonEmpty)
+    }
+  }
+
   test("sessionization streams with session_window state and matches batch") {
     withEventsStream { (src, events) =>
       val q = Streams.runFileStream(spark, src, events, Streams.sessionize, "sess_sink")

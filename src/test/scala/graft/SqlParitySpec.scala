@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.Tables
+
+/** A user of the reference engine drives it with SQL. This spec
+  * proves the same workflow on graft: register the tables once
+  * (`Tables.registerAll`) and run ANSI SQL via `spark.sql` — the
+  * results match the library's DataFrame operators row-for-row
+  * (slt-style statements drawn from the reference's tests/slt
+  * surface: aggregation, join, distinct, order/limit, having). */
+class SqlParitySpec extends SparkSuite {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.registerAll(spark, sfDir)
+  }
+
+  private def parity(opName: String, sql: String): Unit = {
+    val viaSql = spark.sql(sql).collect()
+    val viaOp = SparkEntry.queries(opName)(spark, sfDir).collect()
+    assert(viaSql.toSeq == viaOp.toSeq, s"$opName: SQL and DataFrame disagree")
+    assert(viaSql.nonEmpty)
+  }
+
+  test("aggregation (q1) via spark.sql") {
+    parity("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(l_extendedprice*(1-l_discount)) AS DECIMAL(18,2)) AS sum_disc_price,
+        |  CAST(avg(l_quantity) AS DECIMAL(18,4)) AS avg_qty,
+        |  CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS min_price,
+        |  CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS max_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  test("join + filter (q3) via spark.sql") {
+    parity("q3_join_inner",
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  test("distinct (q12) via spark.sql") {
+    parity("q12_distinct",
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin)
+  }
+
+  test("having (q20) via spark.sql") {
+    parity("q20_having",
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS tot
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
+  test("custom graft functions are SQL-callable through the extension") {
+    val r = spark.sql(
+      """SELECT doc_id, graft_simhash64(text) AS sh,
+        |       graft_minhash_bands(text, 64, 16) AS bands
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getSeq[Long](2).length == 16))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Range (interval) join — an operator family the reference engine
+  * lacks and Spark has no native physical operator for: joining rows
+  * whose ordering keys fall within a window of each other, with NO
+  * equi-key. Naively this is a nested-loop theta join (O(n·m) pair
+  * evaluations, one task if neither side broadcasts).
+  *
+  * Scale design: BIN-AND-OVERLAP. Bucket both sides by
+  * `floor(ts / gap)`; a pair with `b.ts ∈ [a.ts, a.ts + gap]` must
+  * land in the same or adjacent bin, so replicating ONE side into
+  * its bin and bin−1 and equi-joining on the bin key turns the theta
+  * join into a hash join: shuffle O(n+m), per-bin nested evaluation
+  * only. The residual range predicate filters inside each bin
+  * match. (Same trick underlies Spark's own session windows and
+  * point-in-interval range join strategies in e.g. Databricks
+  * runtime / Flink interval joins.)
+  */
+object RangeJoin {
+
+  /** Pairs (a, b) with `b.ts ∈ [a.ts, a.ts + gapMicros]`, via binned
+    * equi-join. Both inputs need a `ts_us` long column; pair columns
+    * are returned per the caller's select. */
+  def withinGap(a: DataFrame, b: DataFrame, gapMicros: Long): DataFrame = {
+    val bin = expr(s"ts_us div $gapMicros")
+    val binned_a = a.withColumn("_bin", bin)
+    // b replicated into its bin and the previous one: covers pairs
+    // where a sits late in bin k and b early in bin k+1
+    val binned_b = b.withColumn("_bin", explode(array(bin, bin - 1)))
+    binned_a.as("a").join(binned_b.as("b"), col("a._bin") === col("b._bin"))
+      .filter(col("b.ts_us") >= col("a.ts_us") &&
+        col("b.ts_us") <= col("a.ts_us") + gapMicros)
+  }
+
+  /** q30: all ordered event pairs within 1 second of each other,
+    * globally (no user key) — the pure range-join case. */
+  val q30RangeJoin: Op = Op.sql("q30_range_join",
+    """SELECT a.event_id AS id_a, b.event_id AS id_b
+      |FROM events a JOIN events b
+      |  ON epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1000000
+      | AND a.event_id <> b.event_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    withinGap(ev, ev, gapMicros = 1000000L)
+      .filter(col("a.event_id") =!= col("b.event_id"))
+      .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Op] = Seq(q30RangeJoin)
+}

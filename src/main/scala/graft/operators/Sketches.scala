@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Sketch-based profiling — the "novel sketch" class of operator a
+  * 100 TB pipeline needs where exact answers cost a full shuffle:
+  * HyperLogLog++ cardinalities and approximate quantiles, both
+  * single-pass mergeable aggregates (partial sketches merge
+  * map-side, constant memory per partition, no row shuffle at all —
+  * only sketch buffers move).
+  *
+  * Sketch outputs are estimator-specific, so there is no cross-engine
+  * SQL oracle; SketchSpec bounds the relative error against exact
+  * answers instead.
+  */
+object Sketches {
+
+  /** Per-column cardinality + quantile profile of lineitem. */
+  def profile(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("acd_orderkey"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("acd_partkey"),
+      approx_count_distinct(col("l_suppkey"), 0.01).as("acd_suppkey"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+      approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"),
+      approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("p50_qty"))
+
+  val statsSketch: Op = Op.rowsOnly("stats_sketch") { (s, dir) =>
+    profile(Tables.load(s, dir, "lineitem"))
+  }
+
+  val all: Seq[Op] = Seq(statsSketch)
+}

@@ -55,5 +55,50 @@ object RangeJoin {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[Op] = Seq(q30RangeJoin)
+  /** AS-OF join, Spark-first: for each left row, the latest right
+    * row with `right.ts <= left.ts` per key. Instead of a per-row
+    * backward search (or a range join + argmax), tag and UNION both
+    * sides and take a running `last(right_id) ignoring nulls` over a
+    * (key, ts)-sorted window — ONE shuffle + sort per key, the same
+    * cost as a single sort-merge join pass, and no pair blowup at
+    * any skew. At equal timestamps the right row sorts first
+    * (side 0), making the match inclusive. */
+  /** Output columns: (key, left_id, ts_us, right_id). `leftId` /
+    * `rightId` name the id columns IN the inputs. */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+           leftId: String, rightId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = right.select(col(key), col("ts_us"), lit(0).as("_side"),
+        lit(null).cast("long").as("_lid"), col(rightId).cast("long").as("_rid"))
+      .unionByName(left.select(col(key), col("ts_us"), lit(1).as("_side"),
+        col(leftId).cast("long").as("_lid"), lit(null).cast("long").as("_rid")))
+    val w = Window.partitionBy(key).orderBy(col("ts_us"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col(key), col("_lid").as("left_id"), col("ts_us"),
+        col("_asof").as("right_id"))
+  }
+
+  /** q31: each purchase matched to the user's latest signup at or
+    * before it (feature-lookup / point-in-time-correctness shape). */
+  val q31AsofJoin: Op = Op.sql("q31_asof_join",
+    """SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    asof(
+      left = ev.filter(col("event_type") === "purchase"),
+      right = ev.filter(col("event_type") === "signup"),
+      key = "user_id", leftId = "event_id", rightId = "event_id")
+      .select(col("left_id").as("purchase_id"), col("right_id").as("signup_id"))
+      .orderBy("purchase_id")
+  }
+
+  val all: Seq[Op] = Seq(q30RangeJoin, q31AsofJoin)
 }

@@ -8,6 +8,14 @@ import org.apache.spark.sql.execution.FormattedMode
   * decide whether a plan survives 100 TB. */
 class PlanAuditSpec extends SparkSuite {
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // other specs cache tables in the shared session; a cached
+    // InMemoryRelation would be substituted into these plans and mask
+    // the scan-level properties under audit
+    spark.catalog.clearCache()
+  }
+
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(FormattedMode)

@@ -14,9 +14,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q2_filter_project", "q10_multi_join", "q28_topn_agg",
-    "q22_window_funcs", "kv_compact", "kv_range_scan", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_topk_brute", "ann_lsh",
-    "text_quality", "text_tokens", "text_fingerprint",
+    "q22_window_funcs", "q30_range_join", "q31_asof_join",
+    "kv_compact", "kv_range_scan", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+    "ann_topk_brute", "ann_lsh", "ann_ivf",
+    "text_quality", "text_tokens", "text_fingerprint", "stats_sketch",
     "stream_window_agg", "stream_sessionize")
 
   def main(args: Array[String]): Unit = {

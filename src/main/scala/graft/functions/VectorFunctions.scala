@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast a float vector to double for stable arithmetic. */
-  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** Cast a float vector to double for stable arithmetic — a native
+    * element-wise Cast (codegen'd, yields primitive unsafe arrays),
+    * not a per-element lambda. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Let-bind an expression so downstream lambdas reference it as a
     * lambda VARIABLE instead of re-evaluating the expression tree.

@@ -15,17 +15,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 object VectorKernels {
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toDoubleArray()
-    val y = b.toDoubleArray()
+    // read elements in place — toDoubleArray would copy 2×d doubles
+    // per call, which at millions of pairs is pure allocation churn
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
+    val n = math.min(a.numElements(), b.numElements())
     while (i < n) {
-      dot += x(i) * y(i)
-      na += x(i) * x(i)
-      nb += y(i) * y(i)
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))

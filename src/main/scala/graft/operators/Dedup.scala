@@ -191,7 +191,11 @@ object Dedup {
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // repartition the streamed side: the corpus arrives as one
+    // row-group (one task); spreading it makes the pair evaluation
+    // parallel while the build side broadcasts once
+    e.repartition(s.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
       .filter(col("cos") >= 0.4)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))

@@ -133,29 +133,32 @@ object Dedup {
     graft.functions.TextExpressions.simhash64(text)
 
   /** Near-dup pairs by SimHash: split the 64-bit fingerprint into
-    * eight 8-bit chunks and block on ORDERED PAIRS of chunks
-    * (C(8,2)=28 16-bit keys per doc): ≤6 differing bits can touch at
-    * most 6 chunks, leaving ≥2 clean chunks whose pair key matches —
-    * a hamming ≤ 6 guarantee, and ~98% of hamming-7 pairs besides
-    * (7 flips rarely land in 7 distinct chunks). Verified by
-    * bit_count on the full fingerprints.
+    * eight 8-bit chunks and block on ORDERED TRIPLES of chunks
+    * (C(8,3)=56 24-bit keys per doc): ≤5 differing bits touch at
+    * most 5 chunks, leaving ≥3 clean chunks whose triple key
+    * matches — a hamming ≤ 5 guarantee, plus ~92%/~77% of
+    * hamming-6/7 pairs (flips rarely spread across ≥6 distinct
+    * chunks). Verified by bit_count on the full fingerprints.
     *
-    * Pair keys matter at scale: single 8-bit chunks carry so little
-    * entropy on correlated-vocabulary corpora that bucket joins go
-    * quadratic (26.8M candidate pairs on a 10k-doc corpus); 16-bit
-    * pair keys square the per-bucket collision rate down while
-    * KEEPING the near-dup guarantee, where the classic 4×16-bit
-    * blocking would silently cap it at hamming ≤ 3. (On these
-    * ~70-word docs a one-word edit flips ~2-7 fingerprint bits.) */
+    * Key entropy matters at scale: single 8-bit chunks on a
+    * correlated-vocabulary corpus sent 26.8M candidate pairs through
+    * the bucket join at 10k docs (measured); 16-bit pair keys cut
+    * that 3.4×; 24-bit triple keys cut the false-bucket rate again
+    * while holding planted-pair recall ≥ 0.95 (spec-asserted). The
+    * classic 4×16-bit blocking would cap the guarantee at hamming
+    * ≤ 3, missing a quarter of true near-dups on short docs, where a
+    * one-word edit flips ~2-7 fingerprint bits. */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
     val sim = corpus.select(col("doc_id"), simhashCol(col("text")).as("simhash"))
     val chunked = sim.select(col("doc_id"), col("simhash"),
         explode(expr(
-          """flatten(transform(sequence(0, 6), i ->
-            |  transform(sequence(i + 1, 7), j -> struct(
-            |    i * 8 + j AS chunk_id,
-            |    shiftleft(shiftright(simhash, i * 8) & 255, 8)
-            |      | (shiftright(simhash, j * 8) & 255) AS chunk))))""".stripMargin)).as("c"))
+          """flatten(flatten(transform(sequence(0, 5), i ->
+            |  transform(sequence(i + 1, 6), j ->
+            |    transform(sequence(j + 1, 7), k -> struct(
+            |      i * 64 + j * 8 + k AS chunk_id,
+            |      shiftleft(shiftright(simhash, i * 8) & 255, 16)
+            |        | shiftleft(shiftright(simhash, j * 8) & 255, 8)
+            |        | (shiftright(simhash, k * 8) & 255) AS chunk))))))""".stripMargin)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&

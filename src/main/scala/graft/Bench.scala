@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Benchmark main: times the headline operator set (SURVEY §6) at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+
 
 import graft.Op
 import graft.sources.Tables

@@ -33,18 +33,18 @@ object TextAnalysis {
     * stopword profile matches the most tokens; 'und' (undetermined)
     * when nothing matches. Pure array expressions — distributed,
     * shuffle-free. */
-  def langIdCol(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
-    val scores = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val hits = size(filter(toks, t => array_contains(
-        array(words.map(lit): _*), t)))
-      struct(hits.as("hits"), lit(lang).as("lang"))
+  def langIdCol(text: Column): Column =
+    graft.functions.VectorFunctions.bound(split(lower(text), "\\s+")) { toks =>
+      val scores = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val hits = size(filter(toks, t => array_contains(
+          array(words.map(lit): _*), t)))
+        struct(hits.as("hits"), lit(lang).as("lang"))
+      }
+      val best = array_max(array(scores: _*))
+      when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+        .when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(lit("und"))
     }
-    val best = array_max(array(scores: _*))
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-      .when(best.getField("hits") > 0, best.getField("lang"))
-      .otherwise(lit("und"))
-  }
 
   /** rows+spec: predicted language per document (the synthetic corpus
     * text is English-vocab regardless of its `lang` column, so the

@@ -19,7 +19,12 @@ import graft.sources.Tables
   */
 object Sketches {
 
-  /** Per-column cardinality + quantile profile of lineitem. */
+  /** Per-column cardinality + quantile profile of lineitem.
+    * NOTE (measured): do NOT repartition to parallelize the partial
+    * aggregation — merging N high-accuracy QuantileSummaries costs
+    * far more than building one (2.1s → 41.7s at 32 partials,
+    * accuracy 10000). Partition count should follow the input file
+    * layout; accuracy is the knob that trades merge cost for error. */
   def profile(df: DataFrame): DataFrame =
     df.agg(
       count(lit(1)).as("n_rows"),

@@ -113,5 +113,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint)
+  /** Canonical text normalization (the pipeline stage before any
+    * hashing/dedup): trim, lowercase, collapse whitespace, strip
+    * non-alphanumerics. Pure codegen'd string expressions. */
+  val textNormalize: Op = Op.sql("text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |       ' +', ' ', 'g')) AS norm_text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")).as("norm_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test assignment by content hash (NOT by
+    * row position — stable under any repartitioning or re-ingestion,
+    * which is the property a 100 TB pipeline needs). md5 is
+    * cross-engine, so the oracle checks the exact assignment. */
+  val textSplitAssign: Op = Op.sql("text_split_assign",
+    """SELECT doc_id,
+      |  CASE WHEN h < 13 THEN 'train' WHEN h < 15 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(text), 1, 1)) AS BIGINT) AS h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      conv(substring(md5(col("text").cast("binary")), 1, 1), 16, 10)
+        .cast("bigint").as("h"))
+      .select(col("doc_id"),
+        when(col("h") < 13, "train").when(col("h") < 15, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
+    textNormalize, textSplitAssign)
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** End-to-end training-data pipeline composition — the flagship
+  * "switch your pipeline to graft" demonstration: normalize →
+  * exact-dedup on normalized content → deterministic split
+  * assignment → per-split corpus statistics, all in ONE declarative
+  * plan (Catalyst fuses the stages; two shuffles total: the dedup
+  * hash-agg and the final per-split agg).
+  */
+object Pipeline {
+
+  val pipelineE2e: Op = Op.sql("pipeline_e2e",
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         ' +', ' ', 'g')) AS t
+      |  FROM documents),
+      |dedup AS (SELECT min(doc_id) AS doc_id, t FROM norm GROUP BY t),
+      |assigned AS (
+      |  SELECT doc_id, t,
+      |    CASE WHEN CAST(('0x' || substr(md5(t), 1, 1)) AS BIGINT) < 13 THEN 'train'
+      |         WHEN CAST(('0x' || substr(md5(t), 1, 1)) AS BIGINT) < 15 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM dedup)
+      |SELECT split, count(*) AS n_docs,
+      |       CAST(sum(length(t)) AS BIGINT) AS n_chars,
+      |       CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_words
+      |FROM assigned GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+    val norm = Tables.load(s, dir, "documents").select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")).as("t"))
+    val dedup = norm.groupBy("t").agg(min("doc_id").as("doc_id"))
+    val assigned = dedup.withColumn("h",
+        conv(substring(md5(col("t").cast("binary")), 1, 1), 16, 10).cast("bigint"))
+      .withColumn("split",
+        when(col("h") < 13, "train").when(col("h") < 15, "val").otherwise("test"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("t"))).cast("bigint").as("n_chars"),
+        sum(size(split(col("t"), " "))).cast("bigint").as("n_words"))
+      .orderBy("split")
+  }
+
+  val all: Seq[Op] = Seq(pipelineE2e)
+}

@@ -17,10 +17,14 @@ import graft.sources.{Catalog, CsvSource, Tables}
   *
   * Determinism contract shared with the DuckDB oracles: explicit
   * ORDER BY with unique tiebreaks, NULLS FIRST on ascending keys,
-  * floating aggregates cast to DECIMAL (Spark sums doubles in
-  * partition order; bit-identical floats are only guaranteed for
-  * per-row arithmetic, so per-row expressions stay raw doubles while
-  * multi-row sums/avgs are rounded via decimal cast).
+  * and — crucially — money/quantity columns cast to DECIMAL *before*
+  * any multi-row sum. Decimal addition is exact and associative, so
+  * the aggregate is identical no matter how partitions (Spark) or
+  * threads (DuckDB) order the summands; casting only the *result* of
+  * a double sum leaves the final digit hostage to partition order
+  * whenever the true sum sits near a rounding boundary (the round-1
+  * hash-flake). Per-row arithmetic stays raw double — IEEE ops on
+  * the same inputs are bit-identical across engines.
   */
 object Relational {
 
@@ -28,24 +32,33 @@ object Relational {
 
   val q1Agg: Op = Op.sql("q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_base_price,
-      |  CAST(sum(l_extendedprice*(1-l_discount)) AS DECIMAL(18,2)) AS sum_disc_price,
-      |  CAST(avg(l_quantity) AS DECIMAL(18,4)) AS avg_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(18,4)) AS avg_qty,
       |  CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS min_price,
       |  CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS max_price,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val qtyD = col("l_quantity").cast("decimal(12,2)")
+    val epD = col("l_extendedprice").cast("decimal(12,2)")
+    val discD = col("l_discount").cast("decimal(12,2)")
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("l_quantity").cast("decimal(18,2)").as("sum_qty"),
-        sum("l_extendedprice").cast("decimal(18,2)").as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,2)").as("sum_disc_price"),
-        avg("l_quantity").cast("decimal(18,4)").as("avg_qty"),
+        sum(qtyD).cast("decimal(18,2)").as("sum_qty"),
+        sum(epD).cast("decimal(18,2)").as("sum_base_price"),
+        // scale 4 is the EXACT product scale of two scale-2 decimals —
+        // casting down to scale 2 would reintroduce a rounding boundary
+        // where Spark (HALF_UP) and DuckDB disagree on .xx5 sums
+        sum(epD * (lit(1) - discD)).cast("decimal(18,4)").as("sum_disc_price"),
+        // avg over the exact decimal sum: one double division of two
+        // order-independent values, not an order-sensitive double avg
+        (sum(qtyD).cast("double") / count(lit(1))).cast("decimal(18,4)").as("avg_qty"),
         min("l_extendedprice").cast("decimal(18,2)").as("min_price"),
         max("l_extendedprice").cast("decimal(18,2)").as("max_price"),
         count(lit(1)).as("count_order"))
@@ -73,8 +86,12 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE o_orderstatus = 'O'
       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    // customer scales with SF — no unconditional broadcast hint; the
+    // autoBroadcastJoinThreshold / AQE decide per actual size, so the
+    // same plan survives a 100 TB run (a forced multi-TB broadcast
+    // would OOM the executors)
     t(s, dir, "orders").filter(col("o_orderstatus") === "O")
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "c_name", "o_totalprice")
       .orderBy("o_orderkey")
   }
@@ -148,7 +165,8 @@ object Relational {
   }
 
   val q10MultiJoin: Op = Op.sql("q10_multi_join",
-    """SELECT n_name, CAST(sum(l_extendedprice*(1-l_discount)) AS DECIMAL(18,2)) AS revenue
+    """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -163,12 +181,16 @@ object Relational {
       .join(t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      // nation/region are fixed 25/5-row dims — always broadcastable;
+      // customer scales with SF, so its join is left to the
+      // threshold/AQE rather than force-broadcast
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,2)").as("revenue"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+        * (lit(1) - col("l_discount").cast("decimal(12,2)"))).cast("decimal(18,4)").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -193,12 +215,12 @@ object Relational {
   val q13AggDistinct: Op = Op.sql("q13_agg_distinct",
     """SELECT l_returnflag,
       |  count(DISTINCT l_suppkey) AS cd_supp,
-      |  CAST(sum(DISTINCT l_quantity) AS DECIMAL(18,2)) AS sd_qty
+      |  CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sd_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_suppkey")).as("cd_supp"),
-        sum_distinct(col("l_quantity")).cast("decimal(18,2)").as("sd_qty"))
+        sum_distinct(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sd_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -307,13 +329,14 @@ object Relational {
 
   val q20Having: Op = Op.sql("q20_having",
     """SELECT o_custkey, count(*) AS n,
-      |  CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS tot
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS tot
       |FROM orders GROUP BY o_custkey
       |HAVING count(*) >= 12
       |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
     t(s, dir, "orders")
       .groupBy("o_custkey")
-      .agg(count(lit(1)).as("n"), sum("o_totalprice").cast("decimal(18,2)").as("tot"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("tot"))
       .filter(col("n") >= 12)
       .orderBy("o_custkey")
   }
@@ -338,7 +361,7 @@ object Relational {
     """SELECT o_custkey, o_orderkey,
       |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
       |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rk,
-      |  CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS csum
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS csum
       |FROM orders WHERE o_custkey < 50
       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -347,7 +370,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         row_number().over(byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rn"),
         rank().over(byCust.orderBy(col("o_orderstatus"))).as("rk"),
-        sum("o_totalprice").over(byCust).cast("decimal(18,2)").as("csum"))
+        sum(col("o_totalprice").cast("decimal(12,2)")).over(byCust).cast("decimal(18,2)").as("csum"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -396,12 +419,12 @@ object Relational {
   }
 
   val q28TopNAgg: Op = Op.sql("q28_topn_agg",
-    """SELECT o_custkey, CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS tot
+    """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS tot
       |FROM orders GROUP BY o_custkey
       |ORDER BY tot DESC, o_custkey LIMIT 10""".stripMargin) { (s, dir) =>
     t(s, dir, "orders")
       .groupBy("o_custkey")
-      .agg(sum("o_totalprice").cast("decimal(18,2)").as("tot"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("tot"))
       .orderBy(col("tot").desc, col("o_custkey"))
       .limit(10)
   }

@@ -25,10 +25,11 @@ class SqlParitySpec extends SparkSuite {
   test("aggregation (q1) via spark.sql") {
     parity("q1_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(l_extendedprice*(1-l_discount)) AS DECIMAL(18,2)) AS sum_disc_price,
-        |  CAST(avg(l_quantity) AS DECIMAL(18,4)) AS avg_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(18,4)) AS avg_qty,
         |  CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS min_price,
         |  CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS max_price,
         |  count(*) AS count_order

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextExpressions {
 
   case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_bands"
     override protected def nullSafeEval(input: Any): Any =
@@ -32,7 +33,9 @@ object TextExpressions {
       copy(child = newChild)
   }
 
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash64"
     override protected def nullSafeEval(input: Any): Any =

@@ -43,4 +43,12 @@ object VectorFunctions {
     * session. */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+
+  /** Hyperplane LSH band signatures (array<long>, index = band id,
+    * value = packed plane-side bits) — the codegen'd
+    * [[VectorKernels.HyperplaneBands]] kernel. Requires the graft
+    * extensions on the session. */
+  def hyperplane_bands(v: Column, bands: Int = 4): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_hyperplane_bands", v, lit(bands))
 }

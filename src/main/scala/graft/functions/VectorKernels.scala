@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Codegen'd cosine similarity over `array<double>` vectors.
   *
@@ -34,7 +34,9 @@ object VectorKernels {
   }
 
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_cosine"
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -50,5 +52,71 @@ object VectorKernels {
   def buildCosine(args: Seq[Expression]): Expression = args match {
     case Seq(a, b) => CosineSim(a, b)
     case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
+  }
+
+  // ---- random-hyperplane LSH signature ----------------------------
+
+  val HpNumPlanes = 16
+  val HpDim = 64
+
+  /** Deterministic Gaussian hyperplanes (seed 42), compiled into the
+    * kernel as a plan-independent constant — every executor JVM
+    * materializes the same planes once; nothing ships with the plan
+    * or the data. */
+  lazy val hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(HpNumPlanes)(Array.fill(HpDim)(rnd.nextGaussian()))
+  }
+
+  /** Hyperplane LSH band signatures of a double vector: bit p = sign
+    * of dot(v, plane_p) (accumulated left-to-right, matching DuckDB's
+    * `list_dot_product` so oracles can recompute the signs), packed
+    * into `bands` longs of numPlanes/bands bits each. The packed bit
+    * pattern IS the join key — 4-bit patterns are lossless, so no
+    * hash step and no collision caveat in the oracle.
+    *
+    * Replaces the interpreted `transform(typedLit(planes), dot > 0)`
+    * formulation — the round-1 ann_lsh hot spot (interpreted HOFs
+    * re-evaluate the lambda expression tree per element: 16 planes ×
+    * 64-element dot as interpreted nodes ≈ 3 orders slower than this
+    * loop). */
+  def hyperplaneBands(v: ArrayData, bands: Int): ArrayData = {
+    val r = HpNumPlanes / bands
+    val n = math.min(v.numElements(), HpDim)
+    val out = new Array[Long](bands)
+    var p = 0
+    while (p < HpNumPlanes) {
+      val plane = hyperplanes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += v.getDouble(i) * plane(i)
+        i += 1
+      }
+      if (dot > 0) out(p / r) |= 1L << (p % r)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class HyperplaneBands(child: Expression, bands: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_hyperplane_bands"
+    override protected def nullSafeEval(input: Any): Any =
+      VectorKernels.hyperplaneBands(input.asInstanceOf[ArrayData], bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorKernels.hyperplaneBands($c, $bands)")
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+      copy(child = newChild)
+  }
+
+  def buildHyperplaneBands(args: Seq[Expression]): Expression = args match {
+    case Seq(v, Literal(b: Int, IntegerType)) => HyperplaneBands(v, b)
+    case Seq(v) => HyperplaneBands(v, 4)
+    case _ => throw new IllegalArgumentException(
+      "graft_hyperplane_bands(vec[, bands]) — bands must be an int literal")
   }
 }

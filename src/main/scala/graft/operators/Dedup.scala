@@ -181,27 +181,38 @@ object Dedup {
 
   // ---- embedding cosine near-dup ----------------------------------
 
-  /** Embedding-cosine near-dup pairs. The oracle-checked variant is
-    * the exact all-pairs form (the 500-row embeddings table makes
-    * that cheap); at scale the identical semantics run through
-    * [[Similarity.hyperplaneBands]] buckets instead — see `ann_lsh`. */
+  /** Embedding-cosine near-dup pairs via hyperplane LSH buckets
+    * (candidates = vectors sharing ≥1 signature band, then exact
+    * cosine verify ≥ 0.4 BEFORE the distinct shuffle). The join is
+    * keyed on (band_id, packed band bits) — shuffle O(corpus), never
+    * the all-pairs nested loop that round 1 shipped (an O(n²)
+    * scale-killer at 10B embeddings). The oracle recomputes the
+    * identical signature in DuckDB (deterministic planes, hash-free
+    * band keys), so this is checked end to end, not rows-only. */
   val dedupEmbedding: Op = Op.sql("dedup_embedding",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
-      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (${Similarity.sigSelectSql})
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |FROM sig a JOIN sig b
+       |  ON a.vec_id < b.vec_id AND ${Similarity.bandMatchSql("a", "b")}
+       |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    // repartition the streamed side: the corpus arrives as one
-    // row-group (one task); spreading it makes the pair evaluation
-    // parallel while the build side broadcasts once
-    e.repartition(s.sparkContext.defaultParallelism).as("a")
-      .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+    val b = e.select(col("vec_id"), col("v"),
+      posexplode(Similarity.hyperplaneBands(col("v"))).as(Seq("band_id", "band_bits")))
+    b.as("a").join(b.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col("a.vec_id") < col("b.vec_id"))
+      // verify before the dedup shuffle: cosine runs codegen'd in the
+      // join output stream, so sub-threshold bucket collisions die
+      // here and the distinct carries only (id, id, cos) scalars
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= 0.4)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 

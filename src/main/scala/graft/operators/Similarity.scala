@@ -59,32 +59,49 @@ object Similarity {
 
   // ---- random-hyperplane LSH --------------------------------------
 
-  val NumPlanes = 16
+  val NumPlanes: Int = graft.functions.VectorKernels.HpNumPlanes
   val SigBands = 4
   val PlanesPerBand: Int = NumPlanes / SigBands
-  val Dim = 64
+  val Dim: Int = graft.functions.VectorKernels.HpDim
 
-  /** Deterministic random hyperplanes (seed 42), shipped as a plan
-    * literal — broadcast once with the plan, no data movement. */
-  lazy val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
-  }
+  /** The kernel's deterministic hyperplanes (seed 42) — exposed for
+    * specs and for generating the DuckDB oracle's plane literals. */
+  lazy val planes: Seq[Seq[Double]] =
+    graft.functions.VectorKernels.hyperplanes.map(_.toSeq).toSeq
 
-  /** (band_id, band_hash) signature bands of a double-vector column:
-    * band_hash = hash of the band's plane-side bits. Two vectors at
+  /** Band signatures of a double-vector column: array<long>, index =
+    * band id, value = the band's packed plane-side bits (lossless —
+    * the bit pattern is the join key, no hash step). Two vectors at
     * small angle agree on all bits of some band with high
-    * probability. */
+    * probability. Codegen'd kernel; the planes live inside it as a
+    * compiled constant, not as plan literals. */
   def hyperplaneBands(v: Column): Column =
-    bound(transform(typedLit(planes), p => dot(v, p) > 0)) { bits =>
-      transform(sequence(lit(0), lit(SigBands - 1)),
-        j => struct(j.as("band_id"),
-          xxhash64(j, slice(bits, j * PlanesPerBand + 1, lit(PlanesPerBand))).as("band_hash")))
-    }
+    graft.functions.VectorFunctions.hyperplane_bands(v, SigBands)
 
   private def banded(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("v"), explode(hyperplaneBands(col("v"))).as("b"))
-      .select(col("vec_id"), col("v"), col("b.band_id"), col("b.band_hash"))
+    df.select(col("vec_id"), col("v"),
+      posexplode(hyperplaneBands(col("v"))).as(Seq("band_id", "band_hash")))
+
+  /** DuckDB recomputation of the kernel's signature: bit p =
+    * `list_dot_product(v, plane_p) > 0` (same left-to-right double
+    * accumulation as the kernel, so the signs agree bit-for-bit).
+    * Yields a `bits: BOOLEAN[16]` column on relation `e(vec_id, v)`. */
+  def sigSelectSql: String = {
+    val bits = planes
+      .map(p => s"list_dot_product(v, ${p.mkString("[", ",", "]")}) > 0")
+      .mkString("[", ", ", "]")
+    s"SELECT vec_id, v, $bits AS bits FROM e"
+  }
+
+  /** DuckDB predicate: relations `a` and `b` share at least one full
+    * signature band (slice-equality on the bit list — exactly the
+    * kernel's packed-bits join key, which is hash-free/lossless). */
+  def bandMatchSql(a: String, b: String): String =
+    (0 until SigBands).map { j =>
+      val lo = j * PlanesPerBand + 1
+      val hi = (j + 1) * PlanesPerBand
+      s"$a.bits[$lo:$hi] = $b.bits[$lo:$hi]"
+    }.mkString("(", " OR ", ")")
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing ≥1
     * signature band with the query, ranked by exact cosine within
@@ -111,7 +128,20 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cos"))
   }
 
-  val annLsh: Op = Op.rowsOnly("ann_lsh") { (s, dir) =>
+  /** Oracle = the exact same LSH semantics recomputed in DuckDB:
+    * candidates by band slice-equality, exact-cosine ranked. A strong
+    * check (not just rows>0) because the signature is deterministic
+    * and hash-free on both sides. */
+  val annLsh: Op = Op.sql("ann_lsh",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS ($sigSelectSql),
+       |q AS (SELECT * FROM sig WHERE vec_id < $NumQueries)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |       round(list_cosine_similarity(q.v, c.v), 6) AS cos
+       |FROM q JOIN sig c ON q.vec_id <> c.vec_id AND ${bandMatchSql("q", "c")}
+       |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) <= $TopK
+       |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
     val e = emb(s, dir)
     lshTopK(e, e.filter(col("vec_id") < NumQueries), TopK)
       .orderBy("query_id", "neighbor_id")

@@ -34,5 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.functions.VectorKernels.CosineSim.getClass.getName,
         "graft_cosine"),
       graft.functions.VectorKernels.buildCosine _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_bands"),
+      new ExpressionInfo(graft.functions.VectorKernels.HyperplaneBands.getClass.getName,
+        "graft_hyperplane_bands"),
+      graft.functions.VectorKernels.buildHyperplaneBands _))
   }
 }

@@ -29,11 +29,13 @@ class AnnSpec extends SparkSuite {
     val got = Similarity.lshTopK(emb, queries, Similarity.TopK).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & got).size.toDouble / truth.size
-    // random-hyperplane LSH on near-uniform synthetic vectors: banding
-    // (4 bands × 4 planes) should recover a sizable fraction of true
-    // neighbors while examining only bucket-mates; chance level for
-    // |candidates| ≈ 25% of corpus would be ~0.25 — require better.
-    assert(recall >= 0.3, s"LSH recall $recall")
+    // measured 0.50 on this corpus: the synthetic vectors are
+    // near-uniform (true top-k sits at cos ≈ 0.4-0.5, ~63° — a weak
+    // LSH signal), so 4 bands × 4 planes recovers half the true
+    // neighbors from ~25% of the corpus; theory for p_bit ≈ 0.64
+    // predicts 1-(1-0.64^4)^4 ≈ 0.53. Pinned just below measured so a
+    // banding bug that halves recall fails loudly.
+    assert(recall >= 0.45, s"LSH recall $recall (expected ~0.50)")
   }
 
   test("IVF recall against brute-force ground truth beats random chance") {
@@ -45,10 +47,11 @@ class AnnSpec extends SparkSuite {
     val got = Similarity.ivfTopK(emb, queries, Similarity.TopK, centroids)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & got).size.toDouble / truth.size
-    // probing 4/16 cells examines ~25% of the corpus; true neighbors
-    // concentrate in the query's own cells, so recall must beat the
-    // ~25% random-sampling baseline clearly
-    assert(recall >= 0.35, s"IVF recall $recall")
+    // measured 0.94: probing 4/16 cells examines ~25% of the corpus
+    // but true neighbors concentrate in the query's nearest cells.
+    // Pinned just below measured (margin for centroid drift across
+    // SFs), far above the ~25% random-sampling baseline.
+    assert(recall >= 0.85, s"IVF recall $recall (expected ~0.94)")
   }
 
   test("IVF returns at most k neighbors per query, none from unprobed space twice") {

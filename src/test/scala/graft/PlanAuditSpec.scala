@@ -28,8 +28,10 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("fact-dim join chain broadcasts every dimension (q10)") {
-    // customer/nation/region are explicitly broadcast; lineitem⋈orders
-    // is fact⋈fact and may legitimately shuffle at scale
+    // nation/region are explicitly broadcast; customer broadcasts via
+    // the size threshold at test SF (at 100 TB it would legitimately
+    // shuffle — that's why it carries no hint); lineitem⋈orders is
+    // fact⋈fact and may legitimately shuffle at scale
     val p = plan("q10_multi_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       "expected the 3 explicit dim joins broadcast")
@@ -56,7 +58,7 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("near-dup candidate joins are keyed (hash/broadcast), not nested-loop") {
-    Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh").foreach { q =>
+    Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "dedup_embedding").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: candidate generation degenerated to an unkeyed join")

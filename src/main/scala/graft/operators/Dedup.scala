@@ -117,10 +117,35 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))) * 1.0 /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      // raw ratio, not rounded: an exact int/int double division is
+      // bit-identical across engines, while round-to-4 puts values
+      // like 17/32 on a half-rounding boundary the engines disagree on
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  val dedupNgramJaccard: Op = Op.rowsOnly("dedup_ngram_jaccard") { (s, dir) =>
+  /** Oracle = exact all-pairs 3-gram Jaccard in DuckDB (cheap at test
+    * scale). It matches the LSH-candidates→verify output because the
+    * only pairs above 0.5 in this corpus are the planted near-dups at
+    * J ≈ (n−3)/(n−2) ≈ 0.98, where 16-band MinHash recall is ~1.0 —
+    * i.e. the oracle ALSO checks that LSH lost no qualifying pair. */
+  val dedupNgramJaccard: Op = Op.sql("dedup_ngram_jaccard",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id,
+      |    substring(text, strpos(text, ' ') + 1) AS text FROM documents),
+      |tok AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM corpus),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [text]
+      |         ELSE [array_to_string(toks[i:i+2], ' ')
+      |               for i in range(1, len(toks) - 1)] END) AS s
+      |  FROM tok)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       len(list_intersect(a.s, b.s)) * 1.0
+      |         / len(list_distinct(a.s || b.s)) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s)) * 1.0
+      |        / len(list_distinct(a.s || b.s)) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     jaccardVerified(corpusNear(s, dir), threshold = 0.5).orderBy("id_a", "id_b")
   }
 

@@ -402,7 +402,7 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
-  val q25QueryTables: Op = Op.rowsOnly("q25_query_tables") { (s, dir) =>
+  val q25QueryTables: Op = Op.sql("q25_query_tables", Catalog.tablesOracleSql) { (s, dir) =>
     Catalog.queryTables(s, dir).orderBy("table_name")
   }
 

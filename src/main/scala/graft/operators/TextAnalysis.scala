@@ -46,10 +46,30 @@ object TextAnalysis {
         .otherwise(lit("und"))
     }
 
-  /** rows+spec: predicted language per document (the synthetic corpus
-    * text is English-vocab regardless of its `lang` column, so the
-    * spec validates accuracy on known-language sentences instead). */
-  val textLangId: Op = Op.rowsOnly("text_langid") { (s, dir) =>
+  /** DuckDB mirror of [[langIdCol]]: same profiles, same
+    * highest-(hits, lang) tie-break (`list_max` over (hits, lang)
+    * structs ≡ Spark's `array_max`), same CJK short-circuit.
+    * Generated from the `profiles` map — single source of truth. */
+  private val langIdOracleSql: String = {
+    val structs = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"{'hits': len(list_filter(toks, w -> list_contains($list, w))), 'lang': '$lang'}"
+    }
+    s"""WITH t AS (SELECT doc_id, lang, text,
+       |  string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+       |best AS (SELECT doc_id, lang, text,
+       |  list_max([${structs.mkString(",\n    ")}]) AS b FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS pred_lang,
+       |  lang
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
+
+  /** Predicted language per document (the synthetic corpus text is
+    * English-vocab regardless of its `lang` column, so the spec
+    * additionally validates accuracy on known-language sentences). */
+  val textLangId: Op = Op.sql("text_langid", langIdOracleSql) { (s, dir) =>
     docs(s, dir)
       .select(col("doc_id"), langIdCol(col("text")).as("pred_lang"), col("lang"))
       .orderBy("doc_id")

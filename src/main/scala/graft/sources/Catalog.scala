@@ -11,14 +11,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the parquet schemas of the registered star-schema tables.
   */
 object Catalog {
-  /** (schema_name, table_name, row_count) for every table; parquet
-    * row counts come from footer metadata (no scan). */
+  /** (schema_name, table_name, row_count) for every table, as ONE
+    * lazy plan (union of per-table count aggregates) — a single job
+    * with one task per table, instead of round-1's driver loop of 10
+    * serial `count()` jobs. The parquet count aggregate never
+    * materializes columns (vectorized batch row counts). */
   def queryTables(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.all.sorted
-      .map(n => ("main", n, Tables.load(spark, dir, n).count()))
-      .toDF("schema_name", "table_name", "row_count")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    Tables.all.sorted.map { n =>
+      Tables.load(spark, dir, n)
+        .agg(count(lit(1)).as("row_count"))
+        .select(lit("main").as("schema_name"), lit(n).as("table_name"),
+          col("row_count"))
+    }.reduce(_.unionAll(_))
   }
+
+  /** DuckDB oracle for [[queryTables]]: counts over the same
+    * registered parquet views. */
+  val tablesOracleSql: String =
+    "SELECT 'main' AS schema_name, table_name, row_count FROM (" +
+      Tables.all.sorted.map(n =>
+        s"SELECT '$n' AS table_name, count(*) AS row_count FROM $n")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY table_name"
 
   /** (table_name, column_name, ordinal, data_type) from the live
     * parquet schemas, with type names normalized to the ANSI-ish

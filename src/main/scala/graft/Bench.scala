@@ -33,23 +33,47 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    exec("q1_agg") // warmup (untimed)
+    try exec("q1_agg") // warmup (untimed)
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
     // min of 2 runs: steady-state throughput (what a warm cluster
-    // job sees), not first-run codegen/JIT compilation
-    val results = headline.map { name =>
-      val times = (1 to 2).map { _ =>
+    // job sees), not first-run codegen/JIT compilation. A query that
+    // fails every run is NOT timed (its time-to-failure is not a
+    // throughput) — it lands in the "errors" field instead.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = headline.flatMap { name =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try exec(name)
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          exec(name)
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name: $e")
+            errors.getOrElseUpdate(name,
+              e.toString.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200))
+            None
+        }
       }
-      name -> times.min
+      times.minOption.map(name -> _)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
+    println(line)
+    // also land the line in a file: sbt prefixes forked stdout with
+    // "[info] ", which the driver's JSON parse tripped over in round 1
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/target/bench.json")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outFile).getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()
   }
 }

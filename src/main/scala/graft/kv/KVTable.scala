@@ -93,12 +93,22 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
     * of the reference's leveled output: disjoint key ranges per
     * file). Range partitioning + within-partition sort give every
     * file tight min/max key stats, so subsequent [[get]]/[[range]]
-    * predicates prune to one file/row-group at the scan. */
+    * predicates prune to one file/row-group at the scan.
+    *
+    * A parquet bloom filter is written on the key column (the analog
+    * of the reference's `cache/bloom_filter_cache.rs` over SSTables):
+    * min/max stats alone can't reject a point probe that falls
+    * INSIDE a row group's key range but isn't present — common once
+    * upstream runs aren't clustered or keys are high-cardinality
+    * non-contiguous; the bloom filter rejects those row groups
+    * without decoding a page. */
   def compactTo(path: String, numRanges: Int): KVTable = {
     merged()
       .repartitionByRange(numRanges, col(keyCol))
       .sortWithinPartitions(keyCol)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .parquet(path)
     val reloaded = runs.sparkSession.read.parquet(path)
       .withColumn(tombstoneCol, org.apache.spark.sql.functions.lit(false))
     KVTable(reloaded, keyCol, seqCol, tombstoneCol)

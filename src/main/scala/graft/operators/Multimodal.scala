@@ -110,5 +110,23 @@ object Multimodal {
     frameSampleStub(mediaTable(s, dir)).orderBy("doc_id", "frame_no")
   }
 
-  val all: Seq[Op] = Seq(mmMetadata, mmFrameSample)
+  /** The resize path's observable contract IS oracle-expressible:
+    * metadata rewritten to the target box, payload bytes passed
+    * through unmodified (checked via byte length — the stub never
+    * re-encodes). */
+  val mmResize: Op = Op.sql("mm_resize",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'video/mp4'
+      |       WHEN doc_id % 2 = 0 THEN 'image/png'
+      |       ELSE 'image/jpeg' END AS mime,
+      |  CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+      |  octet_length(encode(text)) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    resizeStub(mediaTable(s, dir), 64, 64)
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        length(col("payload")).cast("bigint").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize)
 }

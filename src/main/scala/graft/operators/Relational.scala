@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Op
-import graft.sources.{Catalog, CsvSource, Tables}
+import graft.sources.{Catalog, CsvSource, ManagedTables, Tables}
 
 /** §2.1 relational core: the reference's SQL executor surface
   * (`/root/reference/src/query_engine/src/execution/volcano_executor`,
@@ -378,14 +378,18 @@ object Relational {
     """SELECT v1, v2, v3
       |FROM (VALUES (0,4,1),(1,5,2),(2,6,3),(3,7,4),(4,8,5),(5,9,6)) t(v1,v2,v3)
       |ORDER BY v1""".stripMargin) { (s, _) =>
-    // create table t1(v1 int, v2 int, v3 int) + two inserts + select-back
-    // (slt create_table.slt / insert_table.slt semantics on temp views).
+    // real persistent DDL+DML (slt create_table.slt / insert_table.slt
+    // semantics): CREATE TABLE t1(v1 int, v2 int, v3 int), two INSERTs,
+    // SELECT-back from the files on disk — the table survives the
+    // session (see [[graft.sources.ManagedTables]]).
     import s.implicits._
-    val created = Seq((0, 4, 1), (1, 5, 2), (2, 6, 3), (3, 7, 4), (4, 8, 5))
-      .toDF("v1", "v2", "v3")
-    created.createOrReplaceTempView("graft_t1")
-    val inserted = s.table("graft_t1").unionAll(Seq((5, 9, 6)).toDF("v1", "v2", "v3"))
-    inserted.orderBy("v1")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("v1", "v2", "v3").map(StructField(_, IntegerType)))
+    ManagedTables.create(s, "graft_t1", schema)
+    ManagedTables.insert(s, "graft_t1",
+      Seq((0, 4, 1), (1, 5, 2), (2, 6, 3), (3, 7, 4), (4, 8, 5)).toDF("v1", "v2", "v3"))
+    ManagedTables.insert(s, "graft_t1", Seq((5, 9, 6)).toDF("v1", "v2", "v3"))
+    ManagedTables.read(s, "graft_t1").orderBy("v1")
   }
 
   private val csvPath = "/root/repo/target/graft_csv/nation.csv"
@@ -458,11 +462,33 @@ object Relational {
       .orderBy("id")
   }
 
+  /** Correlated scalar subqueries (reference: tests/slt/subquery.slt's
+    * correlated forms): orders priced above their customer's average.
+    * The predicate is the tie-exact formulation `price * n > sum`
+    * (≡ price > sum/n) — comparing exact decimals instead of a
+    * divided average, so boundary rows (every single-order customer
+    * hits price*1 == sum exactly) resolve identically on both
+    * engines and on every run. Catalyst decorrelates both subqueries
+    * into one aggregate + join rather than per-row re-execution. */
+  private val q32Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2))
+      |      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val q32CorrelatedSubquery: Op = Op.sql("q32_correlated_subquery", q32Sql) { (s, dir) =>
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q32Sql)
+  }
+
   val all: Seq[Op] = Seq(q1Agg, q2FilterProject, q3JoinInner, q4JoinLeft,
     q5JoinRight, q6JoinFull, q7JoinSemi, q8JoinAnti, q9CrossJoin,
     q10MultiJoin, q11OrderLimitOffset, q12Distinct, q13AggDistinct,
     q14ScalarSubquery, q15DerivedTable, q16Expressions, q17StringFuncs,
     q18DateInterval, q19ValuesScan, q20Having, q21SetOps, q22WindowFuncs,
     q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
-    q27Explain, q28TopNAgg, q29NullSemantics)
+    q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery)
 }

@@ -85,13 +85,29 @@ object Streams {
     * latest-seq-wins semantics. No per-row writes, no state store —
     * the LSM "many runs, merge on read" shape IS the streaming
     * sink. */
+  /** One micro-batch → one run DIRECTORY keyed by batchId, written
+    * with overwrite: a replayed micro-batch (failure before the
+    * offset commit) replaces its own previous — possibly partial —
+    * output instead of appending duplicate runs. This is the
+    * idempotence the reference gets from WAL record framing +
+    * sequence-checked replay
+    * (`storage_engine/src/wal/wal_record_writer.rs`); here the
+    * batchId is the framing. */
+  def ingestBatch(batch: DataFrame, runsDir: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$runsDir/run-$batchId")
+
+  /** All accumulated runs of a [[kvIngest]] directory (one subdir per
+    * micro-batch). */
+  def kvRuns(spark: SparkSession, runsDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(runsDir)
+
   def kvIngest(stream: DataFrame, runsDir: String): StreamingQuery =
     stream
       .select(col("user_id").as("key"), col("event_id").as("seq"),
         (col("event_type") === "error").as("tombstone"), col("value").as("v"))
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(runsDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch(batch, runsDir, batchId)
       }
       .outputMode("append")
       .start()

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.kv.KVTable
@@ -76,6 +78,18 @@ class KVSpec extends SparkSuite {
     // point get on the compacted table matches the original
     assert(compacted.get(org.apache.spark.sql.functions.lit(42L)).collect().toSeq ==
       big.get(org.apache.spark.sql.functions.lit(42L)).collect().toSeq)
+    // bloom filter written on the key column: a point probe inside a
+    // row group's [min,max] but absent skips the group without
+    // decoding pages (parquet footer records the filter offset)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val keyChunk = footer.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == "key").get
+      assert(keyChunk.getBloomFilterOffset > 0, "no bloom filter on key column")
+    } finally footer.close()
   }
 
   test("compaction output equals merged view and is one self-contained run") {

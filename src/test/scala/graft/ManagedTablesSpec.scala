@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.sources.ManagedTables
+
+/** Persistent CREATE/INSERT/SELECT-back semantics (reference:
+  * tests/slt/create_table.slt + insert_table.slt). */
+class ManagedTablesSpec extends SparkSuite {
+
+  private val wh = "/root/repo/target/test_warehouse"
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("s", StringType)))
+
+  test("create + two inserts + select-back sees all rows, from disk") {
+    import spark.implicits._
+    ManagedTables.create(spark, "t_round", schema, wh)
+    // freshly created table is readable and empty
+    assert(ManagedTables.read(spark, "t_round", wh).count() == 0)
+    ManagedTables.insert(spark, "t_round",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), wh)
+    ManagedTables.insert(spark, "t_round", Seq((3L, "c")).toDF("k", "s"), wh)
+    val back = ManagedTables.read(spark, "t_round", wh)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // persistence is real files, not session state
+    assert(new java.io.File(s"$wh/t_round").listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(ManagedTables.tables(wh).contains("t_round"))
+  }
+
+  test("create or replace truncates previous contents") {
+    import spark.implicits._
+    ManagedTables.create(spark, "t_replace", schema, wh)
+    ManagedTables.insert(spark, "t_replace", Seq((9L, "x")).toDF("k", "s"), wh)
+    ManagedTables.create(spark, "t_replace", schema, wh)
+    assert(ManagedTables.read(spark, "t_replace", wh).count() == 0)
+  }
+
+  test("insert with mismatched schema is rejected before any write") {
+    import spark.implicits._
+    ManagedTables.create(spark, "t_strict", schema, wh)
+    intercept[IllegalArgumentException] {
+      ManagedTables.insert(spark, "t_strict",
+        Seq(("oops", 1L)).toDF("s", "k"), wh)
+    }
+    assert(ManagedTables.read(spark, "t_strict", wh).count() == 0)
+  }
+
+  test("drop removes the table from the warehouse") {
+    ManagedTables.create(spark, "t_gone", schema, wh)
+    ManagedTables.drop("t_gone", wh)
+    assert(!ManagedTables.tables(wh).contains("t_gone"))
+  }
+}

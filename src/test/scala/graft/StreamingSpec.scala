@@ -74,13 +74,13 @@ class StreamingSpec extends SparkSuite {
       val q = Streams.kvIngest(stream, runsDir)
       q.processAllAvailable()
       q.stop()
-      // ≥4 independent run files were appended (one per micro-batch)
-      val files = new java.io.File(runsDir).listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-      assert(files.length >= 4, s"expected one run per micro-batch, got ${files.length}")
+      // ≥4 independent batchId-keyed run dirs (one per micro-batch)
+      val runDirs = new java.io.File(runsDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("run-"))
+      assert(runDirs.length >= 4, s"expected one run dir per micro-batch, got ${runDirs.length}")
       // merged read over the accumulated runs == batch KV merge
       val streamedKv = graft.kv.KVTable(
-        spark.read.parquet(runsDir), "key", "seq", "tombstone")
+        Streams.kvRuns(spark, runsDir), "key", "seq", "tombstone")
         .merged().orderBy("key").collect()
       val batchKv = graft.kv.KVTable(
         events.selectExpr("user_id AS key", "event_id AS seq",
@@ -89,6 +89,21 @@ class StreamingSpec extends SparkSuite {
         .merged().orderBy("key").collect()
       assert(streamedKv.toSeq == batchKv.toSeq)
       assert(streamedKv.nonEmpty)
+
+      // micro-batch RETRY idempotence: replaying a batchId (failure
+      // before the offset commit) must leave the merged view
+      // unchanged — the run replaces itself instead of duplicating
+      val replayId = runDirs.map(_.getName.stripPrefix("run-").toLong).min
+      val orig = Streams.kvRuns(spark, s"$runsDir/run-$replayId")
+      // snapshot before re-ingesting: overwrite targets the dir read
+      val replayed = spark.createDataFrame(
+        spark.sparkContext.parallelize(orig.collect().toSeq), orig.schema)
+      Streams.ingestBatch(replayed, runsDir, replayId)
+      val afterReplay = graft.kv.KVTable(
+        Streams.kvRuns(spark, runsDir), "key", "seq", "tombstone")
+        .merged().orderBy("key").collect()
+      assert(afterReplay.toSeq == streamedKv.toSeq,
+        "replaying a micro-batch changed the merged KV view")
     }
   }
 

@@ -36,10 +36,13 @@ def main():
     n_ok = n_bad = 0
     for name in sorted(oracle):
         if only and name not in only: continue
-        files = glob.glob(f"{out}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
             print(f"[MISS] {name}: no spark output"); n_bad += 1; continue
-        tb = pq.read_table(files[0])
+        # concatenate ALL part files — relying on Verify's coalesce(1)
+        # would silently compare a subset if output ever multi-parts
+        import pyarrow as pa
+        tb = pa.concat_tables([pq.read_table(f) for f in files])
         s_names, s_rows = rows_of([tb.column(i).to_pylist() for i in range(tb.num_columns)], list(tb.column_names))
         try:
             res = con.execute(oracle[name])

@@ -241,6 +241,53 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- line-level (C4-style) exact dedup --------------------------
+
+  /** Cross-corpus LINE-level exact dedup (the C4/RefinedWeb rule:
+    * drop every repeated line corpus-wide, keep its first
+    * occurrence). The synthetic docs are single-line token streams,
+    * so "lines" are 10-token chunks — the plumbing is the point:
+    * explode docs to lines (1→N, shuffle-free), one hash-aggregate
+    * on the line hash with map-side combine, keep-first by position.
+    *
+    * First-occurrence position is min over `doc_id · 2^20 + line_no`
+    * — a primitive-long encoding (docs < 2^43, lines/doc < 2^20)
+    * chosen over `min(struct(doc_id, line_no))` deliberately: a
+    * struct aggregation buffer silently degrades the whole merge to
+    * SortAggregate (SURVEY §4.1). */
+  val dedupLines: Op = Op.sql("dedup_lines",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+      |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+      |lines AS (
+      |  SELECT doc_id, ln - 1 AS line_no,
+      |         array_to_string(toks[((ln-1)*10+1):((ln-1)*10+10)], ' ') AS line
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(1, 1 + CAST(ceil(len(toks) / 10.0) AS INT))) AS ln
+      |        FROM tok))
+      |SELECT md5(line) AS line_hash,
+      |       min(doc_id * 1048576 + line_no) // 1048576 AS keep_doc,
+      |       min(doc_id * 1048576 + line_no) % 1048576 AS keep_line,
+      |       count(*) AS n_copies
+      |FROM lines GROUP BY line
+      |ORDER BY keep_doc, keep_line""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), "\\s+")
+    corpusExact(s, dir)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(toks) / 10.0).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))))
+          .as(Seq("line_no", "line")))
+      .groupBy(md5(col("line").cast("binary")).as("line_hash"))
+      .agg(min(col("doc_id") * 1048576L + col("line_no")).as("pos"),
+        count(lit(1)).as("n_copies"))
+      .select(col("line_hash"),
+        expr("pos div 1048576").as("keep_doc"),
+        pmod(col("pos"), lit(1048576L)).as("keep_line"), col("n_copies"))
+      .orderBy("keep_doc", "keep_line")
+  }
+
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
-    dedupSimhash, dedupEmbedding)
+    dedupSimhash, dedupEmbedding, dedupLines)
 }

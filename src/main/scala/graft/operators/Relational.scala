@@ -484,11 +484,31 @@ object Relational {
     s.sql(q32Sql)
   }
 
+  /** Hot-key salted join ([[Skew.saltedJoin]]): result-identical to
+    * the plain equi-join — which is exactly what the oracle checks
+    * (salting is a pure physical redistribution, 8× hot-key
+    * parallelism for |right|·(salts−1) extra shuffle volume). The
+    * explicit fallback for the skew AQE can't split (shuffled-hash
+    * joins, skewed aggregations). */
+  val q33SkewSaltedJoin: Op = Op.sql("q33_skew_salted_join",
+    """SELECT o_orderkey, c_name
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 200000
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Skew.saltedJoin(
+      t(s, dir, "orders").filter(col("o_totalprice") > 200000),
+      t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+      "o_custkey", salts = 8)
+      .select("o_orderkey", "c_name")
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Op] = Seq(q1Agg, q2FilterProject, q3JoinInner, q4JoinLeft,
     q5JoinRight, q6JoinFull, q7JoinSemi, q8JoinAnti, q9CrossJoin,
     q10MultiJoin, q11OrderLimitOffset, q12Distinct, q13AggDistinct,
     q14ScalarSubquery, q15DerivedTable, q16Expressions, q17StringFuncs,
     q18DateInterval, q19ValuesScan, q20Having, q21SetOps, q22WindowFuncs,
     q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
-    q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery)
+    q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
+    q33SkewSaltedJoin)
 }

@@ -168,6 +168,84 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition ratio (a Gopher/RefinedWeb quality
+    * rule: heavily repeated n-grams mark low-quality/boilerplate
+    * text): 1 − distinct_trigrams/total_trigrams, raw int/int ratio
+    * (bit-identical across engines — never round a ratio, SURVEY §5).
+    * Per-row array expressions only: shuffle-free, codegen'd. */
+  val textRepetition: Op = Op.sql("text_repetition",
+    """WITH tok AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+      |            FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(toks) < 3 THEN [text]
+      |              ELSE [array_to_string(toks[i:i+2], ' ')
+      |                    for i in range(1, len(toks) - 1)] END AS s
+      |       FROM tok)
+      |SELECT doc_id, len(s) AS n_trigrams,
+      |       1.0 - len(list_distinct(s)) * 1.0 / len(s) AS rep_ratio
+      |FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), Dedup.shinglesCol(col("text")).as("s"))
+      .select(col("doc_id"), size(col("s")).cast("bigint").as("n_trigrams"),
+        (lit(1.0) - size(array_distinct(col("s"))) * 1.0 / size(col("s"))).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII detection + scrubbing (the redaction pass every training
+    * pipeline runs before tokenization). The synthetic corpus has no
+    * PII, so every 10th doc gets a deterministic synthetic email +
+    * phone appended — same derivation in the oracle — and the op
+    * counts and masks both patterns. Pure regexp expressions
+    * (codegen'd, shuffle-free); RE2(DuckDB) and Java(Spark) agree on
+    * this pattern subset. */
+  val textPii: Op = Op.sql("text_pii",
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 0
+       |         THEN text || ' contact user' || doc_id ||
+       |              '@example.com or 555-' ||
+       |              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |  regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |                 '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+       |FROM corpus ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val withPii = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text")).as("text"))
+    withPii.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling by content hash (per-stratum
+    * rates: 50% of `en`, 25% of everything else) — the downsampling
+    * step of corpus mixing, stable under repartitioning/re-ingestion
+    * for the same reason as [[textSplitAssign]]. */
+  val sampleStratified: Op = Op.sql("sample_stratified",
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(('0x' || substr(md5(text), 1, 1)) AS BIGINT)
+      |      < CASE WHEN lang = 'en' THEN 8 ELSE 4 END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .filter(conv(substring(md5(col("text").cast("binary")), 1, 1), 16, 10)
+        .cast("bigint") < when(col("lang") === "en", 8).otherwise(4))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
-    textNormalize, textSplitAssign)
+    textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified)
 }

@@ -57,6 +57,20 @@ class PlanAuditSpec extends SparkSuite {
       "rank<=k not pushed to partial per-partition limits")
   }
 
+  test("bucketed join shuffles neither side (no hash Exchange)") {
+    val p = plan("q34_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "expected SMJ over bucketed scans")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join re-shuffled a side — bucket layout not picked up")
+    assert(p.contains("SelectedBucketsCount"), "scan not bucket-aware")
+  }
+
+  test("partitioned layout prunes to the filtered date at the scan") {
+    val p = plan("q35_partition_pruning")
+    assert(p.contains("PartitionFilters") && p.contains("2024-01-15"),
+      "date filter did not become a partition filter")
+  }
+
   test("near-dup candidate joins are keyed (hash/broadcast), not nested-loop") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "dedup_embedding").foreach { q =>
       val p = plan(q)

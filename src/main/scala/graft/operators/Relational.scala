@@ -503,6 +503,32 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Semi-structured extraction: pull typed values out of the JSON
+    * `props` column (both a per-event path extraction and a schema'd
+    * `from_json` parse feeding an aggregation — the two ways a Spark
+    * pipeline consumes embedded JSON). Shuffle only for the final
+    * small agg. */
+  val q36JsonExtract: Op = Op.sql("q36_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |       count(*) AS n,
+      |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))).getField("k")
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k_path"),
+        k.as("k_schema"))
+      // both extraction routes must agree — fold that check into the
+      // plan rather than a separate spec
+      .select(when(col("k_path") === col("k_schema"), col("k_path")).as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("k_bucket")
+  }
+
   val all: Seq[Op] = Seq(q1Agg, q2FilterProject, q3JoinInner, q4JoinLeft,
     q5JoinRight, q6JoinFull, q7JoinSemi, q8JoinAnti, q9CrossJoin,
     q10MultiJoin, q11OrderLimitOffset, q12Distinct, q13AggDistinct,
@@ -510,5 +536,5 @@ object Relational {
     q18DateInterval, q19ValuesScan, q20Having, q21SetOps, q22WindowFuncs,
     q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
-    q33SkewSaltedJoin)
+    q33SkewSaltedJoin, q36JsonExtract)
 }

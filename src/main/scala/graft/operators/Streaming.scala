@@ -56,5 +56,26 @@ object Streaming {
       .orderBy("user_id")
   }
 
-  val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack)
+  val streamStreamJoin: Op = Op.sql("stream_stream_join",
+    """WITH e AS (SELECT user_id, event_type,
+      |           make_timestamp(epoch_us(ts)) AS ts FROM events)
+      |SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_ts, epoch_us(p.ts) AS purch_ts
+      |FROM e c JOIN e p ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY user_id, click_ts, purch_ts""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events")
+    Streams.clickPurchaseJoin(e, e)
+      .orderBy("user_id", "click_ts", "purch_ts")
+  }
+
+  val streamDedup: Op = Op.sql("stream_dedup",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    Streams.streamDistinctKeys(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
+    streamStreamJoin, streamDedup)
 }

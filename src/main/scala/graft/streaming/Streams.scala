@@ -85,6 +85,38 @@ object Streams {
     * latest-seq-wins semantics. No per-row writes, no state store —
     * the LSM "many runs, merge on read" shape IS the streaming
     * sink. */
+  /** Stream-stream INTERVAL join (click → purchase within 1 hour per
+    * user): the canonical two-stream correlation. Both sides carry
+    * watermarks and the join condition bounds p_ts to
+    * [c_ts, c_ts + 1h], so streaming state is bounded — each side
+    * buffers at most watermark + interval of rows per key-group.
+    * Timestamps are µs-truncated on BOTH engines (the oracle
+    * reconstructs them via make_timestamp(epoch_us(ts))), so the
+    * boundary compare is identical. In batch execution the same plan
+    * is a plain interval join. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), unix_micros(col("c_ts")).as("click_ts"),
+        unix_micros(col("p_ts")).as("purch_ts"))
+  }
+
+  /** Streaming dedup of a keyed stream (the ingest-time dedup stage
+    * of a training pipeline): first occurrence of each
+    * (user_id, event_type) passes, duplicates drop. State = one
+    * entry per distinct key. Batch execution of the same plan is a
+    * plain distinct, which is what the oracle checks. */
+  def streamDistinctKeys(events: DataFrame): DataFrame =
+    events.select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+
   /** One micro-batch → one run DIRECTORY keyed by batchId, written
     * with overwrite: a replayed micro-batch (failure before the
     * offset commit) replaces its own previous — possibly partial —

@@ -66,6 +66,43 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stream-stream interval join runs as two real streams and matches batch") {
+    withEventsStream { (src, events) =>
+      val mk = () => spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      // inner stream-stream joins emit eagerly on match; the
+      // watermarks only bound buffered state
+      val q = Streams.clickPurchaseJoin(mk(), mk()).writeStream
+        .format("memory").queryName("ssj_sink").outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("ssj_sink")
+        .orderBy("user_id", "click_ts", "purch_ts").collect()
+      val batch = Streams.clickPurchaseJoin(events, events)
+        .orderBy("user_id", "click_ts", "purch_ts").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.nonEmpty)
+    }
+  }
+
+  test("streaming dedup emits each key once across micro-batches, matches batch distinct") {
+    withEventsStream { (src, events) =>
+      val q = Streams.runFileStream(spark, src, events,
+        Streams.streamDistinctKeys, "dedup_sink", outputMode = "append")
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("dedup_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // no key emitted twice, even though duplicates arrive in
+      // different micro-batches (cross-batch state)
+      assert(streamed.length == streamed.distinct.length)
+      val batch = Streams.streamDistinctKeys(events).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(streamed.toSet == batch.toSet)
+      assert(streamed.nonEmpty)
+    }
+  }
+
   test("streaming KV ingestion: micro-batch runs merge to the batch KV view") {
     withEventsStream { (src, events) =>
       val runsDir = Files.createTempDirectory("graft_kv_runs").toString + "/runs"

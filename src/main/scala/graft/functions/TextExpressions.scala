@@ -46,6 +46,19 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  case class SimHashChunks(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_simhash_chunks"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHashing.simhashChunks(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.simhashChunks($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
+      copy(child = newChild)
+  }
+
   /** Expression builders (used by the extension registration). */
   def buildMinHashBands(args: Seq[Expression]): Expression = args match {
     case Seq(t, Literal(n: Int, IntegerType), Literal(b: Int, IntegerType)) =>
@@ -60,10 +73,18 @@ object TextExpressions {
     case _ => throw new IllegalArgumentException("graft_simhash64(text)")
   }
 
+  def buildSimHashChunks(args: Seq[Expression]): Expression = args match {
+    case Seq(h) => SimHashChunks(h)
+    case _ => throw new IllegalArgumentException("graft_simhash_chunks(simhash)")
+  }
+
   /** Column API (requires the graft extensions on the session). */
   def minhash_bands(text: Column, numHashes: Int = 64, bands: Int = 16): Column =
     call_function("graft_minhash_bands", text, lit(numHashes), lit(bands))
 
   def simhash64(text: Column): Column =
     call_function("graft_simhash64", text)
+
+  def simhash_chunks(simhash: Column): Column =
+    call_function("graft_simhash_chunks", simhash)
 }

@@ -82,6 +82,36 @@ object TextHashing {
     new GenericArrayData(out)
   }
 
+  /** The 56 C(8,3) chunk-triple blocking keys of a 64-bit SimHash,
+    * each pre-packed as `chunk_id << 24 | chunk_i << 16 | chunk_j << 8
+    * | chunk_k` — a single long join key per (i<j<k) triple (the
+    * chunk_id in the high bits enforces same-position matching that
+    * the previous two-column join expressed). One flat loop replaces
+    * a nested interpreted transform×transform×transform expression
+    * tree that built 56 structs per row. */
+  def simhashChunks(sim: Long): ArrayData = {
+    val out = new Array[Long](56)
+    var n = 0
+    var i = 0
+    while (i < 6) {
+      var j = i + 1
+      while (j < 7) {
+        var k = j + 1
+        while (k < 8) {
+          out(n) = ((i * 64 + j * 8 + k).toLong << 24) |
+            (((sim >>> (i * 8)) & 255L) << 16) |
+            (((sim >>> (j * 8)) & 255L) << 8) |
+            ((sim >>> (k * 8)) & 255L)
+          n += 1
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over token hashes: ±1 vote per bit, sign→bit. */
   def simhash64(text: UTF8String): Long = {
     val th = tokenHashes(text)

@@ -175,19 +175,15 @@ object Dedup {
     * one-word edit flips ~2-7 fingerprint bits. */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
     val sim = corpus.select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+    // blocking keys from the codegen'd kernel: each of the 56 triples
+    // arrives pre-packed as chunk_id<<24 | 24 chunk bits — one long
+    // join key (the chunk_id high bits enforce same-position
+    // matching). Replaces a nested interpreted transform^3 that built
+    // 56 structs per row and dominated this operator's bench time.
     val chunked = sim.select(col("doc_id"), col("simhash"),
-        explode(expr(
-          """flatten(flatten(transform(sequence(0, 5), i ->
-            |  transform(sequence(i + 1, 6), j ->
-            |    transform(sequence(j + 1, 7), k -> struct(
-            |      i * 64 + j * 8 + k AS chunk_id,
-            |      shiftleft(shiftright(simhash, i * 8) & 255, 16)
-            |        | shiftleft(shiftright(simhash, j * 8) & 255, 8)
-            |        | (shiftright(simhash, k * 8) & 255) AS chunk))))))""".stripMargin)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+      explode(graft.functions.TextExpressions.simhash_chunks(col("simhash"))).as("ck"))
     chunked.as("a").join(chunked.as("b"),
-        col("a.chunk_id") === col("b.chunk_id") &&
-        col("a.chunk") === col("b.chunk") &&
+        col("a.ck") === col("b.ck") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))

@@ -24,16 +24,25 @@ object Sketches {
     * aggregation — merging N high-accuracy QuantileSummaries costs
     * far more than building one (2.1s → 41.7s at 32 partials,
     * accuracy 10000). Partition count should follow the input file
-    * layout; accuracy is the knob that trades merge cost for error. */
+    * layout; accuracy is the knob that trades merge cost for error.
+    * Tuned round 2 (measured 2.0s → see BENCH): one summary per
+    * COLUMN (the array form answers p50+p95 from a single sketch —
+    * two scalar calls built two) and accuracy 1000 (rank error 0.1%,
+    * an order of magnitude tighter than the spec's p40..p60 bound;
+    * 10000 bought nothing but insert/compress cost). */
   def profile(df: DataFrame): DataFrame =
     df.agg(
       count(lit(1)).as("n_rows"),
       approx_count_distinct(col("l_orderkey"), 0.01).as("acd_orderkey"),
       approx_count_distinct(col("l_partkey"), 0.01).as("acd_partkey"),
       approx_count_distinct(col("l_suppkey"), 0.01).as("acd_suppkey"),
-      approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-      approx_percentile(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"),
-      approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("p50_qty"))
+      approx_percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95)), lit(1000)).as("p_price"),
+      approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"))
+    .select(col("n_rows"), col("acd_orderkey"), col("acd_partkey"),
+      col("acd_suppkey"),
+      element_at(col("p_price"), 1).as("p50_price"),
+      element_at(col("p_price"), 2).as("p95_price"), col("p50_qty"))
 
   val statsSketch: Op = Op.rowsOnly("stats_sketch") { (s, dir) =>
     profile(Tables.load(s, dir, "lineitem"))

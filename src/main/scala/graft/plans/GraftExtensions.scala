@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_simhash64"),
       TextExpressions.buildSimHash64 _))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash_chunks"),
+      new ExpressionInfo(TextExpressions.SimHashChunks.getClass.getName,
+        "graft_simhash_chunks"),
+      TextExpressions.buildSimHashChunks _))
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(graft.functions.VectorKernels.CosineSim.getClass.getName,
         "graft_cosine"),

@@ -6,21 +6,31 @@ import graft.Op
 import graft.sources.Tables
 
 /** End-to-end training-data pipeline composition — the flagship
-  * "switch your pipeline to graft" demonstration: normalize →
-  * exact-dedup on normalized content → deterministic split
-  * assignment → per-split corpus statistics, all in ONE declarative
-  * plan (Catalyst fuses the stages; two shuffles total: the dedup
-  * hash-agg and the final per-split agg).
+  * "switch your pipeline to graft" demonstration: PII scrub →
+  * normalize → quality gate → exact-dedup on normalized content →
+  * deterministic split assignment → per-split corpus statistics,
+  * all in ONE declarative plan (Catalyst fuses the per-row stages
+  * into the scan; two data shuffles total — the dedup hash-agg and
+  * the per-split agg, plus the trivial 3-row ORDER BY exchange —
+  * scrub/normalize/filter add ZERO).
   */
 object Pipeline {
 
   val pipelineE2e: Op = Op.sql("pipeline_e2e",
-    """WITH norm AS (
+    s"""WITH scrubbed AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+      |                   '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text
+      |  FROM documents),
+      |norm AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
       |         ' +', ' ', 'g')) AS t
-      |  FROM documents),
-      |dedup AS (SELECT min(doc_id) AS doc_id, t FROM norm GROUP BY t),
+      |  FROM scrubbed),
+      |filtered AS (
+      |  SELECT doc_id, t FROM norm
+      |  WHERE len(string_split(t, ' ')) >= 5 AND length(t) >= 20),
+      |dedup AS (SELECT min(doc_id) AS doc_id, t FROM filtered GROUP BY t),
       |assigned AS (
       |  SELECT doc_id, t,
       |    CASE WHEN CAST(('0x' || substr(md5(t), 1, 1)) AS BIGINT) < 13 THEN 'train'
@@ -31,10 +41,15 @@ object Pipeline {
       |       CAST(sum(length(t)) AS BIGINT) AS n_chars,
       |       CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_words
       |FROM assigned GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
-    val norm = Tables.load(s, dir, "documents").select(col("doc_id"),
+    val scrubbed = Tables.load(s, dir, "documents").select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
+        TextAnalysis.PhoneRe, "<PHONE>").as("text"))
+    val norm = scrubbed.select(col("doc_id"),
       trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
         " +", " ")).as("t"))
-    val dedup = norm.groupBy("t").agg(min("doc_id").as("doc_id"))
+    val filtered = norm.filter(
+      size(split(col("t"), " ")) >= 5 && length(col("t")) >= 20)
+    val dedup = filtered.groupBy("t").agg(min("doc_id").as("doc_id"))
     val assigned = dedup.withColumn("h",
         conv(substring(md5(col("t").cast("binary")), 1, 1), 16, 10).cast("bigint"))
       .withColumn("split",

@@ -191,8 +191,8 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
 
   /** PII detection + scrubbing (the redaction pass every training
     * pipeline runs before tokenization). The synthetic corpus has no

@@ -503,6 +503,23 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Multi-level aggregation in one pass: ROLLUP emits (flag,status),
+    * (flag, total) and grand-total rows from a single shuffle —
+    * Spark expands the grouping sets map-side, so the 100 TB scan
+    * happens once, not once per level. */
+  val q37Rollup: Op = Op.sql("q37_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   /** Semi-structured extraction: pull typed values out of the JSON
     * `props` column (both a per-event path extraction and a schema'd
     * `from_json` parse feeding an aggregation — the two ways a Spark
@@ -536,5 +553,5 @@ object Relational {
     q18DateInterval, q19ValuesScan, q20Having, q21SetOps, q22WindowFuncs,
     q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
-    q33SkewSaltedJoin, q36JsonExtract)
+    q33SkewSaltedJoin, q36JsonExtract, q37Rollup)
 }

@@ -212,9 +212,17 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"))
   }
 
+  /** Centroids per dataset, trained once and reused — what a real
+    * IVF index does (train at build time, broadcast at query time);
+    * retraining per query would double every lookup's cost with two
+    * extra jobs. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+
   val annIvf: Op = Op.rowsOnly("ann_ivf") { (s, dir) =>
     val e = emb(s, dir)
-    ivfTopK(e, e.filter(col("vec_id") < NumQueries), TopK, ivfCentroids(e))
+    val centroids = centroidCache.computeIfAbsent(dir, _ => ivfCentroids(e))
+    ivfTopK(e, e.filter(col("vec_id") < NumQueries), TopK, centroids)
       .orderBy("query_id", "neighbor_id")
   }
 

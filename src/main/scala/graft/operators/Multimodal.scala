@@ -4,20 +4,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Op
+import graft.functions.Ppm
 import graft.sources.Tables
 
-/** §2.3 multimodal column plumbing: media as opaque `binary` payloads
-  * with typed metadata, decoded/feature-extracted in batched
+/** §2.3 multimodal columns: media as opaque `binary` payloads with
+  * typed metadata, decoded / resized / frame-sampled in batched
   * per-partition passes.
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked STUB producing deterministic fake features — but
-  * the Spark-side plumbing is real and what matters at scale: a
-  * `binary` payload column rides alongside typed metadata in the same
-  * row (100 TB of payload bytes never shuffle unless a join demands
-  * it), and decode runs via `mapPartitions` over fixed-size batches —
-  * the exact shape a real codec/model UDF needs (amortize model init
-  * per partition, bound peak memory per batch).
+  * The payloads are REAL formats decoded by REAL parsers
+  * ([[graft.functions.Ppm]]: binary P6 images, a length-prefixed
+  * frame-sequence container) — synthesized deterministically from
+  * `documents` since the container ships no camera data, but every
+  * byte of header parsing, pixel resampling and frame extraction is
+  * genuine. A production pipeline swaps [[Ppm]] for libjpeg/ffmpeg
+  * behind the same bytes→pixels→bytes boundary; nothing about the
+  * Spark plumbing changes.
+  *
+  * Scale shape (the part that matters at 100 TB): payload bytes ride
+  * in-row next to typed metadata (they never shuffle unless a join
+  * demands it), and all media work runs via `mapPartitions` over
+  * fixed-size batches — amortizing per-partition codec/model init
+  * and bounding peak memory, exactly the shape a vectorized
+  * model-inference UDF needs.
   */
 object Multimodal {
 
@@ -25,104 +33,125 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, mime: String, width: Int,
                             height: Int, payload: Array[Byte])
 
-  /** Extracted features (decode output). */
+  /** Decode output: dimensions and features parsed from the BYTES
+    * (not copied from metadata — the spec cross-checks the two). */
   final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
-                                 batch_size: Int, feat_mean: Double, feat_hash: Long)
+                                 parsed_w: Int, parsed_h: Int,
+                                 batch_size: Int, mean_intensity: Double)
 
-  /** Synthesize the media table from `documents`: payload = utf8 bytes
-    * of the text (stand-in for image/video bytes), metadata derived
-    * deterministically; every 5th doc is "video", the rest images. */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents").select(
-      col("doc_id"),
-      when(col("doc_id") % 5 === 0, "video/mp4")
-        .when(col("doc_id") % 2 === 0, "image/png")
-        .otherwise("image/jpeg").as("mime"),
-      (col("n_chars") % 640 + 1).cast("int").as("width"),
-      (col("n_chars") % 480 + 1).cast("int").as("height"),
-      col("text").cast("binary").as("payload"))
+  val ImageMime = "image/x-portable-pixmap"
+  val VideoMime = "video/x-graft-seq"
+
+  /** Deterministic pixel synthesis: cycle the doc's utf8 bytes to
+    * fill w·h·3 RGB bytes (every 5th doc becomes a 3-frame video of
+    * shifted copies). Dims derive from n_chars, capped small so the
+    * corpus stays MBs at test SF. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)]
+      .mapPartitions(_.map { case (docId, text, nChars) =>
+        val w = (nChars % 64 + 1).toInt
+        val h = (nChars % 48 + 1).toInt
+        val src = text.getBytes("UTF-8")
+        def frame(shift: Int): Array[Byte] = {
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            px(i) = src((i + shift) % src.length); i += 1
+          }
+          Ppm.encode(Ppm.Image(w, h, px))
+        }
+        if (docId % 5 == 0)
+          MediaRow(docId, VideoMime, w, h,
+            Ppm.encodeSeq((0 until 3).map(f => frame(f * 7))))
+        else
+          MediaRow(docId, ImageMime, w, h, frame(0))
+      }).toDF()
+  }
 
   val DecodeBatchSize = 64
 
-  /** STUB decode / feature-extract: a real implementation would hand
-    * each batch of payloads to a codec or model (e.g. via ONNX / a
-    * Pandas-UDF-style vectorized call). Here the "features" are
-    * deterministic functions of the bytes so specs can assert the
-    * batching plumbing end-to-end. */
-  def decodeStub(media: DataFrame): DataFrame = {
+  /** Decode / feature-extract over fixed-size batches: parse each
+    * payload's real header + pixels (first frame for videos), emit
+    * parsed dims + mean intensity. The `batch.map` seam is where a
+    * vectorized model call takes the whole batch at once. */
+  def decodeMedia(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
     media.select("doc_id", "mime", "width", "height", "payload").as[MediaRow]
       .mapPartitions { rows =>
         rows.grouped(DecodeBatchSize).flatMap { batch =>
-          // STUB: stands in for `model.decode(batch.map(_.payload))`
           batch.map { r =>
-            val bytes = r.payload
-            val mean = if (bytes.isEmpty) 0.0
-              else bytes.map(_.toInt & 0xff).sum.toDouble / bytes.length
-            MediaFeatures(r.doc_id, r.mime, bytes.length.toLong,
-              batch.size, math.rint(mean * 10000) / 10000, bytes.foldLeft(1125899906842597L)(
-                (h, b) => h * 31 + (b.toInt & 0xff)))
+            val img = Ppm.decode(
+              if (r.mime == VideoMime) Ppm.decodeSeq(r.payload).head else r.payload)
+            MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+              img.width, img.height, batch.size, Ppm.meanIntensity(img))
           }
         }
       }.toDF()
   }
 
-  /** STUB resize: 1→1 metadata rewrite + payload passthrough (a real
-    * implementation re-encodes the payload per batch). The plumbing
-    * point: payload bytes stay in-row — no shuffle, no driver
-    * round-trip — and the transform composes with [[decodeStub]]. */
-  def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame = {
+  /** Real resize: decode → nearest-neighbor resample → re-encode
+    * (each frame, for videos). Payload bytes stay in-row — no
+    * shuffle, no driver round-trip — and the transform composes with
+    * [[decodeMedia]]. */
+  def resizeMedia(media: DataFrame, w: Int, h: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.select("doc_id", "mime", "width", "height", "payload").as[MediaRow]
-      .mapPartitions(_.map(r => r.copy(width = w, height = h)))
-      .toDF()
+      .mapPartitions(_.map { r =>
+        def one(bytes: Array[Byte]): Array[Byte] =
+          Ppm.encode(Ppm.resize(Ppm.decode(bytes), w, h))
+        val resized =
+          if (r.mime == VideoMime) Ppm.encodeSeq(Ppm.decodeSeq(r.payload).map(one))
+          else one(r.payload)
+        MediaRow(r.doc_id, r.mime, w, h, resized)
+      }).toDF()
   }
 
   /** One sampled frame of a video payload. */
   final case class Frame(doc_id: Long, frame_no: Int, n_frames: Int,
-                         frame_bytes: Long, frame_hash: Long)
+                         frame_w: Int, frame_h: Int, mean_intensity: Double)
 
-  /** STUB frame-sampling: the 1→N flatMap plumbing shape a video
-    * pipeline needs (each video row fans out to up to `maxFrames`
-    * frame rows; images fan out to zero). A real implementation
-    * decodes keyframes per batch; the deterministic fake slices the
-    * payload so specs can assert fan-out and content lineage. */
-  def frameSampleStub(media: DataFrame, maxFrames: Int = 4): DataFrame = {
+  /** Real frame-sampling: parse the GSEQ container, decode up to
+    * `maxFrames` frames per video (images fan out to zero rows) —
+    * the 1→N flatMap shape of any video pipeline. */
+  def frameSample(media: DataFrame, maxFrames: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
     media.select("doc_id", "mime", "width", "height", "payload").as[MediaRow]
       .mapPartitions { rows =>
-        rows.filter(_.mime.startsWith("video/")).flatMap { r =>
-          val n = math.min(maxFrames, math.max(1, r.payload.length / 64))
-          (0 until n).iterator.map { i =>
-            val slice = r.payload.slice(i * 64, i * 64 + 64)
-            Frame(r.doc_id, i, n, slice.length.toLong,
-              slice.foldLeft(1125899906842597L)((h, b) => h * 31 + (b.toInt & 0xff)))
+        rows.filter(_.mime == VideoMime).flatMap { r =>
+          val frames = Ppm.decodeSeq(r.payload)
+          frames.take(maxFrames).iterator.zipWithIndex.map { case (f, i) =>
+            val img = Ppm.decode(f)
+            Frame(r.doc_id, i, frames.length, img.width, img.height,
+              Ppm.meanIntensity(img))
           }
         }
       }.toDF()
   }
 
   val mmMetadata: Op = Op.rowsOnly("mm_metadata") { (s, dir) =>
-    decodeStub(mediaTable(s, dir)).orderBy("doc_id")
+    decodeMedia(mediaTable(s, dir)).orderBy("doc_id")
   }
 
   val mmFrameSample: Op = Op.rowsOnly("mm_frame_sample") { (s, dir) =>
-    frameSampleStub(mediaTable(s, dir)).orderBy("doc_id", "frame_no")
+    frameSample(mediaTable(s, dir)).orderBy("doc_id", "frame_no")
   }
 
-  /** The resize path's observable contract IS oracle-expressible:
-    * metadata rewritten to the target box, payload bytes passed
-    * through unmodified (checked via byte length — the stub never
-    * re-encodes). */
+  /** Resize contract, oracle-checked: output metadata is the target
+    * box and the payload length is exactly what a 64×64 P6 (or
+    * 3-frame sequence of them) must occupy — header 13 bytes +
+    * 64·64·3 pixels per frame, plus the 8-byte GSEQ header and
+    * 4-byte length prefixes for videos. */
   val mmResize: Op = Op.sql("mm_resize",
-    """SELECT doc_id,
-      |  CASE WHEN doc_id % 5 = 0 THEN 'video/mp4'
-      |       WHEN doc_id % 2 = 0 THEN 'image/png'
-      |       ELSE 'image/jpeg' END AS mime,
-      |  CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
-      |  octet_length(encode(text)) AS n_bytes
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    resizeStub(mediaTable(s, dir), 64, 64)
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0 THEN '$VideoMime'
+       |       ELSE '$ImageMime' END AS mime,
+       |  CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+       |  CAST(CASE WHEN doc_id % 5 = 0 THEN 8 + 3 * (4 + 13 + 12288)
+       |            ELSE 13 + 12288 END AS BIGINT) AS n_bytes
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    resizeMedia(mediaTable(s, dir), 64, 64)
       .select(col("doc_id"), col("mime"), col("width"), col("height"),
         length(col("payload")).cast("bigint").as("n_bytes"))
       .orderBy("doc_id")

@@ -2,14 +2,28 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.Ppm
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: binary payload + typed metadata schema, and
-  * the batched mapPartitions decode path (decode itself is a STUB —
-  * the batching/schema contract is what's under test). */
+/** Multimodal: real P6/GSEQ codec roundtrips, batched decode path,
+  * real resampling, frame fan-out. */
 class MultimodalSpec extends SparkSuite {
 
-  private lazy val media = Multimodal.mediaTable(spark, sfDir)
+  private lazy val media = Multimodal.mediaTable(spark, sfDir).cache()
+
+  test("codec roundtrip: encode→decode is identity, container preserves frames") {
+    val rnd = new scala.util.Random(3)
+    (1 to 50).foreach { _ =>
+      val (w, h) = (rnd.nextInt(40) + 1, rnd.nextInt(40) + 1)
+      val img = Ppm.Image(w, h, Array.fill(w * h * 3)(rnd.nextInt.toByte))
+      val back = Ppm.decode(Ppm.encode(img))
+      assert(back.width == w && back.height == h)
+      assert(back.pixels.sameElements(img.pixels))
+    }
+    val frames = (1 to 4).map(i => Array.fill(i * 10)(rnd.nextInt.toByte): Array[Byte])
+    val back = Ppm.decodeSeq(Ppm.encodeSeq(frames))
+    assert(back.length == 4 && back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+  }
 
   test("media table schema: binary payload with typed metadata") {
     val f = media.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
@@ -18,45 +32,56 @@ class MultimodalSpec extends SparkSuite {
     assert(f("width") == "int" && f("height") == "int")
   }
 
-  test("decode runs in bounded batches and is deterministic") {
-    val out = Multimodal.decodeStub(media).cache()
+  test("decode runs in bounded batches, parses real headers, is deterministic") {
+    val out = Multimodal.decodeMedia(media).cache()
     assert(out.count() == 500)
-    // batch shape: every batch the stub saw was ≤ DecodeBatchSize
+    // batch shape: every batch the decoder saw was ≤ DecodeBatchSize
     val maxBatch = out.agg(max("batch_size")).head().getInt(0)
     assert(maxBatch <= Multimodal.DecodeBatchSize && maxBatch > 1)
-    // deterministic features: second run identical
+    // dims PARSED from payload bytes must equal the metadata columns
+    val mismatched = out.as("d").join(media.as("m"), "doc_id")
+      .filter(col("d.parsed_w") =!= col("m.width") ||
+        col("d.parsed_h") =!= col("m.height"))
+    assert(mismatched.count() == 0, "parsed dims diverge from metadata")
+    // real pixel feature in range
+    assert(out.filter(col("mean_intensity") < 0 || col("mean_intensity") > 255).count() == 0)
+    // deterministic: second run identical
     val a = out.orderBy("doc_id").collect().toSeq
-    val b = Multimodal.decodeStub(media).orderBy("doc_id").collect().toSeq
+    val b = Multimodal.decodeMedia(media).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
 
-  test("resize rewrites metadata and keeps payloads intact") {
-    val resized = Multimodal.resizeStub(media, 224, 224)
-    assert(resized.filter(col("width") =!= 224 || col("height") =!= 224).count() == 0)
-    // payload lineage unchanged
-    val a = media.select("doc_id", "payload").orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
-    val b = resized.select("doc_id", "payload").orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
-    assert(a.toSeq == b.toSeq)
+  test("resize really resamples: decoding the output yields the target dims") {
+    val resized = Multimodal.resizeMedia(media, 32, 24)
+    assert(resized.filter(col("width") =!= 32 || col("height") =!= 24).count() == 0)
+    val dims = Multimodal.decodeMedia(resized)
+      .select("parsed_w", "parsed_h").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(dims.toSeq == Seq((32, 24)), s"decoded dims ${dims.toSeq}")
+    // resampling preserves the palette: every output byte exists in
+    // the source payload's pixel section (nearest-neighbor copies)
+    val one = media.filter(col("mime") === Multimodal.ImageMime)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val rs = Ppm.resize(Ppm.decode(one), 32, 24)
+    val srcSet = Ppm.decode(one).pixels.toSet
+    assert(rs.pixels.forall(srcSet.contains))
   }
 
-  test("frame sampling fans out video rows 1→N and skips images") {
-    val frames = Multimodal.frameSampleStub(media).cache()
-    val videos = media.filter(col("mime") === "video/mp4")
-    // only videos produce frames
+  test("frame sampling fans out video rows 1→N with per-frame decode, skips images") {
+    val frames = Multimodal.frameSample(media).cache()
+    val videos = media.filter(col("mime") === Multimodal.VideoMime)
     assert(frames.select("doc_id").distinct().count() == videos.count())
-    assert(frames.join(media.filter(col("mime") =!= "video/mp4"), "doc_id").count() == 0)
-    // fan-out respects n_frames and is 1..4 per video
-    val byDoc = frames.groupBy("doc_id").count()
-    assert(byDoc.filter(col("count") < 1 || col("count") > 4).count() == 0)
+    assert(frames.join(media.filter(col("mime") =!= Multimodal.VideoMime), "doc_id")
+      .count() == 0)
+    // synthesized videos carry exactly 3 frames; all are decoded
+    assert(frames.groupBy("doc_id").count().filter(col("count") =!= 3).count() == 0)
     assert(frames.filter(col("frame_no") >= col("n_frames")).count() == 0)
-  }
-
-  test("features reflect payload bytes (n_bytes matches source text length)") {
-    val joined = Multimodal.decodeStub(media).as("d")
-      .join(graft.sources.Tables.load(spark, sfDir, "documents").as("s"), "doc_id")
-      .filter(col("d.n_bytes") =!= length(col("s.text")))
-    assert(joined.count() == 0)
+    // frames of one video differ (shifted pixel synthesis) but share dims
+    val perDoc = frames.groupBy("doc_id")
+      .agg(countDistinct("mean_intensity").as("cd"),
+        countDistinct("frame_w").as("dw"))
+    assert(perDoc.filter(col("dw") =!= 1).count() == 0)
+    assert(perDoc.filter(col("cd") === 1).count() < videos.count(),
+      "every video's frames identical — shift synthesis broken?")
   }
 }

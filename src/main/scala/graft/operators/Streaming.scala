@@ -21,18 +21,18 @@ object Streaming {
       .orderBy("win_start", "event_type")
   }
 
-  /** Boundary convention (shared with the oracle): Spark's
-    * `session_window` end is EXCLUSIVE — a session spans
-    * [first_ts, last_ts + gap), so an event arriving exactly
-    * `gap` after the previous one falls outside and STARTS A NEW
-    * SESSION. The oracle's gap predicate is therefore `>=` (a
-    * `>` would keep an exactly-30-min gap in the same session and
-    * diverge on boundary-aligned data). */
+  /** Boundary convention (measured, pinned in BoundarySpec): Spark's
+    * `session_window` MERGES an event arriving exactly `gap` after
+    * the previous one — sessions extend while
+    * `next_ts <= prev_ts + gap`, i.e. the window end is INCLUSIVE
+    * for the merge decision. The oracle's gap predicate is therefore
+    * strict `>` (a `>=` would split an exactly-30-min gap into two
+    * sessions and diverge on boundary-aligned data). */
   val streamSessionize: Op = Op.sql("stream_sessionize",
     """WITH d AS (
       |  SELECT user_id, ts,
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
       |              THEN 1 ELSE 0 END AS new_s
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |g AS (SELECT user_id, ts,

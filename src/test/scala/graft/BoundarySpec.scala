@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Edge-semantics pinned by construction: the session-window gap
+  * boundary convention, and analysis-time type checking of the
+  * custom expressions. */
+class BoundarySpec extends SparkSuite {
+
+  test("an event exactly gap-after the previous one MERGES into the session") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plusMs(ms: Long) = new Timestamp(t0.getTime + ms)
+    // measured convention (this test exists because an advisory
+    // claimed the opposite): session_window merges while
+    // next_ts <= prev_ts + gap — the boundary event is INSIDE.
+    // user 1: gap of exactly 30:00 → 1 session (boundary merges)
+    // user 2: gap of 29:59       → 1 session
+    // user 3: gap of 30:01       → 2 sessions (strictly beyond gap)
+    val events = Seq(
+      (1L, t0, "view", 0.0), (1L, plusMs(30 * 60000), "view", 0.0),
+      (2L, t0, "view", 0.0), (2L, plusMs(29 * 60000 + 59000), "view", 0.0),
+      (3L, t0, "view", 0.0), (3L, plusMs(30 * 60000 + 1000), "view", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val sessions = Streams.sessionize(events)
+      .groupBy("user_id").count().orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sessions.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L)),
+      "session_window merge must be inclusive at the gap boundary (oracle uses >)")
+  }
+
+  test("custom expressions reject wrong argument types at analysis time") {
+    import spark.implicits._
+    val df = Seq((1, 2.5)).toDF("i", "d")
+    // string-typed kernels fed an int, vector kernel fed a scalar:
+    // must fail in analysis (clean error), not at runtime with a
+    // ClassCastException inside generated code
+    Seq(
+      expr("graft_simhash64(i)"),
+      expr("graft_minhash_bands(i, 64, 16)"),
+      expr("graft_cosine(d, d)"),
+      expr("graft_hyperplane_bands(d, 4)")
+    ).foreach { e =>
+      intercept[AnalysisException] { df.select(e).collect() }
+    }
+  }
+}

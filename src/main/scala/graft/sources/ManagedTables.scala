@@ -38,17 +38,27 @@ object ManagedTables {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       .write.mode("overwrite").parquet(dir(wh, name))
 
-  /** INSERT INTO name: append-only parquet add, schema-checked
-    * (names + types, nullability-insensitive) against the stored
-    * schema first — the analog of the reference binder's insert
-    * column-count/type check. */
+  /** INSERT INTO name[(cols…)]: append-only parquet add with the
+    * reference binder's insert semantics (insert_table.slt): columns
+    * match the stored schema BY NAME in any order, columns absent
+    * from the batch are NULL-filled, unknown columns and type
+    * mismatches are rejected before any write. */
   def insert(spark: SparkSession, name: String, batch: DataFrame,
              wh: String = defaultWarehouse): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
     val stored = read(spark, name, wh).schema
-    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
-    require(shape(batch.schema) == shape(stored),
-      s"INSERT schema mismatch for '$name': ${batch.schema.sql} vs stored ${stored.sql}")
-    batch.write.mode("append").parquet(dir(wh, name))
+    val unknown = batch.columns.filterNot(stored.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"INSERT into '$name': unknown columns ${unknown.mkString(", ")}")
+    val aligned = stored.fields.map { f =>
+      if (batch.columns.contains(f.name)) {
+        val dt = batch.schema(f.name).dataType
+        require(dt == f.dataType,
+          s"INSERT into '$name': column ${f.name} is $dt, stored ${f.dataType}")
+        col(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
+    }
+    batch.select(aligned.toSeq: _*).write.mode("append").parquet(dir(wh, name))
   }
 
   /** SELECT * FROM name (all inserted batches). */

@@ -36,12 +36,28 @@ class ManagedTablesSpec extends SparkSuite {
     assert(ManagedTables.read(spark, "t_replace", wh).count() == 0)
   }
 
-  test("insert with mismatched schema is rejected before any write") {
+  test("insert matches columns by name: reorder works, subset NULL-fills") {
+    import spark.implicits._
+    ManagedTables.create(spark, "t_cols", schema, wh)
+    // reordered columns land by NAME (insert into t(s, k) ...)
+    ManagedTables.insert(spark, "t_cols", Seq(("x", 7L)).toDF("s", "k"), wh)
+    // column-subset insert NULL-fills the missing column
+    ManagedTables.insert(spark, "t_cols", Seq(Tuple1(8L)).toDF("k"), wh)
+    val back = ManagedTables.read(spark, "t_cols", wh).orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(back.toSeq == Seq((7L, Some("x")), (8L, None)))
+  }
+
+  test("insert with unknown column or wrong type is rejected before any write") {
     import spark.implicits._
     ManagedTables.create(spark, "t_strict", schema, wh)
-    intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] { // type mismatch: k is string
       ManagedTables.insert(spark, "t_strict",
-        Seq(("oops", 1L)).toDF("s", "k"), wh)
+        Seq(("1", "a")).toDF("k", "s"), wh)
+    }
+    intercept[IllegalArgumentException] { // unknown column
+      ManagedTables.insert(spark, "t_strict",
+        Seq((1L, "a", true)).toDF("k", "s", "extra"), wh)
     }
     assert(ManagedTables.read(spark, "t_strict", wh).count() == 0)
   }

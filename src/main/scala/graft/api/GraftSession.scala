@@ -37,4 +37,15 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** One-call open — the equivalent of the reference's "connect to
+    * the database" entry (`main_entry/db.rs`): a tuned session with
+    * the star schema registered as views and the graft functions
+    * injected, so `GraftSession.open(dir).sql("...")` runs any query
+    * in this library's surface, custom expressions included. */
+  def open(dataDir: String): SparkSession = {
+    val s = getOrCreate()
+    graft.sources.Tables.registerAll(s, dataDir)
+    s
+  }
 }

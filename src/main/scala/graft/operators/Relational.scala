@@ -520,6 +520,65 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** Referential-integrity audit across the star schema: orphan
+    * foreign keys per relationship via anti joins — the standing
+    * data-quality check any warehouse runs after ingest. Each arm is
+    * an independent anti join (broadcast or shuffled by size); the
+    * union of five 1-row aggregates is driver-free. */
+  val q38IntegrityAudit: Op = Op.sql("q38_integrity_audit",
+    """SELECT * FROM (
+      |  SELECT 'customer->nation' AS fk, count(*) AS n_orphans
+      |  FROM customer c WHERE NOT EXISTS (
+      |    SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+      |  UNION ALL
+      |  SELECT 'lineitem->orders', count(*) FROM lineitem l WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem->part', count(*) FROM lineitem l WHERE NOT EXISTS (
+      |    SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      |  UNION ALL
+      |  SELECT 'lineitem->supplier', count(*) FROM lineitem l WHERE NOT EXISTS (
+      |    SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      |  UNION ALL
+      |  SELECT 'orders->customer', count(*) FROM orders o WHERE NOT EXISTS (
+      |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |) ORDER BY fk""".stripMargin) { (s, dir) =>
+    def orphans(fk: String, child: DataFrame, parent: DataFrame,
+                ck: String, pk: String): DataFrame =
+      child.join(parent, col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(fk).as("fk"), col("n_orphans"))
+    Seq(
+      orphans("customer->nation", t(s, dir, "customer"), t(s, dir, "nation"),
+        "c_nationkey", "n_nationkey"),
+      orphans("lineitem->orders", t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey"),
+      orphans("lineitem->part", t(s, dir, "lineitem"), t(s, dir, "part"),
+        "l_partkey", "p_partkey"),
+      orphans("lineitem->supplier", t(s, dir, "lineitem"), t(s, dir, "supplier"),
+        "l_suppkey", "s_suppkey"),
+      orphans("orders->customer", t(s, dir, "orders"), t(s, dir, "customer"),
+        "o_custkey", "c_custkey")
+    ).reduce(_.unionAll(_)).orderBy("fk")
+  }
+
+  /** Fixed-width histogram of order values — profiling without a
+    * sort: bucket = floor(x / width), one hash-agg. Bucket bounds
+    * are exact decimal, so bars match DuckDB digit-for-digit. */
+  val q39Histogram: Op = Op.sql("q39_histogram",
+    """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(min(o_totalprice) AS DECIMAL(18,2)) AS lo,
+      |  CAST(max(o_totalprice) AS DECIMAL(18,2)) AS hi
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").cast("decimal(18,2)").as("lo"),
+        max("o_totalprice").cast("decimal(18,2)").as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Semi-structured extraction: pull typed values out of the JSON
     * `props` column (both a per-event path extraction and a schema'd
     * `from_json` parse feeding an aggregation — the two ways a Spark
@@ -553,5 +612,6 @@ object Relational {
     q18DateInterval, q19ValuesScan, q20Having, q21SetOps, q22WindowFuncs,
     q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
-    q33SkewSaltedJoin, q36JsonExtract, q37Rollup)
+    q33SkewSaltedJoin, q36JsonExtract, q37Rollup, q38IntegrityAudit,
+    q39Histogram)
 }

@@ -246,6 +246,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms per document (keyword extraction / quality
+    * features): term frequency × corpus rarity, top-3 per doc. The
+    * score is the division form `tf·N/df` — exact integers into one
+    * IEEE division, bit-identical across engines, where a ln-based
+    * idf would hinge on each engine's ln rounding. Two shuffles
+    * (tf agg, df agg) + a broadcast of the 1-row corpus count; the
+    * doc-frequency join is keyed on term. */
+  val textTopterms: Op = Op.sql("text_topterms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, t AS term, tf, df, tf * n / df AS score
+      |FROM tf JOIN df USING (t), n
+      |QUALIFY row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tf * n / df DESC, t) <= 3
+      |ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "t").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * col("n") / col("df"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("t"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** Exact edit distance between each doc and its first-word-dropped
+    * near-duplicate (prefix-bounded — Levenshtein is O(n·m)): the
+    * precise verification tier above Jaccard/SimHash when candidate
+    * volume is already small. Both engines run the same classic DP. */
+  val textEditdist: Op = Op.sql("text_editdist",
+    """SELECT doc_id,
+      |  levenshtein(substring(text, 1, 60),
+      |    substring(substring(text, strpos(text, ' ') + 1), 1, 60)) AS dist
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      levenshtein(substring(col("text"), 1, 60),
+        substring(expr("substring(text, instr(text, ' ') + 1)"), 1, 60)).as("dist"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
-    textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified)
+    textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
+    textTopterms, textEditdist)
 }

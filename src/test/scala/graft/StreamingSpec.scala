@@ -141,6 +141,18 @@ class StreamingSpec extends SparkSuite {
         .merged().orderBy("key").collect()
       assert(afterReplay.toSeq == streamedKv.toSeq,
         "replaying a micro-batch changed the merged KV view")
+
+      // the full LSM loop: background compaction folds the
+      // accumulated micro-batch runs into key-range-clustered files
+      // (+ bloom filter on key) and reads stay identical
+      val compactDir = runsDir + "_compacted"
+      val compacted = graft.kv.KVTable(
+        Streams.kvRuns(spark, runsDir), "key", "seq", "tombstone")
+        .compactTo(compactDir, numRanges = 4)
+      assert(compacted.merged().orderBy("key").collect().toSeq == streamedKv.toSeq,
+        "compaction of streamed runs changed the merged view")
+      assert(new java.io.File(compactDir).listFiles()
+        .count(_.getName.endsWith(".parquet")) == 4)
     }
   }
 

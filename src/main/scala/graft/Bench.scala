@@ -71,8 +71,8 @@ object Bench {
     // "[info] ", which the driver's JSON parse tripped over in round 1
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench.json")
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(outFile).getParent)
+    Option(java.nio.file.Paths.get(outFile).getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()
   }

@@ -45,6 +45,13 @@ object Ppm {
     val w = token(); val h = token(); val maxVal = token()
     require(maxVal == 255, s"unsupported maxval $maxVal")
     i += 1 // single whitespace after maxval per spec
+    // fail loudly on corrupt payloads: copyOfRange would silently
+    // zero-pad a truncated pixel section, and unchecked header dims
+    // are an allocation bomb — this is the boundary where a real
+    // codec swap-in must surface corruption too
+    require(w > 0 && h > 0 && w.toLong * h * 3 <= bytes.length - i,
+      s"corrupt P6: ${w}x$h needs ${w.toLong * h * 3} pixel bytes, " +
+        s"payload has ${bytes.length - i}")
     val pixels = java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3)
     Image(w, h, pixels)
   }

@@ -48,7 +48,7 @@ object VectorFunctions {
     * value = packed plane-side bits) — the codegen'd
     * [[VectorKernels.HyperplaneBands]] kernel. Requires the graft
     * extensions on the session. */
-  def hyperplane_bands(v: Column, bands: Int = 4): Column =
+  def hyperplane_bands(v: Column, bands: Int = VectorKernels.HpSigBands): Column =
     org.apache.spark.sql.functions.call_function(
       "graft_hyperplane_bands", v, lit(bands))
 }

@@ -58,6 +58,9 @@ object VectorKernels {
 
   val HpNumPlanes = 16
   val HpDim = 64
+  /** Default band count — the single source for the Column API, the
+    * SQL builder's no-arg default and [[graft.operators.Similarity]]. */
+  val HpSigBands = 4
 
   /** Deterministic Gaussian hyperplanes (seed 42), compiled into the
     * kernel as a plan-independent constant — every executor JVM
@@ -114,8 +117,13 @@ object VectorKernels {
   }
 
   def buildHyperplaneBands(args: Seq[Expression]): Expression = args match {
-    case Seq(v, Literal(b: Int, IntegerType)) => HyperplaneBands(v, b)
-    case Seq(v) => HyperplaneBands(v, 4)
+    case Seq(v, Literal(b: Int, IntegerType)) =>
+      // validate at analysis time: a non-divisor would mis-route plane
+      // p into out(p/r) past the array end inside generated code
+      require(b >= 1 && b <= HpNumPlanes && HpNumPlanes % b == 0,
+        s"graft_hyperplane_bands: bands must divide $HpNumPlanes (got $b)")
+      HyperplaneBands(v, b)
+    case Seq(v) => HyperplaneBands(v, HpSigBands)
     case _ => throw new IllegalArgumentException(
       "graft_hyperplane_bands(vec[, bands]) — bands must be an int literal")
   }

@@ -191,7 +191,12 @@ object Dedup {
       // the join's output stream, so false chunk collisions (frequent
       // on correlated-vocabulary corpora — low-entropy fingerprint
       // chunks) die before the dedup shuffle instead of being
-      // shuffled by the millions
+      // shuffled by the millions.
+      // NOTE the default threshold 7 exceeds the blocking GUARANTEE
+      // (hamming ≤ 5 by pigeonhole, see class doc): 6/7-bit pairs are
+      // admitted probabilistically (~92%/~77% — flips rarely touch ≥6
+      // distinct chunks). Recall-critical callers should pass
+      // maxHamming = 5 for the guaranteed-complete candidate set.
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

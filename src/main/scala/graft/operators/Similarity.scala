@@ -60,7 +60,7 @@ object Similarity {
   // ---- random-hyperplane LSH --------------------------------------
 
   val NumPlanes: Int = graft.functions.VectorKernels.HpNumPlanes
-  val SigBands = 4
+  val SigBands: Int = graft.functions.VectorKernels.HpSigBands
   val PlanesPerBand: Int = NumPlanes / SigBands
   val Dim: Int = graft.functions.VectorKernels.HpDim
 
@@ -217,11 +217,14 @@ object Similarity {
     * retraining per query would double every lookup's cost with two
     * extra jobs. */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Seq[Double]]]()
 
   val annIvf: Op = Op.rowsOnly("ann_ivf") { (s, dir) =>
     val e = emb(s, dir)
-    val centroids = centroidCache.computeIfAbsent(dir, _ => ivfCentroids(e))
+    // cache key includes the parquet mtime so a regenerated dataset at
+    // the same path retrains instead of probing stale cells
+    val key = (dir, new java.io.File(s"$dir/embeddings.parquet").lastModified())
+    val centroids = centroidCache.computeIfAbsent(key, _ => ivfCentroids(e))
     ivfTopK(e, e.filter(col("vec_id") < NumQueries), TopK, centroids)
       .orderBy("query_id", "neighbor_id")
   }

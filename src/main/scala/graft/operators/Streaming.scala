@@ -76,6 +76,19 @@ object Streaming {
       .orderBy("user_id", "event_type")
   }
 
+  /** Incrementally-maintained aggregate view (LSM-native upsert
+    * matview): the oracle checks the batch form; StreamingSpec
+    * proves the streaming maintenance — including a replayed
+    * micro-batch — converges to the same rows. Exact decimal sums
+    * make "incremental result == batch result" an equality, not an
+    * approximation. */
+  val streamMatview: Op = Op.sql("stream_matview",
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Streams.matviewBatch(Tables.load(s, dir, "events")).orderBy("user_id")
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
-    streamStreamJoin, streamDedup)
+    streamStreamJoin, streamDedup, streamMatview)
 }

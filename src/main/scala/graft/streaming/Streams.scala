@@ -144,6 +144,72 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Batch form of the [[matviewIngest]] view — per-user event count
+    * and EXACT decimal sum. The cumulative decimal is pinned at
+    * (22,2) so per-batch additions don't grow precision toward the
+    * 38-digit ceiling. Streaming maintenance must converge to
+    * exactly this (the oracle checks it). */
+  def matviewBatch(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(22,2)").as("sum_value"))
+
+  /** One maintenance step of the incrementally-maintained aggregate
+    * view: merge the micro-batch's delta into the cumulative state
+    * and emit ONE new KV run holding updated rows for TOUCHED KEYS
+    * ONLY (seq = batchId, latest-wins merge serves reads) — the
+    * LSM-native upsert materialized view. Exactly-once on retry
+    * comes from reading only runs with id < batchId (a replayed
+    * batch recomputes from the same prior state and overwrites its
+    * own run), the same batchId framing as [[ingestBatch]].
+    *
+    * Scale: each step shuffles only the delta's keys; state reads
+    * merge the accumulated runs (compact periodically with
+    * [[graft.kv.KVTable.compactTo]] exactly like any LSM). */
+  def maintainMatview(batch: DataFrame, runsDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = matviewBatch(batch)
+    val priorDirs = Option(new java.io.File(runsDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("run-") &&
+        f.getName.stripPrefix("run-").toLong < batchId)
+      .map(_.getAbsolutePath)
+    val updated =
+      if (priorDirs.isEmpty) delta
+      else {
+        val prev = graft.kv.KVTable(
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(priorDirs: _*), "user_id", "seq", "tombstone")
+          .merged()
+          .select(col("user_id"), col("n_events").as("prev_n"),
+            col("sum_value").as("prev_sum"))
+        delta.join(prev, Seq("user_id"), "left")
+          .select(col("user_id"),
+            (col("n_events") + coalesce(col("prev_n"), lit(0L))).as("n_events"),
+            (col("sum_value") + coalesce(col("prev_sum"),
+              lit(BigDecimal(0)).cast("decimal(22,2)")))
+              .cast("decimal(22,2)").as("sum_value"))
+      }
+    updated
+      .select(col("user_id"), lit(batchId).as("seq"),
+        lit(false).as("tombstone"), col("n_events"), col("sum_value"))
+      .write.mode("overwrite").parquet(s"$runsDir/run-$batchId")
+  }
+
+  /** Continuous maintenance of the view from a raw event stream. */
+  def matviewIngest(stream: DataFrame, runsDir: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        maintainMatview(batch, runsDir, batchId)
+      }
+      .outputMode("append")
+      .start()
+
+  /** Current view contents: latest-wins merge of the run layout. */
+  def matviewRead(spark: SparkSession, runsDir: String): DataFrame =
+    graft.kv.KVTable(kvRuns(spark, runsDir), "user_id", "seq", "tombstone")
+      .merged()
+      .select("user_id", "n_events", "sum_value")
+
   /** Run a batch-defined transform as a real streaming query over a
     * file source, writing to an in-memory sink table; returns the
     * started query (caller awaits + reads `spark.table(sinkTable)`).

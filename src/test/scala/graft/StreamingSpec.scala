@@ -156,6 +156,53 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("incremental materialized view converges to batch and survives replay") {
+    withEventsStream { (src, events) =>
+      val runsDir = Files.createTempDirectory("graft_matview").toString + "/runs"
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = Streams.matviewIngest(stream, runsDir)
+      q.processAllAvailable()
+      q.stop()
+      // incremental maintenance across ≥4 micro-batches == batch agg,
+      // EXACTLY (decimal sums make this an equality)
+      val view = Streams.matviewRead(spark, runsDir)
+        .orderBy("user_id").collect()
+      val batch = Streams.matviewBatch(events).orderBy("user_id").collect()
+      assert(view.toSeq == batch.toSeq)
+      assert(view.nonEmpty)
+      // retry exactly-once: recompute a MIDDLE batch from its prior
+      // state (only runs with id < batchId are read) — the view must
+      // not double-count
+      val ids = new java.io.File(runsDir).listFiles()
+        .filter(_.getName.startsWith("run-"))
+        .map(_.getName.stripPrefix("run-").toLong).sorted
+      assert(ids.length >= 4)
+      val replayId = ids(ids.length / 2)
+      // re-run maintenance with the SAME batch rows, read back from
+      // the source chunk files in commit order (maxFilesPerTrigger=1
+      // maps file N to micro-batch N)
+      Streams.maintainMatview(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            chunkRows(src, replayId.toInt)), events.schema),
+        runsDir, replayId)
+      val afterReplay = Streams.matviewRead(spark, runsDir)
+        .orderBy("user_id").collect()
+      assert(afterReplay.toSeq == batch.toSeq,
+        "replaying a micro-batch changed the materialized view")
+    }
+  }
+
+  /** Rows of the Nth source chunk file (files are written in batch
+    * order by withEventsStream; maxFilesPerTrigger=1 maps file N to
+    * micro-batch N). */
+  private def chunkRows(src: String, n: Int): Seq[org.apache.spark.sql.Row] = {
+    val files = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+    spark.read.parquet(files(n).getAbsolutePath).collect().toSeq
+  }
+
   test("sessionization streams with session_window state and matches batch") {
     withEventsStream { (src, events) =>
       val q = Streams.runFileStream(spark, src, events, Streams.sessionize, "sess_sink")

@@ -116,6 +116,102 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  // ---- product quantization (PQ) ----------------------------------
+
+  /** PQ encode: split `v` into M contiguous subvectors, emit per
+    * subspace the index of the nearest (L2) codebook centroid.
+    * `codebook` is flat `[(m·K + k)·subDim + d]`. Output: M codes —
+    * 4 bits of information each at K=16, i.e. a 64-float embedding
+    * compresses to 8 small ints (~32× at rest). */
+  def pqEncode(v: ArrayData, codebook: ArrayData, m: Int, k: Int): ArrayData = {
+    val subDim = codebook.numElements() / (m * k)
+    val out = new Array[Long](m)
+    var mm = 0
+    while (mm < m) {
+      var best = 0
+      var bestDist = Double.MaxValue
+      var kk = 0
+      while (kk < k) {
+        var dist = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = v.getDouble(mm * subDim + d) -
+            codebook.getDouble((mm * k + kk) * subDim + d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = kk }
+        kk += 1
+      }
+      out(mm) = best
+      mm += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric distance computation: approximate `dot(query, x)`
+    * from x's codes and the query's per-subspace lookup table
+    * `lut[m·K + k] = dot(query_sub_m, centroid_{m,k})` — M adds per
+    * candidate instead of `dim` multiply-adds. */
+  def adcDot(codes: ArrayData, lut: ArrayData, k: Int): Double = {
+    var s = 0.0
+    var mm = 0
+    val m = codes.numElements()
+    while (mm < m) {
+      s += lut.getDouble(mm * k + codes.getLong(mm).toInt)
+      mm += 1
+    }
+    s
+  }
+
+  case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_pq_encode"
+    override protected def nullSafeEval(v: Any, cb: Any): Any =
+      pqEncode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData], m, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (v, cb) => s"graft.functions.VectorKernels.pqEncode($v, $cb, $m, $k)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqEncode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class AdcDot(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_adc_dot"
+    override protected def nullSafeEval(codes: Any, lut: Any): Any =
+      adcDot(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (c, l) => s"graft.functions.VectorKernels.adcDot($c, $l, $k)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): AdcDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def buildPqEncode(args: Seq[Expression]): Expression = args match {
+    case Seq(v, cb, Literal(m: Int, IntegerType), Literal(k: Int, IntegerType)) =>
+      require(m >= 1 && k >= 1, s"graft_pq_encode: need m,k >= 1 (got $m, $k)")
+      PqEncode(v, cb, m, k)
+    case _ => throw new IllegalArgumentException(
+      "graft_pq_encode(vec, codebook, m, k) — m and k must be int literals")
+  }
+
+  def buildAdcDot(args: Seq[Expression]): Expression = args match {
+    case Seq(c, l, Literal(k: Int, IntegerType)) =>
+      require(k >= 1, s"graft_adc_dot: need k >= 1 (got $k)")
+      AdcDot(c, l, k)
+    case _ => throw new IllegalArgumentException(
+      "graft_adc_dot(codes, lut, k) — k must be an int literal")
+  }
+
   def buildHyperplaneBands(args: Seq[Expression]): Expression = args match {
     case Seq(v, Literal(b: Int, IntegerType)) =>
       // validate at analysis time: a non-divisor would mis-route plane

@@ -229,5 +229,127 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
-  val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf)
+  // ---- product quantization (PQ) ----------------------------------
+
+  val PqM = 16 // subspaces (finer grain buys accuracy at same bytes)
+  val PqK = 16 // centroids per subspace (4-bit codes)
+  val PqSubDim: Int = Dim / PqM
+  val PqShortlist = 20 // ADC shortlist factor before exact re-rank
+
+  /** Train the PQ codebook: seed each subspace's K centroids from
+    * the K lowest-id vectors' subvectors, refine with one Lloyd pass
+    * (assign codes with the codegen'd encoder, recompute per-
+    * (subspace, code, dim) means — ONE shuffle of scalar triples).
+    * Driver holds only M·K·subDim = 1024 doubles — the codebook a
+    * real PQ index trains once and broadcasts. Returns the flat
+    * `[(m·K + k)·subDim + d]` layout the kernels consume. */
+  def pqTrain(corpus: DataFrame): Seq[Double] = {
+    val seeds: Array[Double] = corpus.orderBy("vec_id").limit(PqK)
+      .collect().map(_.getSeq[Double](1))
+      .zipWithIndex
+      .flatMap { case (v, k) => (0 until PqM).map(m => ((m, k), v.slice(m * PqSubDim, (m + 1) * PqSubDim))) }
+      .sortBy { case ((m, k), _) => (m, k) }
+      .flatMap(_._2).toArray
+    val seedLit = typedLit(seeds.toSeq)
+    val coded = corpus.select(col("vec_id"), col("v"),
+      posexplode(call_function("graft_pq_encode", col("v"), seedLit,
+        lit(PqM), lit(PqK))).as(Seq("m", "code")))
+    // per (m, code, d) mean of the assigned subvector components
+    val means = coded
+      .select(col("m"), col("code"),
+        posexplode(slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)))
+          .as(Seq("d", "x")))
+      .groupBy("m", "code", "d").agg(avg("x").as("mu"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1).toInt, r.getInt(2)), r.getDouble(3)))
+      .toMap
+    val flat = seeds.clone()
+    means.foreach { case ((m, k, d), mu) =>
+      flat((m * PqK + k) * PqSubDim + d) = mu
+    } // unused codes keep their seed centroid
+    flat.toSeq
+  }
+
+  /** Unit-normalize so dot == cosine (ADC approximates dot). */
+  private def normalized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), bound(sqrt(aggregate(col("v"), lit(0.0),
+      (acc, x) => acc + x * x))) { n =>
+      transform(col("v"), x => x / n)
+    }.as("v"))
+
+  /** PQ-compressed ANN, two-stage (the production shape): the corpus
+    * is stored as M 4-bit codes per vector (~16× smaller at rest —
+    * the difference between 3 TB of floats and ~190 GB of index at
+    * 10 B embeddings); stage 1 scores EVERY candidate with M table
+    * lookups (ADC) instead of `dim` multiply-adds and keeps a
+    * shortlist of `PqShortlist·k`; stage 2 re-ranks only the
+    * shortlist with exact cosine against the full vectors. Per query
+    * the full-precision corpus is touched `shortlist` times, not n
+    * times. Encode and score are codegen'd kernels. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             codebook: Seq[Double]): DataFrame = {
+    val cbLit = typedLit(codebook)
+    val codes = normalized(corpus).select(col("vec_id"),
+      call_function("graft_pq_encode", col("v"), cbLit,
+        lit(PqM), lit(PqK)).as("codes"))
+    // per-query LUT: lut[m·K + k] = dot(q_sub_m, centroid_{m,k}) —
+    // O(|Q|·M·K·subDim) query-side prep on the (small, broadcast)
+    // query set
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val luts = normalized(queries).collect().map { r =>
+      val q = r.getSeq[Double](1)
+      val lut = new Array[Double](PqM * PqK)
+      var i = 0
+      while (i < PqM * PqK) {
+        val m = i / PqK; val kk = i % PqK
+        var s = 0.0
+        var d = 0
+        while (d < PqSubDim) {
+          s += q(m * PqSubDim + d) * codebook((m * PqK + kk) * PqSubDim + d)
+          d += 1
+        }
+        lut(i) = s
+        i += 1
+      }
+      (r.getLong(0), lut.toSeq)
+    }.toSeq.toDF("query_id", "lut")
+    // stage 1: ADC scan over codes only → shortlist (partial top-N
+    // per partition via WindowGroupLimit, scalars only)
+    val shortlist = codes.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dot",
+        call_function("graft_adc_dot", col("codes"), col("lut"), lit(PqK)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("approx_dot").desc, col("vec_id"))))
+      .filter(col("rn") <= k * PqShortlist)
+      .select(col("query_id"), col("vec_id"))
+    // stage 2: exact re-rank of the shortlist only — joins full
+    // vectors back for shortlist·|Q| rows, never the whole corpus
+    shortlist
+      .join(corpus.withColumnRenamed("vec_id", "cand_id"),
+        col("vec_id") === col("cand_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("v").as("qv"))), "query_id")
+      .withColumn("cos_raw", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_raw").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Double]]()
+
+  val annPq: Op = Op.rowsOnly("ann_pq") { (s, dir) =>
+    val e = emb(s, dir)
+    val key = (dir, new java.io.File(s"$dir/embeddings.parquet").lastModified())
+    val cb = pqCache.computeIfAbsent(key, _ => pqTrain(normalized(e)))
+    pqTopK(e, e.filter(col("vec_id") < NumQueries), TopK, cb)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq)
 }

@@ -44,5 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.functions.VectorKernels.HyperplaneBands.getClass.getName,
         "graft_hyperplane_bands"),
       graft.functions.VectorKernels.buildHyperplaneBands _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(graft.functions.VectorKernels.PqEncode.getClass.getName,
+        "graft_pq_encode"),
+      graft.functions.VectorKernels.buildPqEncode _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc_dot"),
+      new ExpressionInfo(graft.functions.VectorKernels.AdcDot.getClass.getName,
+        "graft_adc_dot"),
+      graft.functions.VectorKernels.buildAdcDot _))
   }
 }

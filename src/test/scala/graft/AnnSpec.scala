@@ -63,6 +63,29 @@ class AnnSpec extends SparkSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
   }
 
+  test("PQ two-stage search: compressed codes + exact re-rank recover brute top-k") {
+    val truth = Similarity.bruteTopK(emb, queries, Similarity.TopK).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cb = Similarity.pqTrain(emb)
+    assert(cb.length == Similarity.PqM * Similarity.PqK * Similarity.PqSubDim)
+    val got = Similarity.pqTopK(emb, queries, Similarity.TopK, cb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    // measured 1.0 at spec scale (shortlist = 20·k of a 500-vector
+    // corpus) and 0.96 at sf0.1 (shortlist 5%); pinned below measured
+    assert(recall >= 0.9, s"PQ recall $recall (expected ~1.0 at this scale)")
+  }
+
+  test("PQ codes are the compressed representation: M small ints per vector") {
+    val cb = Similarity.pqTrain(emb)
+    import org.apache.spark.sql.functions.{call_function, lit, typedLit}
+    val codes = emb.select(call_function("graft_pq_encode", col("v"),
+      typedLit(cb), lit(Similarity.PqM), lit(Similarity.PqK)).as("c")).collect()
+    assert(codes.forall(_.getSeq[Long](0).length == Similarity.PqM))
+    assert(codes.forall(_.getSeq[Long](0).forall(c => c >= 0 && c < Similarity.PqK)),
+      "codes must fit 4 bits (K=16)")
+  }
+
   test("LSH candidates per query stay well below the corpus size") {
     val n = emb.count()
     val cands = Similarity.lshTopK(emb, queries, k = Int.MaxValue).count()

@@ -120,11 +120,19 @@ object VectorKernels {
 
   /** PQ encode: split `v` into M contiguous subvectors, emit per
     * subspace the index of the nearest (L2) codebook centroid.
-    * `codebook` is flat `[(m·K + k)·subDim + d]`. Output: M codes —
-    * 4 bits of information each at K=16, i.e. a 64-float embedding
-    * compresses to 8 small ints (~32× at rest). */
+    * `codebook` is flat `[(m·K + k)·subDim + d]`. Output: M codes of
+    * log2(K) bits each — the logical `array<long>` form; packed for
+    * storage, a 64-float embedding (256 B) becomes M·log2(K)/8 bytes
+    * (8 B at M=16, K=16 → 32×). */
   def pqEncode(v: ArrayData, codebook: ArrayData, m: Int, k: Int): ArrayData = {
     val subDim = codebook.numElements() / (m * k)
+    // loud failures beat unchecked unsafe reads: a mis-sized codebook
+    // truncates subDim silently, a short vector would read off-heap
+    // garbage past numElements
+    require(subDim >= 1 && codebook.numElements() == m * k * subDim,
+      s"pq_encode: codebook length ${codebook.numElements()} != m*k*subDim ($m*$k*$subDim)")
+    require(v.numElements() >= m * subDim,
+      s"pq_encode: vector has ${v.numElements()} dims, need ${m * subDim}")
     val out = new Array[Long](m)
     var mm = 0
     while (mm < m) {
@@ -154,11 +162,15 @@ object VectorKernels {
     * `lut[m·K + k] = dot(query_sub_m, centroid_{m,k})` — M adds per
     * candidate instead of `dim` multiply-adds. */
   def adcDot(codes: ArrayData, lut: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    require(lut.numElements() >= m * k,
+      s"adc_dot: lut has ${lut.numElements()} entries, need ${m * k}")
     var s = 0.0
     var mm = 0
-    val m = codes.numElements()
     while (mm < m) {
-      s += lut.getDouble(mm * k + codes.getLong(mm).toInt)
+      val code = codes.getLong(mm).toInt
+      require(code >= 0 && code < k, s"adc_dot: code $code out of [0, $k)")
+      s += lut.getDouble(mm * k + code)
       mm += 1
     }
     s

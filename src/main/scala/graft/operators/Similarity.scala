@@ -269,17 +269,20 @@ object Similarity {
     flat.toSeq
   }
 
-  /** Unit-normalize so dot == cosine (ADC approximates dot). */
-  private def normalized(df: DataFrame): DataFrame =
+  /** Unit-normalize so dot == cosine (ADC approximates dot). Public:
+    * specs must train/encode through the same normalization the
+    * operator uses. */
+  def unitNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), bound(sqrt(aggregate(col("v"), lit(0.0),
       (acc, x) => acc + x * x))) { n =>
       transform(col("v"), x => x / n)
     }.as("v"))
 
   /** PQ-compressed ANN, two-stage (the production shape): the corpus
-    * is stored as M 4-bit codes per vector (~16× smaller at rest —
-    * the difference between 3 TB of floats and ~190 GB of index at
-    * 10 B embeddings); stage 1 scores EVERY candidate with M table
+    * is stored as M 4-bit codes per vector (packed: 8 B vs 256 B of
+    * floats, ~32× — the difference between a 3 TB and a ~100 GB
+    * index at 10 B embeddings; the in-plan `array<long>` is the
+    * logical form); stage 1 scores EVERY candidate with M table
     * lookups (ADC) instead of `dim` multiply-adds and keeps a
     * shortlist of `PqShortlist·k`; stage 2 re-ranks only the
     * shortlist with exact cosine against the full vectors. Per query
@@ -288,7 +291,7 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              codebook: Seq[Double]): DataFrame = {
     val cbLit = typedLit(codebook)
-    val codes = normalized(corpus).select(col("vec_id"),
+    val codes = unitNorm(corpus).select(col("vec_id"),
       call_function("graft_pq_encode", col("v"), cbLit,
         lit(PqM), lit(PqK)).as("codes"))
     // per-query LUT: lut[m·K + k] = dot(q_sub_m, centroid_{m,k}) —
@@ -296,7 +299,7 @@ object Similarity {
     // query set
     val spark = corpus.sparkSession
     import spark.implicits._
-    val luts = normalized(queries).collect().map { r =>
+    val luts = unitNorm(queries).collect().map { r =>
       val q = r.getSeq[Double](1)
       val lut = new Array[Double](PqM * PqK)
       var i = 0
@@ -346,7 +349,7 @@ object Similarity {
   val annPq: Op = Op.rowsOnly("ann_pq") { (s, dir) =>
     val e = emb(s, dir)
     val key = (dir, new java.io.File(s"$dir/embeddings.parquet").lastModified())
-    val cb = pqCache.computeIfAbsent(key, _ => pqTrain(normalized(e)))
+    val cb = pqCache.computeIfAbsent(key, _ => pqTrain(unitNorm(e)))
     pqTopK(e, e.filter(col("vec_id") < NumQueries), TopK, cb)
       .orderBy("query_id", "neighbor_id")
   }

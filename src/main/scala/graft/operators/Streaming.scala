@@ -81,7 +81,11 @@ object Streaming {
     * proves the streaming maintenance — including a replayed
     * micro-batch — converges to the same rows. Exact decimal sums
     * make "incremental result == batch result" an equality, not an
-    * approximation. */
+    * approximation. (The per-row DOUBLE→DECIMAL(12,2) cast is exact
+    * on this dataset — event values carry exactly 2 decimals, so no
+    * rounding happens on either engine; for arbitrary-precision
+    * inputs that cast would sit on the cross-engine rounding
+    * boundary SURVEY §5 warns about.) */
   val streamMatview: Op = Op.sql("stream_matview",
     """SELECT user_id, count(*) AS n_events,
       |  CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS sum_value

@@ -176,23 +176,34 @@ object Streams {
     val updated =
       if (priorDirs.isEmpty) delta
       else {
+        // prior state for the DELTA'S KEYS ONLY: semi-join the runs
+        // before merging (the KVTable.get pattern) — the step costs
+        // O(delta), not O(total keys), as a per-key upsert must
         val prev = graft.kv.KVTable(
           spark.read.option("recursiveFileLookup", "true")
-            .parquet(priorDirs: _*), "user_id", "seq", "tombstone")
+            .parquet(priorDirs: _*)
+            .join(broadcast(delta.select("user_id")), Seq("user_id"), "left_semi"),
+          "user_id", "seq", "tombstone")
           .merged()
           .select(col("user_id"), col("n_events").as("prev_n"),
             col("sum_value").as("prev_sum"))
+        val zero = lit(BigDecimal(0)).cast("decimal(22,2)")
         delta.join(prev, Seq("user_id"), "left")
           .select(col("user_id"),
             (col("n_events") + coalesce(col("prev_n"), lit(0L))).as("n_events"),
-            (col("sum_value") + coalesce(col("prev_sum"),
-              lit(BigDecimal(0)).cast("decimal(22,2)")))
-              .cast("decimal(22,2)").as("sum_value"))
+            // SQL sum-ignoring-nulls semantics: both sides null stays
+            // null (a user that has only null values so far); one
+            // null side contributes zero instead of nulling the total
+            when(col("sum_value").isNull && col("prev_sum").isNull,
+              lit(null).cast("decimal(22,2)"))
+              .otherwise((coalesce(col("sum_value"), zero) +
+                coalesce(col("prev_sum"), zero)).cast("decimal(22,2)"))
+              .as("sum_value"))
       }
-    updated
-      .select(col("user_id"), lit(batchId).as("seq"),
-        lit(false).as("tombstone"), col("n_events"), col("sum_value"))
-      .write.mode("overwrite").parquet(s"$runsDir/run-$batchId")
+    ingestBatch(
+      updated.select(col("user_id"), lit(batchId).as("seq"),
+        lit(false).as("tombstone"), col("n_events"), col("sum_value")),
+      runsDir, batchId)
   }
 
   /** Continuous maintenance of the view from a raw event stream. */

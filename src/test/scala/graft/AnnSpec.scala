@@ -66,7 +66,8 @@ class AnnSpec extends SparkSuite {
   test("PQ two-stage search: compressed codes + exact re-rank recover brute top-k") {
     val truth = Similarity.bruteTopK(emb, queries, Similarity.TopK).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val cb = Similarity.pqTrain(emb)
+    // train through the SAME normalization the ann_pq operator uses
+    val cb = Similarity.pqTrain(Similarity.unitNorm(emb))
     assert(cb.length == Similarity.PqM * Similarity.PqK * Similarity.PqSubDim)
     val got = Similarity.pqTopK(emb, queries, Similarity.TopK, cb).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -77,7 +78,7 @@ class AnnSpec extends SparkSuite {
   }
 
   test("PQ codes are the compressed representation: M small ints per vector") {
-    val cb = Similarity.pqTrain(emb)
+    val cb = Similarity.pqTrain(Similarity.unitNorm(emb))
     import org.apache.spark.sql.functions.{call_function, lit, typedLit}
     val codes = emb.select(call_function("graft_pq_encode", col("v"),
       typedLit(cb), lit(Similarity.PqM), lit(Similarity.PqK)).as("c")).collect()

@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, KV, Layout, Multimodal, Pipeline, RangeJoin, Relational, Similarity, Sketches, Streaming, TextAnalysis}
+import graft.operators.{Analytics, Dedup, KV, Layout, Multimodal, Pipeline, RangeJoin, Relational, Similarity, Sketches, Streaming, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
   /** All implemented operators, one Op per SURVEY §2 row. */
   def ops: Seq[Op] = Relational.all ++ KV.all ++ Dedup.all ++
     Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++ Streaming.all ++
-    RangeJoin.all ++ Sketches.all ++ Pipeline.all ++ Layout.all
+    RangeJoin.all ++ Sketches.all ++ Pipeline.all ++ Layout.all ++ Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

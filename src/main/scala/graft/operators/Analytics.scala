@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Analytical-SQL surface beyond the reference's executor set:
+  * grouping-set variants, pivot, lateral explode, window frames,
+  * ordered list aggregation and exact quantiles — the shapes a
+  * warehouse user reaches for next once the §2.1 core exists. All
+  * follow the SURVEY §5 determinism rules (decimal-before-sum,
+  * explicit ORDER BY, identical aliases both sides).
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** CUBE: all 2^k grouping sets from ONE scan + ONE shuffle — Spark
+    * expands grouping sets map-side exactly like ROLLUP (q37), so at
+    * 100 TB the fact table is read once, not once per level. */
+  val q40Cube: Op = Op.sql("q40_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** PIVOT: event counts per day, one column per event type. The
+    * value set is pinned (never inferred — inference would add a
+    * driver-side distinct job over 100 TB); count() over a missing
+    * (day, type) cell is NULL in Spark's pivot and 0 in a FILTER
+    * aggregate, so coalesce pins the contract. One hash-agg shuffle
+    * on the day key. */
+  val q41Pivot: Op = Op.sql("q41_pivot",
+    """SELECT CAST(ts AS DATE) AS d,
+      |  count(*) FILTER (event_type = 'click')    AS click,
+      |  count(*) FILTER (event_type = 'error')    AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup')   AS signup,
+      |  count(*) FILTER (event_type = 'view')     AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("d"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("d") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy("d")
+  }
+
+  /** Lateral explode (reference has no UNNEST; Spark's generator is
+    * the idiom): token-length histogram over the corpus. explode is
+    * NARROW — each input row fans out within its partition, no
+    * shuffle until the final small agg, so it composes with 100 TB
+    * scans freely. */
+  val q42Explode: Op = Op.sql("q42_explode",
+    """SELECT len(tok) AS tok_len, count(*) AS n
+      |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+      |WHERE tok <> '' GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(length(col("tok")).cast("bigint").as("tok_len"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tok_len")
+  }
+
+  /** Window FRAMES (q22 covers ranking; this covers running/sliding
+    * aggregates): per-customer running total, 3-row moving sum, and
+    * lag — the order-book/time-series shapes. Frame sums add in
+    * frame order on both engines, but inputs are cast to DECIMAL
+    * anyway so sliding-window re-aggregation can never drift. One
+    * shuffle on the partition key; frames evaluate within partitions. */
+  val q43WindowFrames: Op = Op.sql("q43_window_frames",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_run AS DECIMAL(18,2)) AS run_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_mov AS DECIMAL(18,2)) AS mov_sum,
+      |  CAST(lag(o_totalprice) OVER w_ord AS DECIMAL(18,2)) AS prev_price
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW
+      |  w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w_run AS (w_ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w_mov AS (w_ord ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val priceD = col("o_totalprice").cast("decimal(12,2)")
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(priceD).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(18,2)").as("run_sum"),
+        sum(priceD).over(ord.rowsBetween(-2, Window.currentRow))
+          .cast("decimal(18,2)").as("mov_sum"),
+        lag(col("o_totalprice"), 1).over(ord).cast("decimal(18,2)").as("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Ordered list aggregation (LISTAGG/string_agg): suppliers per
+    * nation as a sorted comma list. Expressed as
+    * sort-after-collect so the result is independent of partition
+    * arrival order — the only way a distributive string agg can be
+    * deterministic. Group payload (≤ suppliers per nation) bounds
+    * memory, not corpus size. */
+  val q44Listagg: Op = Op.sql("q44_listagg",
+    """SELECT n_name, count(*) AS n_suppliers,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"))
+      .orderBy("n_name")
+  }
+
+  /** EXACT quantiles at scale: median and p90 per group via
+    * rank-select (one sort shuffle, partial-aggregated count join),
+    * NOT a quantile() function — engines disagree on interpolation,
+    * but "the value at rank ceil(q·n)" is a pure integer contract
+    * both compute identically. This is also the shape that scales:
+    * sorting within hash-partitioned groups is exactly what the
+    * shuffle already does. */
+  val q45ExactQuantiles: Op = Op.sql("q45_exact_quantiles",
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+      |    count(*)    OVER (PARTITION BY l_returnflag) AS cnt
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN l_quantity END) AS p50,
+      |  min(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN l_quantity END) AS p90,
+      |  max(cnt) AS n
+      |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val byFlag = Window.partitionBy("l_returnflag")
+    val ranked = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        row_number().over(byFlag.orderBy("l_quantity")).as("rn"),
+        count(lit(1)).over(byFlag).as("cnt"))
+    ranked.groupBy("l_returnflag")
+      .agg(
+        min(when(col("rn") === ceil(col("cnt") * 0.5).cast("bigint"), col("l_quantity"))).as("p50"),
+        min(when(col("rn") === ceil(col("cnt") * 0.9).cast("bigint"), col("l_quantity"))).as("p90"),
+        max(col("cnt")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
+    q44Listagg, q45ExactQuantiles)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Semantic invariants for the analytical-SQL family (the DuckDB
+  * oracle checks exact values; these pin the internal consistency
+  * properties that must hold at any scale). */
+class AnalyticsSpec extends SparkSuite {
+
+  test("cube grand total equals table count and level sums are consistent") {
+    val rows = Analytics.q40Cube.run(spark, sfDir).collect()
+    val total = Tables.load(spark, sfDir, "orders").count()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == total)
+    // each one-dim marginal also sums to the total
+    val byStatus = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2)).sum
+    val byPrio = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1)).map(_.getLong(2)).sum
+    assert(byStatus == total && byPrio == total)
+  }
+
+  test("pivot cells sum to the event count, no null cells") {
+    val df = Analytics.q41Pivot.run(spark, sfDir)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cells = df.select(types.map(c => sum(col(c)).cast("long")): _*).head()
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(types.indices.map(cells.getLong).sum == total)
+    types.foreach(c => assert(df.filter(col(c).isNull).isEmpty))
+  }
+
+  test("explode token-length histogram covers every non-empty token") {
+    val df = Analytics.q42Explode.run(spark, sfDir)
+    val n = df.agg(sum("n")).head().getLong(0)
+    val expected = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").count()
+    assert(n == expected)
+    assert(df.filter(col("tok_len") <= 0).isEmpty)
+  }
+
+  test("window frames: moving sum bounded by running sum, lag null only on first row") {
+    val df = Analytics.q43WindowFrames.run(spark, sfDir)
+    assert(df.filter(col("mov_sum") > col("run_sum")).isEmpty)
+    // exactly one null prev_price per customer (the frame's first row)
+    val nullsPerCust = df.groupBy("o_custkey")
+      .agg(sum(when(col("prev_price").isNull, 1L).otherwise(0L)).as("n"))
+    assert(nullsPerCust.filter(col("n") =!= 1L).isEmpty)
+  }
+
+  test("listagg list size matches the count and is sorted") {
+    val rows = Analytics.q44Listagg.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val items = r.getString(2).split(",").toSeq
+      assert(items.length == r.getLong(1))
+      assert(items == items.sorted)
+    }
+  }
+
+  test("exact quantiles sit at the right ranks") {
+    val rows = Analytics.q45ExactQuantiles.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.load(spark, sfDir, "lineitem").cache()
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val (p50, p90, n) = (r.getDouble(1), r.getDouble(2), r.getLong(3))
+      val group = li.filter(col("l_returnflag") === flag)
+      assert(group.count() == n)
+      // rank contract: #(values <= p50) >= ceil(n/2), #(values < p50) < ceil(n/2)
+      val le50 = group.filter(col("l_quantity") <= p50).count()
+      val lt50 = group.filter(col("l_quantity") < p50).count()
+      assert(le50 >= math.ceil(n * 0.5).toLong && lt50 < math.ceil(n * 0.5).toLong)
+      val le90 = group.filter(col("l_quantity") <= p90).count()
+      val lt90 = group.filter(col("l_quantity") < p90).count()
+      assert(le90 >= math.ceil(n * 0.9).toLong && lt90 < math.ceil(n * 0.9).toLong)
+      assert(p50 <= p90)
+    }
+    li.unpersist()
+  }
+}

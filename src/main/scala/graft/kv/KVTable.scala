@@ -88,6 +88,35 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
     * cluster), which is what makes future point reads prune. */
   def compacted(): DataFrame = merged().orderBy(keyCol)
 
+  /** Leveled (partial) compaction, reference `compaction/`'s level
+    * picker: fold only the runs with `seq <= upToSeq` (the OLD end of
+    * the log — in LSM terms, everything at and below the chosen
+    * level) into one run, leaving younger runs untouched. The merged
+    * read over [compacted-prefix ∪ young runs] is identical to the
+    * original because latest-wins is prefix-stable: a key whose
+    * overall winner is young is overridden regardless of what the
+    * prefix folded to, and a key whose overall winner is old gets
+    * exactly the prefix-merge result.
+    *
+    * Tombstones ARE dropped here — safe only because the compacted
+    * prefix includes the bottom of the tree (there is no older run
+    * left that a dropped tombstone still needed to shadow). This is
+    * the same rule the reference applies: deletes are erased only in
+    * a bottom-level compaction. A mid-level fold would have to keep
+    * them; [[merged]] with the tombstone filter removed would express
+    * that variant.
+    *
+    * At scale this is the whole point of leveling: compaction I/O is
+    * proportional to the chosen prefix, not the table, so write
+    * amplification is tunable while reads stay a single latest-wins
+    * merge. */
+  def compactedUpTo(upToSeq: Long): KVTable = {
+    val prefix = copy(runs = runs.filter(col(seqCol) <= upToSeq)).merged()
+      .withColumn(tombstoneCol, lit(false))
+    val young = runs.filter(col(seqCol) > upToSeq)
+    copy(runs = prefix.unionByName(young))
+  }
+
   /** Compaction write path: materialize the merged view as
     * `numRanges` key-range-clustered parquet runs (the Spark analog
     * of the reference's leveled output: disjoint key ranges per

@@ -96,6 +96,18 @@ object KV {
       .merged().orderBy("key")
   }
 
+  /** Leveled compaction preserves read semantics: fold the old 60% of
+    * the log into one run, keep young runs, read back — the oracle is
+    * the plain full merge over the ORIGINAL log, so the hash check
+    * proves the partial fold changed nothing. */
+  val kvLeveledCompact: Op = Op.sql("kv_leveled_compact",
+    s"""WITH $kvCte
+       |SELECT * FROM ${mergeSql("kv")} ORDER BY key""".stripMargin) { (s, dir) =>
+    val t = kv(s, dir)
+    val cut = t.runs.agg(floor(max("seq") * 0.6).cast("bigint")).head().getLong(0)
+    t.compactedUpTo(cut).compacted()
+  }
+
   val all: Seq[Op] = Seq(kvPointGet, kvRangeScan, kvCompact,
-    kvSnapshotRead, kvWriteBatch)
+    kvSnapshotRead, kvWriteBatch, kvLeveledCompact)
 }

@@ -100,4 +100,28 @@ class KVSpec extends SparkSuite {
       .compacted()
     assert(compacted.collect().toSeq == recompacted.collect().toSeq)
   }
+
+  test("leveled compaction preserves the merged view at every cut point") {
+    import spark.implicits._
+    // the adversarial interleavings: delete-then-reinsert across the
+    // cut, delete entirely inside the prefix, value old / delete young
+    val runs = Seq(
+      (1L, 1L, false, 10.0), // k1 old value
+      (2L, 2L, false, 20.0), // k2 old value
+      (2L, 3L, true, 0.0),   // k2 deleted in prefix
+      (3L, 4L, false, 30.0), // k3 old value
+      (1L, 5L, true, 0.0),   // k1 deleted young (cut<5) or in prefix (cut>=5)
+      (2L, 6L, false, 22.0), // k2 re-inserted over its tombstone
+      (4L, 7L, false, 40.0)  // k4 young insert
+    ).toDF("key", "seq", "tombstone", "v")
+    val table = KVTable(runs, "key", "seq", "tombstone")
+    val want = table.merged().orderBy("key").collect().toSeq
+    (0L to 8L).foreach { cut =>
+      val got = table.compactedUpTo(cut).merged().orderBy("key").collect().toSeq
+      assert(got == want, s"cut=$cut changed the merged view")
+    }
+    // and the prefix really folded: at cut=4, runs = 2 surviving
+    // prefix keys (k1, k3 — k2's tombstone erased it) + 3 young rows
+    assert(table.compactedUpTo(4L).runs.count() == 5)
+  }
 }

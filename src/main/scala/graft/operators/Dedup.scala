@@ -289,6 +289,63 @@ object Dedup {
       .orderBy("keep_doc", "keep_line")
   }
 
+  /** Train/eval CONTAMINATION check (the benchmark-leakage audit every
+    * LLM data pipeline must run before training): word-5-gram overlap
+    * between a held-out eval slice (`doc_id % 50 = 0`) and the train
+    * remainder. 5-grams are built with codegen'd `lead` windows over
+    * positional tokens (never an interpreted HOF, SURVEY §4.1), the
+    * train side is reduced to DISTINCT n-grams before the probe join,
+    * and the ratio is a raw int/int division (bit-identical across
+    * engines, §5).
+    *
+    * Scale: the probe join is keyed on the n-gram itself here so the
+    * DuckDB oracle can replay it verbatim; at 100 TB you key on
+    * `md5(ngram)` instead (fixed 16-byte shuffle keys, same answer)
+    * and bloom-prune the train side — the shape (explode → window →
+    * distinct → keyed join) is unchanged. Eval is tiny relative to
+    * train, so the join broadcasts the eval n-gram set. */
+  val dedupContamination: Op = Op.sql("dedup_contamination",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(text, '\s+')) AS tok,
+      |    unnest(range(len(string_split_regex(text, '\s+')))) AS pos
+      |  FROM documents),
+      |ng AS (
+      |  SELECT doc_id, tok || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 AS ng
+      |  FROM (SELECT doc_id, tok,
+      |          lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
+      |          lead(tok, 3) OVER w AS l3, lead(tok, 4) OVER w AS l4
+      |        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |  WHERE l4 IS NOT NULL),
+      |ev AS (SELECT DISTINCT doc_id, ng FROM ng WHERE doc_id % 50 = 0),
+      |tr AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 50 <> 0)
+      |SELECT ev.doc_id, count(*) AS n_ngrams, count(tr.ng) AS n_hit,
+      |       CAST(count(tr.ng) AS DOUBLE) / count(*) AS ratio
+      |FROM ev LEFT JOIN tr ON ev.ng = tr.ng
+      |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir).select(col("doc_id"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val ngrams = toks
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"),
+          lead("tok", 1).over(w), lead("tok", 2).over(w),
+          lead("tok", 3).over(w), lead("tok", 4).over(w)).as("ng"),
+        lead("tok", 4).over(w).isNotNull.as("full"))
+      .filter(col("full")) // concat_ws skips NULLs — drop tail stubs explicitly
+    val ev = ngrams.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select("doc_id", "ng").distinct()
+    val tr = ngrams.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select("ng").distinct().withColumn("hit", lit(1L))
+    ev.join(tr, Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_ngrams")).as("ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
-    dedupSimhash, dedupEmbedding, dedupLines)
+    dedupSimhash, dedupEmbedding, dedupLines, dedupContamination)
 }

@@ -294,7 +294,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sequence PACKING for training (concat-and-chunk): documents are
+    * laid end-to-end in a deterministic order and the token stream is
+    * cut into fixed 512-token context windows; each doc reports the
+    * chunk range it lands in. The order is (md5(text), doc_id) WITHIN
+    * each source — content-addressed like split-assign, so the packing
+    * is stable under repartitioning/re-ingestion, and the window
+    * partitions by `source`, so at 100 TB the cumulative sum runs per
+    * shard in parallel (a single global running sum would serialize;
+    * real pipelines shard exactly like this, one stream per
+    * source/worker). Offsets are one codegen'd prefix-sum window —
+    * no HOFs, no driver loop. */
+  val textPackSequences: Op = Op.sql("text_pack_sequences",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    len(string_split_regex(text, '\s+')) AS n_tokens,
+      |    md5(text) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS chunk_first,
+      |  CAST(floor((cum - 1) / 512) AS BIGINT) AS chunk_last
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / 512).cast("bigint").as("chunk_first"),
+        floor((col("cum") - 1) / 512).cast("bigint").as("chunk_last"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
-    textTopterms, textEditdist)
+    textTopterms, textEditdist, textPackSequences)
 }

@@ -46,4 +46,29 @@ class TextSpec extends SparkSuite {
     assert(n == 500)
     assert(out.filter(col("pred_lang").isNull).count() == 0)
   }
+
+  test("sequence packing: gapless token stream per source, stable chunk ranges") {
+    val rows = TextAnalysis.textPackSequences.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4), "chunk_first > chunk_last")
+    }
+    // per source: token stream is gapless — first chunk is 0 and the
+    // last doc's chunk_last is exactly floor((sum(tokens)-1)/512)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val total = rs.map(_.getLong(2)).sum
+      assert(rs.map(_.getLong(3)).min == 0L)
+      assert(rs.map(_.getLong(4)).max == (total - 1) / 512)
+    }
+  }
+
+  test("contamination: hits bounded by n-grams, ratio is the exact quotient") {
+    val rows = graft.operators.Dedup.dedupContamination.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hit, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(hit >= 0 && hit <= n)
+      assert(ratio == hit.toDouble / n)
+    }
+  }
 }

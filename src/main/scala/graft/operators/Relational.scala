@@ -392,6 +392,41 @@ object Relational {
     ManagedTables.read(s, "graft_t1").orderBy("v1")
   }
 
+  /** Copy-on-write DML on a managed table: MERGE (update 1/3 of the
+    * rows, insert fresh keys) then DELETE a predicate, select back
+    * from disk. The oracle replays the identical relational algebra
+    * (anti-join ∪ updates, then filter) straight off the source
+    * parquet — so the hash check proves the staged rewrite path
+    * produced exactly the algebraic result. */
+  val q46MergeUpsert: Op = Op.sql("q46_merge_upsert",
+    """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice
+      |           FROM orders WHERE o_custkey < 100),
+      |u AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      |      FROM t WHERE o_orderkey % 3 = 0
+      |      UNION ALL
+      |      SELECT o_orderkey + 50000000, o_custkey, CAST(77777.25 AS DOUBLE)
+      |      FROM t WHERE o_orderkey % 7 = 0),
+      |m AS (SELECT t.* FROM t
+      |      WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = t.o_orderkey)
+      |      UNION ALL SELECT * FROM u)
+      |SELECT * FROM m WHERE NOT (o_totalprice < 50000)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    ManagedTables.drop("graft_m1")
+    ManagedTables.create(s, "graft_m1", base.schema)
+    ManagedTables.insert(s, "graft_m1", base)
+    val updates = base.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+          col("o_custkey"), lit(77777.25).as("o_totalprice")))
+    ManagedTables.merge(s, "graft_m1", updates, "o_orderkey")
+    ManagedTables.delete(s, "graft_m1", col("o_totalprice") < 50000)
+    ManagedTables.read(s, "graft_m1").orderBy("o_orderkey")
+  }
+
   private val csvPath = "/root/repo/target/graft_csv/nation.csv"
 
   val q24ReadCsv: Op = Op.sql("q24_read_csv",
@@ -613,5 +648,5 @@ object Relational {
     q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
     q33SkewSaltedJoin, q36JsonExtract, q37Rollup, q38IntegrityAudit,
-    q39Histogram)
+    q39Histogram, q46MergeUpsert)
 }

@@ -66,6 +66,60 @@ object ManagedTables {
            wh: String = defaultWarehouse): DataFrame =
     spark.read.parquet(dir(wh, name))
 
+  /** MERGE (upsert) INTO name: rows in `updates` replace stored rows
+    * with the same key; unmatched update rows are inserted. Copy-on-
+    * write over immutable files — the survivors (stored rows whose
+    * key has no update) are computed with one LEFT ANTI join, unioned
+    * with the updates, and rewritten. `updates` must carry one row
+    * per key (enforced — "multiple matches" is an error in every
+    * MERGE dialect rather than a nondeterministic pick).
+    *
+    * Scale: the anti join shuffles on the key like any equi-join
+    * (broadcast when the update batch is small — the common case);
+    * the rewrite cost is O(table), which is what copy-on-write means.
+    * Workloads with frequent small upserts should use the KV run
+    * layout ([[graft.kv.KVTable]]) — merge-on-read there, rewrite
+    * here — exactly the LSM-vs-warehouse split the reference draws. */
+  def merge(spark: SparkSession, name: String, updates: DataFrame,
+            keyCol: String, wh: String = defaultWarehouse): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dupKeys = updates.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"MERGE into '$name': update batch has duplicate key ${dupKeys.headOption.map(_.get(0))}")
+    val stored = read(spark, name, wh)
+    require(stored.columns.sameElements(updates.columns),
+      s"MERGE into '$name': update schema ${updates.columns.mkString(",")} != stored ${stored.columns.mkString(",")}")
+    val next = stored.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(stored.columns.map(col).toSeq: _*)
+      .unionByName(updates)
+    rewrite(spark, name, next, wh)
+  }
+
+  /** DELETE FROM name WHERE predicate: copy-on-write retain of the
+    * complement (NULL predicate rows are kept — SQL DELETE only
+    * removes rows where the predicate is TRUE). */
+  def delete(spark: SparkSession, name: String,
+             predicate: org.apache.spark.sql.Column,
+             wh: String = defaultWarehouse): Unit = {
+    import org.apache.spark.sql.functions.coalesce
+    import org.apache.spark.sql.functions.lit
+    val stored = read(spark, name, wh)
+    rewrite(spark, name, stored.filter(!coalesce(predicate, lit(false))), wh)
+  }
+
+  /** Copy-on-write rewrite: materialize to a staging dir first, then
+    * swap — the table directory never holds a half-written state (the
+    * object-store analog is write-new-prefix + pointer flip). */
+  private def rewrite(spark: SparkSession, name: String, next: DataFrame,
+                      wh: String): Unit = {
+    val staging = dir(wh, s"$name.__staging")
+    next.write.mode("overwrite").parquet(staging)
+    drop(name, wh)
+    require(new java.io.File(staging).renameTo(new java.io.File(dir(wh, name))),
+      s"table rewrite swap failed for '$name'")
+  }
+
   /** DROP TABLE IF EXISTS name. */
   def drop(name: String, wh: String = defaultWarehouse): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -80,6 +134,7 @@ object ManagedTables {
   def tables(wh: String = defaultWarehouse): Seq[String] = {
     val root = new java.io.File(wh)
     if (!root.exists()) Seq.empty
-    else root.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+    else root.listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_.endsWith(".__staging")).toSeq.sorted
   }
 }

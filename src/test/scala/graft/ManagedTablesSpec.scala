@@ -67,4 +67,38 @@ class ManagedTablesSpec extends SparkSuite {
     ManagedTables.drop("t_gone", wh)
     assert(!ManagedTables.tables(wh).contains("t_gone"))
   }
+
+  test("merge upserts matched keys, inserts fresh ones; delete keeps NULL-predicate rows") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    ManagedTables.create(spark, "t_dml", schema, wh)
+    ManagedTables.insert(spark, "t_dml",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), wh)
+    ManagedTables.merge(spark, "t_dml",
+      Seq((2L, "B"), (4L, "d")).toDF("k", "s"), "k", wh)
+    val afterMerge = ManagedTables.read(spark, "t_dml", wh)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(afterMerge.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // NULL predicate (s = NULL row) must be KEPT by delete
+    ManagedTables.merge(spark, "t_dml", Seq((5L, null: String)).toDF("k", "s"), "k", wh)
+    ManagedTables.delete(spark, "t_dml", col("s") === "B", wh)
+    val afterDelete = ManagedTables.read(spark, "t_dml", wh)
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(afterDelete.toSeq == Seq(1L, 3L, 4L, 5L))
+    // no staging residue, and the table survives as plain files
+    assert(!ManagedTables.tables(wh).exists(_.contains("__staging")))
+    assert(!new java.io.File(s"$wh/t_dml.__staging").exists())
+  }
+
+  test("merge rejects a duplicate-key update batch before any write") {
+    import spark.implicits._
+    ManagedTables.create(spark, "t_dup", schema, wh)
+    ManagedTables.insert(spark, "t_dup", Seq((1L, "a")).toDF("k", "s"), wh)
+    intercept[IllegalArgumentException] {
+      ManagedTables.merge(spark, "t_dup",
+        Seq((1L, "x"), (1L, "y")).toDF("k", "s"), "k", wh)
+    }
+    val back = ManagedTables.read(spark, "t_dup", wh).collect()
+    assert(back.length == 1 && back.head.getString(1) == "a")
+  }
 }

@@ -78,4 +78,30 @@ class PlanAuditSpec extends SparkSuite {
         s"$q: candidate generation degenerated to an unkeyed join")
     }
   }
+
+  test("z-order layout: every file's 2-D bounding box is a fraction of the space") {
+    import org.apache.spark.sql.functions._
+    graft.operators.Layout.writeZordered(spark, sfDir)
+    val files = new java.io.File("/root/repo/target/graft_orders_zorder")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4, "expected multiple z-range files")
+    def box(df: org.apache.spark.sql.DataFrame): (Long, Long, Int, Int) = {
+      val r = df.agg(min("o_custkey"), max("o_custkey"),
+        min(datediff(col("d"), lit("1992-01-01").cast("date"))),
+        max(datediff(col("d"), lit("1992-01-01").cast("date")))).head()
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+    }
+    val (gx0, gx1, gy0, gy1) = box(spark.read.parquet("/root/repo/target/graft_orders_zorder"))
+    val gArea = (gx1 - gx0 + 1).toDouble * (gy1 - gy0 + 1)
+    val fracs = files.map { f =>
+      val (x0, x1, y0, y1) = box(spark.read.parquet(f.getAbsolutePath))
+      (x1 - x0 + 1).toDouble * (y1 - y0 + 1) / gArea
+    }
+    val avg = fracs.sum / fracs.length
+    // a linear custkey sort would put the FULL date range in every
+    // file (avg ≈ 1/nFiles in one dim but 1.0 in the other); z-order
+    // bounds both dims at once
+    assert(avg < 0.4, f"files cover $avg%.2f of the (custkey × day) space on average")
+    fracs.foreach(fr => assert(fr < 0.7, f"one file spans $fr%.2f of the space"))
+  }
 }

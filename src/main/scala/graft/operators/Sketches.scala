@@ -51,5 +51,29 @@ object Sketches {
     profile(Tables.load(s, dir, "lineitem"))
   }
 
-  val all: Seq[Op] = Seq(statsSketch)
+  import graft.functions.CountMin
+
+  private val CmsD = 4
+  private val CmsW = 2048
+
+  /** Heavy hitters via count-min sketch ([[graft.functions.CountMin]]):
+    * ONE d×w matrix summarizes the whole key stream (partials merge
+    * as flat adds — parallelism is free, unlike quantile summaries
+    * above), then the exact top-10 keys are probed against it. The
+    * exact side exists to expose the estimator's guarantee in the
+    * output (`n_est ≥ n_exact`, bounded over-count) — in production
+    * only the sketch pass runs. Probe is codegen'd builtins over the
+    * broadcast sketch. */
+  val statsCountmin: Op = Op.rowsOnly("stats_countmin") { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").select(col("user_id"))
+    val sk = ev.agg(CountMin.sketchCol(col("user_id"), CmsD, CmsW).as("sk"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), col("user_id")).limit(10)
+    top.crossJoin(broadcast(sk))
+      .select(col("user_id"), col("n_exact"),
+        CountMin.estimateCol(col("sk"), col("user_id"), CmsD, CmsW).as("n_est"))
+      .orderBy(desc("n_exact"), col("user_id"))
+  }
+
+  val all: Seq[Op] = Seq(statsSketch, statsCountmin)
 }

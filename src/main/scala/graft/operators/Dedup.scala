@@ -346,6 +346,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: each round every node takes the minimum
+    * label in its neighborhood (one keyed join + one min-aggregate —
+    * both plain shuffles on node id), until a fixpoint. Rounds ≈
+    * graph diameter; duplicate graphs are near-clique, so 2-3 rounds
+    * in practice. `localCheckpoint` truncates the loop's lineage
+    * (without it the plan doubles every round). At extreme scale the
+    * large-star/small-star variant (Kiveris et al.) halves round
+    * count; the per-round dataflow is identical to this one.
+    *
+    * The driver holds only the convergence COUNTER — labels
+    * themselves never leave the cluster. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.toDF("a", "b")
+      .unionAll(edges.toDF("b", "a").select("a", "b"))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("label"))
+      val next = labels.unionByName(neighborMin)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
+
+  /** Duplicate-cluster assignment — the step that turns near-dup
+    * PAIRS into an actionable dedup decision (keep the minimum id
+    * per cluster, drop the rest). Pairs come from the exact-dup
+    * corpus' content-hash join; components come from
+    * [[connectedComponents]]. The oracle recomputes cluster ids
+    * independently as `min(doc_id) per identical text` — valid
+    * because exact-dup groups are cliques — so the propagation
+    * machinery is checked end-to-end against SQL. */
+  val dedupCluster: Op = Op.sql("dedup_cluster",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+      |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+      |       doc_id = min(doc_id) OVER (PARTITION BY text) AS keep
+      |FROM corpus ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val corpus = corpusExact(s, dir)
+    val hashed = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val edges = hashed.as("l").join(hashed.as("r"), col("l.h") === col("r.h"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    val labels = connectedComponents(edges)
+    corpus.select("doc_id")
+      .join(labels, corpus("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
-    dedupSimhash, dedupEmbedding, dedupLines, dedupContamination)
+    dedupSimhash, dedupEmbedding, dedupLines, dedupContamination,
+    dedupCluster)
 }

@@ -57,4 +57,17 @@ class DedupSpec extends SparkSuite {
     assert(m(1L) == m(2L))
     assert(m(1L) != m(3L))
   }
+
+  test("connected components collapses chains, not just cliques") {
+    import spark.implicits._
+    // path 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // disjoint pair 10-11, triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+  }
 }

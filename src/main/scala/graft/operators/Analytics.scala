@@ -155,6 +155,46 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Gap-filling over a GENERATED date spine: every (day × type) cell
+    * exists in the output even when no event matched (the filter
+    * guarantees real gaps). The spine is sequence+explode off a
+    * one-row min/max aggregate — rows ≈ days × types, so the dense
+    * join runs on post-aggregation data, never on the fact table;
+    * at 100 TB the only full-scan work is the initial agg. */
+  val q48Gapfill: Op = Op.sql("q48_gapfill",
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type, "value"
+      |            FROM events WHERE "value" > 200),
+      |agg AS (SELECT d, event_type, count(*) AS n,
+      |          CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+      |        FROM ev GROUP BY d, event_type),
+      |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+      |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL '1 day'))::DATE AS d
+      |          FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT s.d, t.event_type,
+      |  coalesce(n, 0) AS n,
+      |  coalesce(sum_value, CAST(0 AS DECIMAL(18,2))) AS sum_value
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN agg a ON a.d = s.d AND a.event_type = t.event_type
+      |ORDER BY s.d, t.event_type""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .filter(col("value") > 200)
+      .select(col("ts").cast("date").as("d"), col("event_type"), col("value"))
+    val agg = ev.groupBy("d", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_value"))
+    val spine = ev.agg(min("d").as("d0"), max("d").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("d"))
+    val types = t(s, dir, "events").select("event_type").distinct()
+    spine.crossJoin(types)
+      .join(agg, Seq("d", "event_type"), "left")
+      .select(col("d"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0).cast("decimal(18,2)")).as("sum_value"))
+      .orderBy("d", "event_type")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
-    q44Listagg, q45ExactQuantiles)
+    q44Listagg, q45ExactQuantiles, q48Gapfill)
 }

@@ -60,6 +60,15 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("gapfill emits the full day×type grid with zero-filled gaps") {
+    val df = Analytics.q48Gapfill.run(spark, sfDir)
+    val days = df.select("d").distinct().count()
+    val types = df.select("event_type").distinct().count()
+    assert(df.count() == days * types, "output is not the dense grid")
+    assert(df.filter(col("n") === 0).count() > 0, "no gaps were filled (weak fixture)")
+    assert(df.filter(col("n") === 0 && col("sum_value") =!= 0).isEmpty)
+  }
+
   test("exact quantiles sit at the right ranks") {
     val rows = Analytics.q45ExactQuantiles.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

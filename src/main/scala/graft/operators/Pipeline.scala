@@ -61,5 +61,67 @@ object Pipeline {
       .orderBy("split")
   }
 
-  val all: Seq[Op] = Seq(pipelineE2e)
+  /** The pipeline's OUTPUT side: after normalize → quality-gate →
+    * split-assign (same stages as [[pipelineE2e]]), lay each split's
+    * token stream end-to-end and cut 512-token training chunks
+    * ([[TextAnalysis.textPackSequences]]'s packing, partitioned by
+    * split), then account for the result: docs, tokens, chunks, and
+    * how many docs straddle a chunk boundary. The straddler count is
+    * what forces the oracle through the actual per-doc prefix-sum
+    * window — totals alone would collapse to one agg. Still one
+    * fused plan: per-row stages free, one window shuffle (by split),
+    * one 3-row agg. */
+  val pipelinePack: Op = Op.sql("pipeline_pack",
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         ' +', ' ', 'g')) AS t
+      |  FROM documents),
+      |filtered AS (
+      |  SELECT doc_id, t, len(string_split(t, ' ')) AS n_tokens, md5(t) AS h
+      |  FROM norm
+      |  WHERE len(string_split(t, ' ')) >= 5 AND length(t) >= 20),
+      |assigned AS (
+      |  SELECT *, CASE WHEN CAST(('0x' || substr(h, 1, 1)) AS BIGINT) < 13 THEN 'train'
+      |                 WHEN CAST(('0x' || substr(h, 1, 1)) AS BIGINT) < 15 THEN 'val'
+      |                 ELSE 'test' END AS split
+      |  FROM filtered),
+      |packed AS (
+      |  SELECT split, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY split ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM assigned)
+      |SELECT split, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(max(floor((cum - 1) / 512)) + 1 AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN floor((cum - n_tokens) / 512) <> floor((cum - 1) / 512)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+      |FROM packed GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val norm = Tables.load(s, dir, "documents").select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")).as("t"))
+    val filtered = norm
+      .filter(size(split(col("t"), " ")) >= 5 && length(col("t")) >= 20)
+      .select(col("doc_id"),
+        size(split(col("t"), " ")).cast("bigint").as("n_tokens"),
+        md5(col("t").cast("binary")).as("h"))
+    val assigned = filtered.withColumn("hv",
+        conv(substring(col("h"), 1, 1), 16, 10).cast("bigint"))
+      .withColumn("split",
+        when(col("hv") < 13, "train").when(col("hv") < 15, "val").otherwise("test"))
+    val w = Window.partitionBy("split").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = assigned.withColumn("cum", sum("n_tokens").over(w))
+    packed.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("bigint").as("n_tokens"),
+        (max(floor((col("cum") - 1) / 512)) + 1).cast("bigint").as("n_chunks"),
+        sum(when(floor((col("cum") - col("n_tokens")) / 512)
+          =!= floor((col("cum") - 1) / 512), 1L).otherwise(0L))
+          .cast("bigint").as("n_straddlers"))
+      .orderBy("split")
+  }
+
+  val all: Seq[Op] = Seq(pipelineE2e, pipelinePack)
 }

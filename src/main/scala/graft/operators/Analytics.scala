@@ -195,6 +195,30 @@ object Analytics {
       .orderBy("d", "event_type")
   }
 
+  /** Multiset set operations (q21 covers the DISTINCT forms):
+    * INTERSECT ALL / EXCEPT ALL preserve multiplicities — Spark plans
+    * both as a single hash aggregation computing per-key counts on
+    * each side (min for intersect, difference for except), replicated
+    * back; no sort, one shuffle. Output aggregated per key so the
+    * contract is the multiplicity itself. */
+  val q50SetopsAll: Op = Op.sql("q50_setops_all",
+    """SELECT 'except_all' AS op, k, count(*) AS n FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY k
+      |UNION ALL
+      |SELECT 'intersect_all', k, count(*) FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY k
+      |ORDER BY op, k""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+    val ex = c.exceptAll(su).groupBy("k").agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("k"), col("n"))
+    val in = c.intersectAll(su).groupBy("k").agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("k"), col("n"))
+    ex.unionAll(in).orderBy("op", "k")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
-    q44Listagg, q45ExactQuantiles, q48Gapfill)
+    q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll)
 }

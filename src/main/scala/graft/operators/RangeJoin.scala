@@ -100,5 +100,45 @@ object RangeJoin {
       .orderBy("purchase_id")
   }
 
-  val all: Seq[Op] = Seq(q30RangeJoin, q31AsofJoin)
+  /** q49: as-of with a TOLERANCE bound (pandas merge_asof's
+    * `tolerance`, the feature-staleness guard: a signup older than
+    * 24 h must not be used as the feature row). Same single
+    * tagged-union window pass as [[asof]] — the matched right
+    * timestamp rides along in a second running `last`, and matches
+    * beyond the bound are nulled AFTER the window, so the tolerance
+    * costs zero extra shuffles at any scale. */
+  val q49AsofTolerance: Op = Op.sql("q49_asof_tolerance",
+    """SELECT purchase_id,
+      |  CASE WHEN ts_diff_us <= 86400000000 THEN signup_id END AS signup_id
+      |FROM (
+      |  SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+      |         epoch_us(p.ts) - epoch_us(s.ts) AS ts_diff_us
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |    ON p.user_id = s.user_id AND p.ts >= s.ts)
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val TolUs = 86400000000L // 24 h
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val right = ev.filter(col("event_type") === "signup")
+    val left = ev.filter(col("event_type") === "purchase")
+    val tagged = right.select(col("user_id"), col("ts_us"), lit(0).as("_side"),
+        lit(null).cast("long").as("_lid"), col("event_id").cast("long").as("_rid"))
+      .unionByName(left.select(col("user_id"), col("ts_us"), lit(1).as("_side"),
+        col("event_id").cast("long").as("_lid"), lit(null).cast("long").as("_rid")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rts = when(col("_side") === 0, col("ts_us"))
+    tagged
+      .withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
+      .withColumn("_asof_ts", last(rts, ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_lid").as("purchase_id"),
+        when(col("ts_us") - col("_asof_ts") <= TolUs, col("_asof")).as("signup_id"))
+      .orderBy("purchase_id")
+  }
+
+  val all: Seq[Op] = Seq(q30RangeJoin, q31AsofJoin, q49AsofTolerance)
 }

@@ -54,9 +54,15 @@ final class CountMin(d: Int, w: Int) extends Aggregator[Long, Array[Long], Array
 }
 
 object CountMin {
-  /** The aggregate column: builds the sketch over `key`. */
+  /** The aggregate column: builds the sketch over `key`. The key is
+    * pinned to LongType HERE and in [[estimateCol]]: build hashes
+    * with `hashLong`, and xxhash64 over a non-long column would use a
+    * different per-type hash — probing the wrong cells and silently
+    * voiding the never-undercount guarantee. The explicit cast makes
+    * both sides long for any integral input (no-op when already
+    * long). */
   def sketchCol(key: Column, d: Int, w: Int): Column =
-    udaf(new CountMin(d, w), Encoders.scalaLong).apply(key)
+    udaf(new CountMin(d, w), Encoders.scalaLong).apply(key.cast("long"))
 
   /** The probe: min over rows of the sketch cell each hash row maps
     * `key` to — all codegen'd builtins (xxhash64 / pmod /
@@ -64,6 +70,6 @@ object CountMin {
   def estimateCol(sketch: Column, key: Column, d: Int, w: Int): Column =
     least((0 until d).map { i =>
       element_at(sketch,
-        (lit(i * w) + pmod(xxhash64(key, lit(i.toLong)), lit(w.toLong))).cast("int") + 1)
+        (lit(i * w) + pmod(xxhash64(key.cast("long"), lit(i.toLong)), lit(w.toLong))).cast("int") + 1)
     }: _*)
 }

@@ -359,21 +359,28 @@ object Dedup {
     * The driver holds only the convergence COUNTER — labels
     * themselves never leave the cluster. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val sym = edges.toDF("a", "b")
       .unionAll(edges.toDF("b", "a").select("a", "b"))
       .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("label"))
-      val next = labels.unionByName(neighborMin)
+      // persist each round and DROP the previous one — residency stays
+      // at two label sets, not O(rounds); a periodic localCheckpoint
+      // bounds the lineage depth instead of checkpointing every round
+      var next = labels.unionByName(neighborMin)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      next = (if ((iter + 1) % 8 == 0) next.localCheckpoint()
+              else next.persist(StorageLevel.MEMORY_AND_DISK))
       converged = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
       labels = next
       iter += 1
     }

@@ -72,7 +72,7 @@ object Layout {
       .orderBy("event_type")
   }
 
-  private val ZorderPath = "/root/repo/target/graft_orders_zorder"
+  val ZorderPath = "/root/repo/target/graft_orders_zorder"
 
   /** 16-bit Morton spread (bits of `c` interleaved with zeros), the
     * classic mask cascade — pure codegen'd integer ops. */

@@ -62,7 +62,10 @@ object Pipeline {
   }
 
   /** The pipeline's OUTPUT side: after normalize → quality-gate →
-    * split-assign (same stages as [[pipelineE2e]]), lay each split's
+    * split-assign (E2e's derivation MINUS its PII-scrub and dedup
+    * stages — packing accounts for the raw accepted corpus; run
+    * scrub/dedup upstream when composing, and note the split hash is
+    * then over the scrubbed text), lay each split's
     * token stream end-to-end and cut 512-token training chunks
     * ([[TextAnalysis.textPackSequences]]'s packing, partitioned by
     * split), then account for the result: docs, tokens, chunks, and

@@ -63,8 +63,11 @@ object RangeJoin {
     * cost as a single sort-merge join pass, and no pair blowup at
     * any skew. At equal timestamps the right row sorts first
     * (side 0), making the match inclusive. */
-  /** Output columns: (key, left_id, ts_us, right_id). `leftId` /
-    * `rightId` name the id columns IN the inputs. */
+  /** Output columns: (key, left_id, ts_us, right_id, right_ts_us).
+    * `leftId` / `rightId` name the id columns IN the inputs. The
+    * matched right row's timestamp rides along in a second running
+    * `last` over the same window (zero extra shuffles) so callers
+    * can apply staleness/tolerance bounds post-hoc ([[q49AsofTolerance]]). */
   def asof(left: DataFrame, right: DataFrame, key: String,
            leftId: String, rightId: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -76,9 +79,11 @@ object RangeJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
+      .withColumn("_asof_ts",
+        last(when(col("_side") === 0, col("ts_us")), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(col(key), col("_lid").as("left_id"), col("ts_us"),
-        col("_asof").as("right_id"))
+        col("_asof").as("right_id"), col("_asof_ts").as("right_ts_us"))
   }
 
   /** q31: each purchase matched to the user's latest signup at or
@@ -102,11 +107,10 @@ object RangeJoin {
 
   /** q49: as-of with a TOLERANCE bound (pandas merge_asof's
     * `tolerance`, the feature-staleness guard: a signup older than
-    * 24 h must not be used as the feature row). Same single
-    * tagged-union window pass as [[asof]] — the matched right
-    * timestamp rides along in a second running `last`, and matches
-    * beyond the bound are nulled AFTER the window, so the tolerance
-    * costs zero extra shuffles at any scale. */
+    * 24 h must not be used as the feature row). A thin wrapper over
+    * [[asof]] — matches beyond the bound are nulled AFTER the window
+    * using the right timestamp asof already carries, so the
+    * tolerance costs zero extra shuffles at any scale. */
   val q49AsofTolerance: Op = Op.sql("q49_asof_tolerance",
     """SELECT purchase_id,
       |  CASE WHEN ts_diff_us <= 86400000000 THEN signup_id END AS signup_id
@@ -117,26 +121,17 @@ object RangeJoin {
       |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
       |    ON p.user_id = s.user_id AND p.ts >= s.ts)
       |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val TolUs = 86400000000L // 24 h
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    val right = ev.filter(col("event_type") === "signup")
-    val left = ev.filter(col("event_type") === "purchase")
-    val tagged = right.select(col("user_id"), col("ts_us"), lit(0).as("_side"),
-        lit(null).cast("long").as("_lid"), col("event_id").cast("long").as("_rid"))
-      .unionByName(left.select(col("user_id"), col("ts_us"), lit(1).as("_side"),
-        col("event_id").cast("long").as("_lid"), lit(null).cast("long").as("_rid")))
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rts = when(col("_side") === 0, col("ts_us"))
-    tagged
-      .withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
-      .withColumn("_asof_ts", last(rts, ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(col("_lid").as("purchase_id"),
-        when(col("ts_us") - col("_asof_ts") <= TolUs, col("_asof")).as("signup_id"))
+    asof(
+      left = ev.filter(col("event_type") === "purchase"),
+      right = ev.filter(col("event_type") === "signup"),
+      key = "user_id", leftId = "event_id", rightId = "event_id")
+      .select(col("left_id").as("purchase_id"),
+        when(col("ts_us") - col("right_ts_us") <= TolUs, col("right_id"))
+          .as("signup_id"))
       .orderBy("purchase_id")
   }
 

@@ -109,15 +109,25 @@ object ManagedTables {
   }
 
   /** Copy-on-write rewrite: materialize to a staging dir first, then
-    * swap — the table directory never holds a half-written state (the
-    * object-store analog is write-new-prefix + pointer flip). */
+    * swap (the object-store analog is write-new-prefix + pointer
+    * flip). The old directory is renamed ASIDE before staging renames
+    * in — at no point is the data deleted while it is the only copy,
+    * so a crash anywhere leaves either the old table or the new one
+    * (plus at worst a recoverable `.__old`/`.__staging` residue),
+    * never nothing. */
   private def rewrite(spark: SparkSession, name: String, next: DataFrame,
                       wh: String): Unit = {
     val staging = dir(wh, s"$name.__staging")
+    val oldAside = dir(wh, s"$name.__old")
     next.write.mode("overwrite").parquet(staging)
-    drop(name, wh)
-    require(new java.io.File(staging).renameTo(new java.io.File(dir(wh, name))),
-      s"table rewrite swap failed for '$name'")
+    drop(s"$name.__old", wh) // clear residue from an earlier crash
+    val live = new java.io.File(dir(wh, name))
+    if (live.exists())
+      require(live.renameTo(new java.io.File(oldAside)),
+        s"table rewrite: could not move '$name' aside")
+    require(new java.io.File(staging).renameTo(live),
+      s"table rewrite swap failed for '$name' (old data preserved at $oldAside)")
+    drop(s"$name.__old", wh)
   }
 
   /** DROP TABLE IF EXISTS name. */
@@ -135,6 +145,7 @@ object ManagedTables {
     val root = new java.io.File(wh)
     if (!root.exists()) Seq.empty
     else root.listFiles().filter(_.isDirectory).map(_.getName)
-      .filterNot(_.endsWith(".__staging")).toSeq.sorted
+      .filterNot(n => n.endsWith(".__staging") || n.endsWith(".__old"))
+      .toSeq.sorted
   }
 }

@@ -85,9 +85,10 @@ class ManagedTablesSpec extends SparkSuite {
     val afterDelete = ManagedTables.read(spark, "t_dml", wh)
       .orderBy("k").collect().map(_.getLong(0))
     assert(afterDelete.toSeq == Seq(1L, 3L, 4L, 5L))
-    // no staging residue, and the table survives as plain files
-    assert(!ManagedTables.tables(wh).exists(_.contains("__staging")))
+    // no staging/aside residue, and the table survives as plain files
+    assert(!ManagedTables.tables(wh).exists(n => n.contains("__staging") || n.contains("__old")))
     assert(!new java.io.File(s"$wh/t_dml.__staging").exists())
+    assert(!new java.io.File(s"$wh/t_dml.__old").exists())
   }
 
   test("merge rejects a duplicate-key update batch before any write") {

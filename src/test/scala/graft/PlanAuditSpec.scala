@@ -82,7 +82,7 @@ class PlanAuditSpec extends SparkSuite {
   test("z-order layout: every file's 2-D bounding box is a fraction of the space") {
     import org.apache.spark.sql.functions._
     graft.operators.Layout.writeZordered(spark, sfDir)
-    val files = new java.io.File("/root/repo/target/graft_orders_zorder")
+    val files = new java.io.File(graft.operators.Layout.ZorderPath)
       .listFiles().filter(_.getName.endsWith(".parquet"))
     assert(files.length >= 4, "expected multiple z-range files")
     def box(df: org.apache.spark.sql.DataFrame): (Long, Long, Int, Int) = {
@@ -91,7 +91,7 @@ class PlanAuditSpec extends SparkSuite {
         max(datediff(col("d"), lit("1992-01-01").cast("date")))).head()
       (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
     }
-    val (gx0, gx1, gy0, gy1) = box(spark.read.parquet("/root/repo/target/graft_orders_zorder"))
+    val (gx0, gx1, gy0, gy1) = box(spark.read.parquet(graft.operators.Layout.ZorderPath))
     val gArea = (gx1 - gx0 + 1).toDouble * (gy1 - gy0 + 1)
     val fracs = files.map { f =>
       val (x0, x1, y0, y1) = box(spark.read.parquet(f.getAbsolutePath))

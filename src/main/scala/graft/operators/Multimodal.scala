@@ -130,6 +130,90 @@ object Multimodal {
       }.toDF()
   }
 
+  /** One image's 64-bit perceptual average-hash. */
+  final case class PHashRow(doc_id: Long, phash: Long)
+
+  /** Perceptual average-hash: decode → 8×8 block-average luma grid →
+    * bit per cell (above/below the grid mean). Robust to small pixel
+    * noise and to resampling — the standard cheap image near-dup
+    * signature. Pure per-row codec work inside mapPartitions; only
+    * the 8-byte hash ever shuffles. */
+  def phash(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "mime", "width", "height", "payload").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val img = Ppm.decode(
+          if (r.mime == VideoMime) Ppm.decodeSeq(r.payload).head else r.payload)
+        val cell = new Array[Double](64)
+        val cnt = new Array[Long](64)
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            val p = (y * img.width + x) * 3
+            val luma = ((img.pixels(p) & 0xFF) + (img.pixels(p + 1) & 0xFF) +
+              (img.pixels(p + 2) & 0xFF)) / 3.0
+            val c = (y * 8 / img.height) * 8 + (x * 8 / img.width)
+            cell(c) += luma; cnt(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var mean = 0.0
+        var c = 0
+        while (c < 64) { if (cnt(c) > 0) cell(c) /= cnt(c); mean += cell(c); c += 1 }
+        mean /= 64
+        var bits = 0L
+        c = 0
+        while (c < 64) { if (cell(c) > mean) bits |= (1L << c); c += 1 }
+        PHashRow(r.doc_id, bits)
+      }).toDF()
+  }
+
+  /** Image near-dup corpus: every image plus a noise-perturbed copy
+    * at doc_id+100000 (flip the low bit of every 97th payload pixel
+    * byte — invisible to an 8×8 block average). */
+  def imageCorpusNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = mediaTable(s, dir).filter(col("mime") === ImageMime)
+      .select("doc_id", "mime", "width", "height", "payload").as[MediaRow]
+    val noised = imgs.mapPartitions(_.map { r =>
+      val b = r.payload.clone()
+      var i = 13 // past the P6 header
+      while (i < b.length) { b(i) = (b(i) ^ 1).toByte; i += 97 }
+      MediaRow(r.doc_id + 100000, r.mime, r.width, r.height, b)
+    })
+    imgs.unionByName(noised).toDF()
+  }
+
+  /** Multimodal near-dup pairs over perceptual hashes, the image
+    * analog of SimHash text dedup — same blocking argument: 64 bits
+    * in 8 byte-chunks, block on the C(8,2)=28 chunk-PAIR keys, so any
+    * two hashes within hamming 6 share an untouched pair (pigeonhole)
+    * and meet in some bucket; hamming is verified BEFORE the distinct
+    * shuffle. Only (id, hash, packed-key) scalars shuffle — payloads
+    * never leave their partitions. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val chunkPairs = (for (i <- 0 until 8; j <- (i + 1) until 8) yield (i, j)).toSeq
+    val keys = array(chunkPairs.map { case (i, j) =>
+      lit((i.toLong * 8 + j) << 16)
+        .bitwiseOR(shiftleft(shiftrightunsigned(col("phash"), i * 8).bitwiseAND(lit(0xFFL)), 8))
+        .bitwiseOR(shiftrightunsigned(col("phash"), j * 8).bitwiseAND(lit(0xFFL)))
+    }: _*)
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(keys).as("bucket"))
+    banded.as("l").join(banded.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  val mmPhashDedup: Op = Op.rowsOnly("mm_phash_dedup") { (s, dir) =>
+    phashPairs(phash(imageCorpusNear(s, dir))).orderBy("id_a", "id_b")
+  }
+
   val mmMetadata: Op = Op.rowsOnly("mm_metadata") { (s, dir) =>
     decodeMedia(mediaTable(s, dir)).orderBy("doc_id")
   }
@@ -157,5 +241,5 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize)
+  val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup)
 }

@@ -538,6 +538,26 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Skew-proof two-phase aggregation (`Skew.saltedAgg`): lineitem
+    * grouped by l_returnflag — 3 distinct keys over millions of rows
+    * is the pathological aggregation skew shape (3 reduce tasks do
+    * ALL the work). The salt spreads each key over 8 sub-keys for the
+    * partial phase; the final phase re-aggregates 3×8 rows. Decimal
+    * partials make the two-phase sum EXACTLY equal to the one-phase
+    * oracle (associativity — SURVEY §5), which is the whole proof
+    * that salting is semantics-free. */
+  val q51SaltedAgg: Op = Op.sql("q51_salted_agg",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Skew.saltedAgg(t(s, dir, "lineitem"), "l_returnflag", salts = 8,
+      partial = Seq(count(lit(1)).as("_c"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("_s")),
+      finalize = Seq(sum("_c").cast("bigint").as("n"),
+        sum("_s").cast("decimal(18,2)").as("sum_qty")))
+      .orderBy("l_returnflag")
+  }
+
   /** Multi-level aggregation in one pass: ROLLUP emits (flag,status),
     * (flag, total) and grand-total rows from a single shuffle —
     * Spark expands the grouping sets map-side, so the 100 TB scan
@@ -648,5 +668,5 @@ object Relational {
     q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
     q33SkewSaltedJoin, q36JsonExtract, q37Rollup, q38IntegrityAudit,
-    q39Histogram, q46MergeUpsert)
+    q39Histogram, q46MergeUpsert, q51SaltedAgg)
 }

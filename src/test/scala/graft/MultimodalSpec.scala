@@ -84,4 +84,19 @@ class MultimodalSpec extends SparkSuite {
     assert(perDoc.filter(col("cd") === 1).count() < videos.count(),
       "every video's frames identical — shift synthesis broken?")
   }
+
+  test("perceptual-hash dedup recovers every noise-perturbed image copy") {
+    val corpus = Multimodal.imageCorpusNear(spark, sfDir)
+    val nImages = corpus.filter(col("doc_id") < 100000).count()
+    val pairs = Multimodal.phashPairs(Multimodal.phash(corpus)).cache()
+    // every planted (i, i+100000) pair must surface (noise flips are
+    // invisible to the 8×8 block average)
+    val planted = pairs.filter(col("id_b") === col("id_a") + 100000).count()
+    assert(planted == nImages, s"recovered $planted of $nImages planted image pairs")
+    // and every reported pair is genuinely close in hash space
+    assert(pairs.filter(col("hamming") > 6).isEmpty)
+    // the planted matches are near-exact, not borderline
+    assert(pairs.filter(col("id_b") === col("id_a") + 100000)
+      .agg(max("hamming")).head().getInt(0) <= 2)
+  }
 }

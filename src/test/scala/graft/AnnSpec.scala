@@ -93,4 +93,25 @@ class AnnSpec extends SparkSuite {
     assert(cands < Similarity.NumQueries * n / 2,
       s"$cands candidates for ${Similarity.NumQueries} queries over $n vectors")
   }
+
+  test("persisted IVF index: point probe prunes partitions and matches in-memory IVF") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val persisted = graft.SparkEntry.queries("ann_ivf_persist")(spark, sfDir)
+    // plan property: the cell predicate is a partition filter, so the
+    // scan lists only the probed cell directories
+    val centroids = Similarity.ivfCentroids(emb)
+    val qv = emb.filter(col("vec_id") === 0L).head().getSeq[Double](1).toSeq
+    val probe = Similarity.ivfPointLookup(spark, centroids, 0L, qv)
+    val plan = probe.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      "probe cells did not become partition filters")
+    // result property: identical neighbors to the in-memory IVF path
+    val fromIndex = persisted.collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val inMemory = Similarity.ivfTopK(emb,
+        emb.filter(col("vec_id") === 0L), Similarity.TopK, centroids)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex == inMemory,
+      s"persisted-index probe diverged: $fromIndex vs $inMemory")
+  }
 }

@@ -219,4 +219,47 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("watermark drops data later than the delay, keeps data within it (measured pin)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, hhmm: String): (Long, Timestamp, Long, String, Double, String) =
+      (id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 1L, "click", 1.0, "{}")
+    val schema = Seq(ev(0L, "00:00")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val src = Files.createTempDirectory("graft_late_src").toString
+    // start the query FIRST and drain between writes — each file is
+    // then a separate micro-batch with the watermark advanced in
+    // between (writing everything up front can coalesce/reorder
+    // batches and void the late-arrival scenario)
+    Seq(ev(0L, "11:30")).toDF(schema.columns: _*)
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = Streams.runFileStream(spark, src, schema, Streams.windowAgg,
+      "late_sink", outputMode = "append")
+    q.processAllAvailable()
+    // batch: window 12:00 gets two events; 15:00 pushes the
+    // watermark to 14:00 (1h delay) once the batch commits
+    Seq(ev(1L, "12:00"), ev(2L, "12:10"), ev(3L, "15:00"))
+      .toDF(schema.columns: _*).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    // batch: 12:05 is LATE beyond the watermark (12:05 < 14:00) →
+    // must be dropped; 14:30 is out-of-order but within the delay
+    // (14:30 ≥ 14:00) → must be counted
+    Seq(ev(4L, "12:05"), ev(5L, "14:30"))
+      .toDF(schema.columns: _*).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    // batch: advance the watermark past every open window so the
+    // append-mode sink finalizes them all
+    Seq(ev(6L, "23:00")).toDF(schema.columns: _*)
+      .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("late_sink").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def us(hhmm: String): Long =
+      Timestamp.valueOf(s"2024-01-01 $hhmm:00").getTime * 1000
+    assert(counts(us("12:00")) == 2, s"late 12:05 event not dropped: $counts")
+    assert(counts(us("14:00")) == 1, s"in-delay 14:30 event lost: $counts")
+    assert(counts(us("15:00")) == 1)
+  }
 }

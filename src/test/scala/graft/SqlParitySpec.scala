@@ -61,6 +61,44 @@ class SqlParitySpec extends SparkSuite {
         |ORDER BY o_custkey""".stripMargin)
   }
 
+  test("cube (q40) via spark.sql") {
+    parity("q40_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  test("window frames (q43) via spark.sql") {
+    parity("q43_window_frames",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mov_sum,
+        |  CAST(lag(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(18,2)) AS prev_price
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  test("exact quantiles (q45) via spark.sql") {
+    parity("q45_exact_quantiles",
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    count(*)    OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN l_quantity END) AS p50,
+        |  min(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN l_quantity END) AS p90,
+        |  max(cnt) AS n
+        |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   test("custom graft functions are SQL-callable through the extension") {
     val r = spark.sql(
       """SELECT doc_id, graft_simhash64(text) AS sh,

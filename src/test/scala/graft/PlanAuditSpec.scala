@@ -79,6 +79,29 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("cached KV runs serve reads from memory (block-cache analog), same results") {
+    // the reference keeps hot SSTable blocks in a block/table cache
+    // (storage_engine/src/cache); Spark's columnar cache is the
+    // analog: cache the run set once, and every subsequent
+    // merge/get/scan reads InMemoryTableScan instead of parquet
+    import org.apache.spark.sql.functions._
+    val runs = graft.sources.Tables.load(spark, sfDir, "events").select(
+      col("user_id").as("key"), col("event_id").as("seq"),
+      (col("event_type") === "error").as("tombstone"), col("value").as("v"))
+    val table = graft.kv.KVTable(runs, "key", "seq", "tombstone")
+    val cold = table.merged().orderBy("key").collect()
+    val cachedRuns = runs.cache()
+    cachedRuns.count() // materialize
+    try {
+      val cachedTable = graft.kv.KVTable(cachedRuns, "key", "seq", "tombstone")
+      val p = cachedTable.merged().queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("InMemoryTableScan"), "read did not hit the cache")
+      assert(cachedTable.merged().orderBy("key").collect().toSeq == cold.toSeq,
+        "cached read diverged from cold read")
+    } finally { cachedRuns.unpersist(): Unit }
+  }
+
   test("z-order layout: every file's 2-D bounding box is a fraction of the space") {
     import org.apache.spark.sql.functions._
     graft.operators.Layout.writeZordered(spark, sfDir)

@@ -223,50 +223,71 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Seq[Double]]]()
 
   val annIvf: Op = Op.rowsOnly("ann_ivf") { (s, dir) =>
-    val e = emb(s, dir)
     // cache key includes the parquet mtime so a regenerated dataset at
     // the same path retrains instead of probing stale cells
-    val key = (dir, new java.io.File(s"$dir/embeddings.parquet").lastModified())
-    val centroids = centroidCache.computeIfAbsent(key, _ => ivfCentroids(e))
-    ivfTopK(e, e.filter(col("vec_id") < NumQueries), TopK, centroids)
+    ivfTopK(emb(s, dir), emb(s, dir).filter(col("vec_id") < NumQueries),
+      TopK, centroidsFor(s, dir))
       .orderBy("query_id", "neighbor_id")
   }
 
-  val IvfIndexPath = "/root/repo/target/graft_ivf_index"
-
-  /** The "inverted lists ARE the partitioning" claim made PHYSICAL:
-    * the corpus is WRITTEN partitioned by IVF cell (`cell=N/` dirs),
-    * and a point lookup computes its probe cells driver-side from the
-    * centroid metadata (16×64 doubles — index metadata a real system
-    * keeps in memory), so the cell predicate is a LITERAL `IN` that
-    * becomes `PartitionFilters` at the scan: a top-k probe reads
-    * NumProbes/NumCentroids of the stored corpus and never lists the
-    * rest. AnnSpec asserts both the plan property and that the
-    * result equals the in-memory IVF path. */
-  val annIvfPersist: Op = Op.rowsOnly("ann_ivf_persist") { (s, dir) =>
-    val e = emb(s, dir)
+  /** Centroids for a dataset, trained once per (dir, file-mtime) and
+    * reused — shared by [[annIvf]], [[annIvfPersist]] and the specs
+    * so every path probes the EXACT same centroids (independent
+    * retraining could differ in the last ulp of an avg() and flip a
+    * boundary assignment). */
+  def centroidsFor(s: SparkSession, dir: String): Seq[Seq[Double]] = {
     val key = (dir, new java.io.File(s"$dir/embeddings.parquet").lastModified())
-    val centroids = centroidCache.computeIfAbsent(key, _ => ivfCentroids(e))
-    e.withColumn("cell", cellExpr(typedLit(centroids), col("v")))
-      .write.mode("overwrite").partitionBy("cell").parquet(IvfIndexPath)
-    val qv = e.filter(col("vec_id") === 0L).head().getSeq[Double](1).toSeq
-    ivfPointLookup(s, centroids, 0L, qv)
+    centroidCache.computeIfAbsent(key, _ => ivfCentroids(emb(s, dir)))
   }
 
-  /** Point lookup against the persisted IVF index. */
-  def ivfPointLookup(s: SparkSession, centroids: Seq[Seq[Double]],
+  /** Index directory per (dir, mtime) — a stale lookup DataFrame can
+    * never silently read a different corpus's index. */
+  def ivfIndexPath(dir: String): String = {
+    val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xFFFFFFFFL)
+    s"/root/repo/target/graft_ivf_index/${tag}_$mtime"
+  }
+
+  private val indexBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The "inverted lists ARE the partitioning" claim made PHYSICAL:
+    * the corpus is WRITTEN partitioned by IVF cell (`cell=N/` dirs,
+    * built once per dataset like a real index), and a point lookup's
+    * probe cells become a LITERAL `IN` that becomes
+    * `PartitionFilters` at the scan: a top-k probe reads
+    * NumProbes/NumCentroids of the stored corpus and never lists the
+    * rest. AnnSpec asserts the pruning predicate inside
+    * PartitionFilters and that the result equals the in-memory IVF
+    * path. */
+  val annIvfPersist: Op = Op.rowsOnly("ann_ivf_persist") { (s, dir) =>
+    val e = emb(s, dir)
+    val centroids = centroidsFor(s, dir)
+    val path = ivfIndexPath(dir)
+    if (indexBuilt.add(path)) // build once per dataset version
+      e.withColumn("cell", cellExpr(typedLit(centroids), col("v")))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val qv = e.filter(col("vec_id") === 0L).head().getSeq[Double](1).toSeq
+    ivfPointLookup(s, dir, centroids, 0L, qv)
+  }
+
+  /** Point lookup against the persisted IVF index. Probe cells are
+    * chosen through the SAME codegen'd cosine kernel the index was
+    * built with (a one-row plan over the query vector literal —
+    * collecting NumProbes ints), so build and probe can never
+    * disagree on a boundary rounding. */
+  def ivfPointLookup(s: SparkSession, dir: String, centroids: Seq[Seq[Double]],
                      qid: Long, qv: Seq[Double]): DataFrame = {
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-    }
-    val cells = centroids.zipWithIndex
-      .map { case (c, i) => (cos(qv, c), i) }
-      .sortBy(-_._1).take(NumProbes).map(_._2)
-    s.read.parquet(IvfIndexPath)
+    val cLit = typedLit(centroids)
+    val cells = s.range(1)
+      .select(slice(transform(
+        array_sort(transform(sequence(lit(0), lit(NumCentroids - 1)),
+          i => struct((-cosine(typedLit(qv), element_at(cLit, i + 1))).as("negcos"),
+            i.as("cell")))),
+        e => e.getField("cell")), 1, NumProbes).as("cells"))
+      .head().getSeq[Int](0)
+    s.read.parquet(ivfIndexPath(dir))
       .filter(col("cell").isin(cells: _*))
       .filter(col("vec_id") =!= qid)
       .withColumn("cos_raw", cosine(typedLit(qv), col("v")))

@@ -97,14 +97,17 @@ class AnnSpec extends SparkSuite {
   test("persisted IVF index: point probe prunes partitions and matches in-memory IVF") {
     import org.apache.spark.sql.execution.FormattedMode
     val persisted = graft.SparkEntry.queries("ann_ivf_persist")(spark, sfDir)
-    // plan property: the cell predicate is a partition filter, so the
-    // scan lists only the probed cell directories
-    val centroids = Similarity.ivfCentroids(emb)
+    // the op's OWN centroids (retraining here could differ in the
+    // last ulp of an avg() and flip a boundary assignment)
+    val centroids = Similarity.centroidsFor(spark, sfDir)
     val qv = emb.filter(col("vec_id") === 0L).head().getSeq[Double](1).toSeq
-    val probe = Similarity.ivfPointLookup(spark, centroids, 0L, qv)
+    val probe = Similarity.ivfPointLookup(spark, sfDir, centroids, 0L, qv)
     val plan = probe.queryExecution.explainString(FormattedMode)
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      "probe cells did not become partition filters")
+    // plan property: the cell predicate sits INSIDE the
+    // PartitionFilters list (a bare 'PartitionFilters: []' line plus
+    // 'cell' in the schema would be vacuous)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe cells did not become partition filters:\n$plan")
     // result property: identical neighbors to the in-memory IVF path
     val fromIndex = persisted.collect()
       .map(r => (r.getLong(1), r.getDouble(2))).toSet

@@ -93,8 +93,16 @@ class MultimodalSpec extends SparkSuite {
     // invisible to the 8×8 block average)
     val planted = pairs.filter(col("id_b") === col("id_a") + 100000).count()
     assert(planted == nImages, s"recovered $planted of $nImages planted image pairs")
-    // and every reported pair is genuinely close in hash space
-    assert(pairs.filter(col("hamming") > 6).isEmpty)
+    // every reported pair is genuinely close — recompute the hamming
+    // distance INDEPENDENTLY from the hashes (re-asserting the op's
+    // own filter column would be tautological)
+    val hashes = Multimodal.phash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.collect().foreach { r =>
+      val h = java.lang.Long.bitCount(hashes(r.getLong(0)) ^ hashes(r.getLong(1)))
+      assert(h == r.getInt(2) && h <= 6,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): recomputed hamming $h vs reported ${r.getInt(2)}")
+    }
     // the planted matches are near-exact, not borderline
     assert(pairs.filter(col("id_b") === col("id_a") + 100000)
       .agg(max("hamming")).head().getInt(0) <= 2)

@@ -93,6 +93,28 @@ object Streaming {
     Streams.matviewBatch(Tables.load(s, dir, "events")).orderBy("user_id")
   }
 
+  /** Trending top-3 event types per hour — the "rank in the sink"
+    * streaming pattern: ranking over a streaming aggregate is not
+    * incrementalizable (a window function over streaming state is
+    * unsupported by design — a late row can reorder every rank), so
+    * the windowed COUNTS stream incrementally and the cheap rank runs
+    * over the aggregate's complete output at read time (|windows| ×
+    * |types| rows, trivial at any scale). Batch form = the same two
+    * stages fused; StreamingSpec drives the split form and checks
+    * equality. */
+  val streamTopk: Op = Op.sql("stream_topk",
+    """SELECT win_start, event_type, n_events, rnk FROM (
+      |  SELECT win_start, event_type, n_events,
+      |    row_number() OVER (PARTITION BY win_start
+      |                       ORDER BY n_events DESC, event_type) AS rnk
+      |  FROM (SELECT epoch_us(date_trunc('hour', ts)) AS win_start,
+      |          event_type, count(*) AS n_events
+      |        FROM events GROUP BY 1, 2))
+      |WHERE rnk <= 3 ORDER BY win_start, rnk""".stripMargin) { (s, dir) =>
+    Streams.rankTopTypes(
+      Streams.windowAgg(Tables.load(s, dir, "events")).drop("sum_value"))
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
-    streamStreamJoin, streamDedup, streamMatview)
+    streamStreamJoin, streamDedup, streamMatview, streamTopk)
 }

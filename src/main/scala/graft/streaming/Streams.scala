@@ -43,6 +43,22 @@ object Streams {
       .select(col("user_id"), unix_micros(col("sw.start")).as("s_start"),
         unix_micros(col("sw.end")).as("s_end"), col("n_events"))
 
+  /** The read-time half of the trending-top-k pattern: rank a
+    * windowed aggregate's output per window, keep the top 3. Runs
+    * over post-aggregation rows (|windows| × |types|) — on a stream
+    * this is applied to the complete-mode sink, never to the stream
+    * itself (window functions over streaming state are unsupported
+    * because late data could reorder every rank). */
+  def rankTopTypes(windowCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    windowCounts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("win_start")
+          .orderBy(col("n_events").desc, col("event_type"))))
+      .filter(col("rnk") <= 3)
+      .orderBy("win_start", "rnk")
+  }
+
   /** Per-user running aggregate state for [[statefulTrack]]. */
   final case class UserState(n_events: Long, sum_value: Double, last_ts: Long)
   final case class UserTrack(user_id: Long, n_events: Long,

@@ -43,6 +43,12 @@ class StreamingSpec extends SparkSuite {
       val batch = Streams.windowAgg(events).orderBy("win_start", "event_type").collect()
       assert(streamed.toSeq == batch.toSeq)
       assert(streamed.nonEmpty)
+      // rank-in-the-sink: top-3 over the streamed aggregate state ==
+      // the fused batch stream_topk op
+      val streamedTopk = Streams.rankTopTypes(
+        spark.table("win_sink").drop("sum_value")).collect()
+      val batchTopk = SparkEntry.queries("stream_topk")(spark, sfDir).collect()
+      assert(streamedTopk.toSeq == batchTopk.toSeq)
     }
   }
 

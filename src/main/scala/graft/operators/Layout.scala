@@ -107,8 +107,8 @@ object Layout {
       |         o_custkey AS x,
       |         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS y
       |  FROM orders
-      |  WHERE o_custkey BETWEEN 200 AND 400
-      |    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+      |  WHERE o_custkey BETWEEN 20 AND 90
+      |    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1994-01-01' AND DATE '1995-12-31'),
       |s1 AS (SELECT * REPLACE((x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y) FROM b),
       |s2 AS (SELECT * REPLACE((x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y) FROM s1),
       |s3 AS (SELECT * REPLACE((x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y) FROM s2),
@@ -117,8 +117,8 @@ object Layout {
       |FROM s4 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
     writeZordered(s, dir)
     s.read.parquet(ZorderPath)
-      .filter(col("o_custkey").between(200, 400)
-        && col("d").between(lit("1995-01-01"), lit("1995-12-31")))
+      .filter(col("o_custkey").between(20, 90)
+        && col("d").between(lit("1994-01-01"), lit("1995-12-31")))
       .select("o_orderkey", "o_custkey", "d", "z")
       .orderBy("o_orderkey")
   }

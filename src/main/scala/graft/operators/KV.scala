@@ -38,17 +38,20 @@ object KV {
        |          row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
        |   FROM $src WHERE $pred) WHERE rn = 1 AND NOT tombstone)""".stripMargin
 
+  // probe keys chosen to exist at EVERY test SF (user_id spans only
+  // 0..14 at sf0.001) — an empty result would make the oracle check
+  // vacuous at the smallest scale
   val kvPointGet: Op = Op.sql("kv_point_get",
     s"""WITH $kvCte
-       |SELECT * FROM ${mergeSql("kv", "key = 42")} ORDER BY key""".stripMargin) { (s, dir) =>
-    kv(s, dir).get(lit(42L)).orderBy("key")
+       |SELECT * FROM ${mergeSql("kv", "key = 7")} ORDER BY key""".stripMargin) { (s, dir) =>
+    kv(s, dir).get(lit(7L)).orderBy("key")
   }
 
   val kvRangeScan: Op = Op.sql("kv_range_scan",
     s"""WITH $kvCte
-       |SELECT * FROM ${mergeSql("kv", "key BETWEEN 20 AND 60")}
+       |SELECT * FROM ${mergeSql("kv", "key BETWEEN 3 AND 12")}
        |ORDER BY key""".stripMargin) { (s, dir) =>
-    kv(s, dir).range(lit(20L), lit(60L))
+    kv(s, dir).range(lit(3L), lit(12L))
   }
 
   val kvCompact: Op = Op.sql("kv_compact",

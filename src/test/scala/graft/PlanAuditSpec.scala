@@ -47,7 +47,7 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("KV point get pushes the key to the scan") {
-    assert(plan("kv_point_get").contains("EqualTo(user_id,42)"),
+    assert(plan("kv_point_get").contains("EqualTo(user_id,7)"),
       "point-get key predicate not pushed to parquet")
   }
 

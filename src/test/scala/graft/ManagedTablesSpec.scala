@@ -91,6 +91,24 @@ class ManagedTablesSpec extends SparkSuite {
     assert(!new java.io.File(s"$wh/t_dml.__old").exists())
   }
 
+  test("crash residue (__staging/__old dirs) is invisible and cleared by the next rewrite") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    ManagedTables.create(spark, "t_crash", schema, wh)
+    ManagedTables.insert(spark, "t_crash", Seq((1L, "a"), (2L, "b")).toDF("k", "s"), wh)
+    // simulate a crash that left both residue dirs behind
+    new java.io.File(s"$wh/t_crash.__staging").mkdirs()
+    new java.io.File(s"$wh/t_crash.__old").mkdirs()
+    assert(!ManagedTables.tables(wh).exists(_.startsWith("t_crash.")),
+      "residue dirs leaked into the catalog listing")
+    // reads ignore residue; the next DML clears it and succeeds
+    assert(ManagedTables.read(spark, "t_crash", wh).count() == 2)
+    ManagedTables.delete(spark, "t_crash", col("k") === 1L, wh)
+    val back = ManagedTables.read(spark, "t_crash", wh).collect()
+    assert(back.length == 1 && back.head.getLong(0) == 2L)
+    assert(!new java.io.File(s"$wh/t_crash.__old").exists())
+  }
+
   test("merge rejects a duplicate-key update batch before any write") {
     import spark.implicits._
     ManagedTables.create(spark, "t_dup", schema, wh)

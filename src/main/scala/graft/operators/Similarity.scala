@@ -241,16 +241,16 @@ object Similarity {
   }
 
   /** Index directory per (dir, mtime) — a stale lookup DataFrame can
-    * never silently read a different corpus's index. */
+    * never silently read a different corpus's index. The tag embeds
+    * the FULL sanitized source path (not a truncatable hash), so two
+    * datasets can never map to one index dir. */
   def ivfIndexPath(dir: String): String = {
     val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    val tag = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xFFFFFFFFL)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     s"/root/repo/target/graft_ivf_index/${tag}_$mtime"
   }
 
-  private val indexBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val indexBuildLock = new Object
 
   /** The "inverted lists ARE the partitioning" claim made PHYSICAL:
     * the corpus is WRITTEN partitioned by IVF cell (`cell=N/` dirs,
@@ -265,9 +265,29 @@ object Similarity {
     val e = emb(s, dir)
     val centroids = centroidsFor(s, dir)
     val path = ivfIndexPath(dir)
-    if (indexBuilt.add(path)) // build once per dataset version
-      e.withColumn("cell", cellExpr(typedLit(centroids), col("v")))
-        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // "built" = Spark's _SUCCESS commit marker, written only after the
+    // job completes — a crashed or in-flight build is retried, never
+    // probed (an in-memory "already built" flag set before the write
+    // would permanently mask a partial index)
+    indexBuildLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        // drop stale index versions of this dataset (older mtimes)
+        val parent = new java.io.File(path).getParentFile
+        val tag = new java.io.File(path).getName.substring(
+          0, new java.io.File(path).getName.lastIndexOf('_'))
+        Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(tag + "_") && f.getPath != path)
+          .foreach { f =>
+            def rm(x: java.io.File): Unit = {
+              if (x.isDirectory) x.listFiles().foreach(rm)
+              x.delete(): Unit
+            }
+            rm(f)
+          }
+        e.withColumn("cell", cellExpr(typedLit(centroids), col("v")))
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+      }
+    }
     val qv = e.filter(col("vec_id") === 0L).head().getSeq[Double](1).toSeq
     ivfPointLookup(s, dir, centroids, 0L, qv)
   }

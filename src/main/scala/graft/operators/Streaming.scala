@@ -103,14 +103,14 @@ object Streaming {
     * stages fused; StreamingSpec drives the split form and checks
     * equality. */
   val streamTopk: Op = Op.sql("stream_topk",
-    """SELECT win_start, event_type, n_events, rnk FROM (
+    s"""SELECT win_start, event_type, n_events, rnk FROM (
       |  SELECT win_start, event_type, n_events,
       |    row_number() OVER (PARTITION BY win_start
       |                       ORDER BY n_events DESC, event_type) AS rnk
       |  FROM (SELECT epoch_us(date_trunc('hour', ts)) AS win_start,
       |          event_type, count(*) AS n_events
       |        FROM events GROUP BY 1, 2))
-      |WHERE rnk <= 3 ORDER BY win_start, rnk""".stripMargin) { (s, dir) =>
+      |WHERE rnk <= ${Streams.TrendingK} ORDER BY win_start, rnk""".stripMargin) { (s, dir) =>
     Streams.rankTopTypes(
       Streams.windowAgg(Tables.load(s, dir, "events")).drop("sum_value"))
   }

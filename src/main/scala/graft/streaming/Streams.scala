@@ -49,13 +49,15 @@ object Streams {
     * this is applied to the complete-mode sink, never to the stream
     * itself (window functions over streaming state are unsupported
     * because late data could reorder every rank). */
+  val TrendingK = 3
+
   def rankTopTypes(windowCounts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     windowCounts
       .withColumn("rnk", row_number().over(
         Window.partitionBy("win_start")
           .orderBy(col("n_events").desc, col("event_type"))))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= TrendingK)
       .orderBy("win_start", "rnk")
   }
 

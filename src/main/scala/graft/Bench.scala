@@ -36,13 +36,14 @@ object Bench {
     try exec("q1_agg") // warmup (untimed)
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
-    // min of 2 runs: steady-state throughput (what a warm cluster
-    // job sees), not first-run codegen/JIT compilation. A query that
-    // fails every run is NOT timed (its time-to-failure is not a
-    // throughput) — it lands in the "errors" field instead.
+    // min of 3 runs: steady-state throughput (what a warm cluster
+    // job sees), not first-run codegen/JIT compilation or a stray
+    // GC/load spike. A query that fails every run is NOT timed (its
+    // time-to-failure is not a throughput) — it lands in the
+    // "errors" field instead.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = headline.flatMap { name =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           exec(name)

@@ -441,6 +441,49 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  private val jsonlDir = "/root/repo/target/graft_jsonl/supplier"
+
+  /** JSONL (newline-delimited JSON) source — the interchange format
+    * every LLM data pipeline ingests. The file is materialized from
+    * `supplier` deterministically, read back with an EXPLICIT schema
+    * (schema inference over 100 TB of JSONL is a full extra pass —
+    * never rely on it at scale), and checked against DuckDB's
+    * independent JSON reader parsing the same bytes. */
+  val q52ReadJsonl: Op = Op.sql("q52_read_jsonl",
+    s"""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       |  CAST(s_nationkey AS BIGINT) AS s_nationkey
+       |FROM read_json_auto('$jsonlDir/*.json')
+       |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      .coalesce(1).write.mode("overwrite").json(jsonlDir)
+    s.read.schema("s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT")
+      .json(jsonlDir)
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .orderBy("s_suppkey")
+  }
+
+  private val orcDir = "/root/repo/target/graft_orc/orders"
+
+  /** ORC round-trip: the second columnar format Spark ships natively.
+    * A filtered projection is written to ORC, read back, and
+    * aggregated; the oracle computes the same aggregate from the
+    * ORIGINAL parquet — so the hash check proves the ORC write/read
+    * cycle is value-exact (types, decimals, encodings). */
+  val q53OrcRoundtrip: Op = Op.sql("q53_orc_roundtrip",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+      |FROM orders WHERE o_custkey < 50
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").filter(col("o_custkey") < 50)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").orc(orcDir)
+    s.read.orc(orcDir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val q25QueryTables: Op = Op.sql("q25_query_tables", Catalog.tablesOracleSql) { (s, dir) =>
     Catalog.queryTables(s, dir).orderBy("table_name")
   }
@@ -668,5 +711,5 @@ object Relational {
     q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
     q33SkewSaltedJoin, q36JsonExtract, q37Rollup, q38IntegrityAudit,
-    q39Histogram, q46MergeUpsert, q51SaltedAgg)
+    q39Histogram, q46MergeUpsert, q51SaltedAgg, q52ReadJsonl, q53OrcRoundtrip)
 }

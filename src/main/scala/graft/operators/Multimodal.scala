@@ -130,6 +130,62 @@ object Multimodal {
       }.toDF()
   }
 
+  val AudioMime = "audio/wav"
+
+  /** One audio row: payload + typed metadata. */
+  final case class AudioRow(doc_id: Long, mime: String, sample_rate: Int,
+                            n_samples: Int, payload: Array[Byte])
+
+  /** Audio features parsed from the BYTES (header validated, samples
+    * decoded — the spec cross-checks parsed fields vs metadata). */
+  final case class AudioFeatures(doc_id: Long, mime: String, n_bytes: Long,
+                                 parsed_rate: Int, parsed_samples: Int,
+                                 duration_us: Long, rms: Double,
+                                 zero_crossings: Long)
+
+  /** Deterministic waveform synthesis: doc bytes become a PCM16
+    * signal (byte value scaled + per-sample ramp), length derived
+    * from n_chars — REAL RIFF/WAVE bytes ([[graft.functions.Wav]]),
+    * the audio leg of the image/audio/video modality contract. */
+  def audioTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)]
+      .mapPartitions(_.map { case (docId, text, nChars) =>
+        val rate = 8000 + (docId % 3).toInt * 4000 // 8/12/16 kHz
+        val n = (nChars % 2000 + 100).toInt
+        val src = text.getBytes("UTF-8")
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (((src(i % src.length) & 0xFF) - 128) * 200 +
+            (i % 7) * 11).toShort
+          i += 1
+        }
+        AudioRow(docId, AudioMime, rate, n,
+          graft.functions.Wav.encode(graft.functions.Wav.Audio(rate, samples)))
+      }).toDF()
+  }
+
+  /** Decode / feature-extract audio in batched per-partition passes
+    * (same seam as [[decodeMedia]]): parse the real RIFF header,
+    * decode samples, emit duration/RMS/zero-crossing features. */
+  def decodeAudio(audio: DataFrame): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.select("doc_id", "mime", "sample_rate", "n_samples", "payload").as[AudioRow]
+      .mapPartitions(_.map { r =>
+        val a = graft.functions.Wav.decode(r.payload)
+        AudioFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+          a.sampleRate, a.samples.length,
+          a.samples.length.toLong * 1000000L / a.sampleRate,
+          graft.functions.Wav.rms(a), graft.functions.Wav.zeroCrossings(a))
+      }).toDF()
+  }
+
+  val mmAudioFeatures: Op = Op.rowsOnly("mm_audio_features") { (s, dir) =>
+    decodeAudio(audioTable(s, dir)).orderBy("doc_id")
+  }
+
   /** One image's 64-bit perceptual average-hash. */
   final case class PHashRow(doc_id: Long, phash: Long)
 
@@ -241,5 +297,6 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup)
+  val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup,
+    mmAudioFeatures)
 }

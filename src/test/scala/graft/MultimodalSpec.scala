@@ -85,6 +85,38 @@ class MultimodalSpec extends SparkSuite {
       "every video's frames identical — shift synthesis broken?")
   }
 
+  test("WAV codec roundtrip is identity; decode rejects mis-framed headers") {
+    import graft.functions.Wav
+    val a = Wav.Audio(16000, Array[Short](0, 100, -100, 32767, -32768, 7))
+    val back = Wav.decode(Wav.encode(a))
+    assert(back.sampleRate == a.sampleRate)
+    assert(back.samples.toSeq == a.samples.toSeq)
+    // corrupting the byte-rate field must fail loudly, not mis-frame
+    val bad = Wav.encode(a); bad(28) = (bad(28) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { Wav.decode(bad) }
+    intercept[IllegalArgumentException] { Wav.decode(Array[Byte](1, 2, 3)) }
+  }
+
+  test("audio features parse real WAV bytes and cross-check metadata") {
+    val feats = Multimodal.decodeAudio(Multimodal.audioTable(spark, sfDir)).cache()
+    val audio = Multimodal.audioTable(spark, sfDir)
+    assert(feats.count() == audio.count() && feats.count() > 0)
+    // parsed-from-bytes fields must equal the typed metadata columns
+    val joined = feats.join(audio, "doc_id")
+    assert(joined.filter(col("parsed_rate") =!= col("sample_rate")).isEmpty)
+    assert(joined.filter(col("parsed_samples") =!= col("n_samples")).isEmpty)
+    // payload framing: 44-byte header + 2 bytes per sample, exactly
+    assert(joined.filter(col("n_bytes") =!= col("n_samples") * 2 + 44).isEmpty)
+    // features are meaningful: nonzero signal, crossings bounded
+    assert(feats.filter(col("rms") <= 0 || col("rms") > 1).isEmpty)
+    assert(feats.filter(col("zero_crossings") >= col("parsed_samples")).isEmpty)
+    // duration math: samples/rate in micros (integer `div` — Spark's
+    // `/` is true division and would compare a double to the long)
+    assert(feats.filter(col("duration_us") =!=
+      expr("CAST(parsed_samples AS BIGINT) * 1000000 div parsed_rate")).isEmpty)
+    feats.unpersist()
+  }
+
   test("perceptual-hash dedup recovers every noise-perturbed image copy") {
     val corpus = Multimodal.imageCorpusNear(spark, sfDir)
     val nImages = corpus.filter(col("doc_id") < 100000).count()

@@ -187,6 +187,10 @@ object Analytics {
       .select(explode(sequence(col("d0"), col("d1"),
         expr("interval 1 day"))).as("d"))
     val types = t(s, dir, "events").select("event_type").distinct()
+    // this cross join IS a BroadcastNestedLoopJoin in the plan — by
+    // design: |days| × |types| post-aggregation rows, independent of
+    // fact-table size (the no-BNLJ plan audits apply to corpus-sized
+    // joins, not spine construction)
     spine.crossJoin(types)
       .join(agg, Seq("d", "event_type"), "left")
       .select(col("d"), col("event_type"),

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked JVMs' stdout straight through: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks any
+// consumer that expects `runMain graft.Bench` to emit a bare JSON
+// line on stdout (BENCH_r01/r02 both came back "parsed": null).
+// Unscoped so `run`, `runMain` and `test` forks all inherit it.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

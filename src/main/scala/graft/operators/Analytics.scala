@@ -23,14 +23,14 @@ object Analytics {
     * 100 TB the fact table is read once, not once per level. */
   val q40Cube: Op = Op.sql("q40_cube",
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin) { (s, dir) =>
     t(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_price"))
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
@@ -82,9 +82,9 @@ object Analytics {
     * shuffle on the partition key; frames evaluate within partitions. */
   val q43WindowFrames: Op = Op.sql("q43_window_frames",
     """SELECT o_orderkey, o_custkey,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_run AS DECIMAL(18,2)) AS run_sum,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_mov AS DECIMAL(18,2)) AS mov_sum,
-      |  CAST(lag(o_totalprice) OVER w_ord AS DECIMAL(18,2)) AS prev_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_run AS DOUBLE) AS run_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_mov AS DOUBLE) AS mov_sum,
+      |  CAST(lag(o_totalprice) OVER w_ord AS DOUBLE) AS prev_price
       |FROM orders WHERE o_custkey < 200
       |WINDOW
       |  w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
@@ -97,10 +97,10 @@ object Analytics {
       .filter(col("o_custkey") < 200)
       .select(col("o_orderkey"), col("o_custkey"),
         sum(priceD).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("decimal(18,2)").as("run_sum"),
+          .cast("double").as("run_sum"),
         sum(priceD).over(ord.rowsBetween(-2, Window.currentRow))
-          .cast("decimal(18,2)").as("mov_sum"),
-        lag(col("o_totalprice"), 1).over(ord).cast("decimal(18,2)").as("prev_price"))
+          .cast("double").as("mov_sum"),
+        lag(col("o_totalprice"), 1).over(ord).cast("double").as("prev_price"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -165,7 +165,7 @@ object Analytics {
     """WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type, "value"
       |            FROM events WHERE "value" > 200),
       |agg AS (SELECT d, event_type, count(*) AS n,
-      |          CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+      |          CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |        FROM ev GROUP BY d, event_type),
       |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
       |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL '1 day'))::DATE AS d
@@ -173,7 +173,7 @@ object Analytics {
       |types AS (SELECT DISTINCT event_type FROM events)
       |SELECT s.d, t.event_type,
       |  coalesce(n, 0) AS n,
-      |  coalesce(sum_value, CAST(0 AS DECIMAL(18,2))) AS sum_value
+      |  coalesce(sum_value, CAST(0 AS DOUBLE)) AS sum_value
       |FROM spine s CROSS JOIN types t
       |LEFT JOIN agg a ON a.d = s.d AND a.event_type = t.event_type
       |ORDER BY s.d, t.event_type""".stripMargin) { (s, dir) =>
@@ -182,7 +182,7 @@ object Analytics {
       .select(col("ts").cast("date").as("d"), col("event_type"), col("value"))
     val agg = ev.groupBy("d", "event_type")
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_value"))
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
     val spine = ev.agg(min("d").as("d0"), max("d").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"),
         expr("interval 1 day"))).as("d"))
@@ -195,7 +195,7 @@ object Analytics {
       .join(agg, Seq("d", "event_type"), "left")
       .select(col("d"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("sum_value"), lit(0).cast("decimal(18,2)")).as("sum_value"))
+        coalesce(col("sum_value"), lit(0).cast("double")).as("sum_value"))
       .orderBy("d", "event_type")
   }
 

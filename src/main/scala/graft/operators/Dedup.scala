@@ -360,9 +360,15 @@ object Dedup {
     * themselves never leave the cluster. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // plain persist, NOT localCheckpoint: the loop below re-reads sym
+    // every round, and a persisted copy can be unpersisted on exit
+    // without stranding anything (a checkpoint's blocks would have to
+    // outlive the function because truncated lineage can't recompute).
+    // Plan growth stays bounded — labels' periodic checkpoint caps
+    // how many times sym's (leaf-sized) subtree is embedded.
     val sym = edges.toDF("a", "b")
       .unionAll(edges.toDF("b", "a").select("a", "b"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -384,8 +390,18 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // detach the result from ALL loop state before freeing it: the
+    // eager localCheckpoint copies the converged labels into their own
+    // self-contained blocks (lineage truncated), so unpersisting the
+    // loop's cached copies can never force a recompute of freed state.
+    // Repeated calls therefore leave behind only their own result —
+    // the ContextCleaner reclaims it once the caller drops the frame —
+    // instead of accumulating a labels+sym cache per invocation.
+    val out = if (converged) labels.localCheckpoint(true) else labels
+    labels.unpersist()
+    sym.unpersist()
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
-    labels
+    out
   }
 
   /** Duplicate-cluster assignment — the step that turns near-dup

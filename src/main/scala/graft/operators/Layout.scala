@@ -58,7 +58,7 @@ object Layout {
     * for any time-series fact table at scale. */
   val q35PartitionPruning: Op = Op.sql("q35_partition_pruning",
     """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+      |  CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "events")
@@ -68,7 +68,7 @@ object Layout {
       .filter(col("d") === lit("2024-01-15"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_value"))
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .orderBy("event_type")
   }
 

@@ -25,6 +25,19 @@ import graft.sources.{Catalog, CsvSource, ManagedTables, Tables}
   * whenever the true sum sits near a rounding boundary (the round-1
   * hash-flake). Per-row arithmetic stays raw double — IEEE ops on
   * the same inputs are bit-identical across engines.
+  *
+  * Decimals stay INTERNAL: every output column is cast to DOUBLE at
+  * the query boundary. Result consumers render decimals
+  * inconsistently — `Decimal('138014.00')` vs the float64 `138014.0`
+  * — so a decimal-typed result column is a representation flake
+  * waiting for a value whose last digit is 0 (the round-2
+  * hash-fails: value-equal rows, hash-different renderings). An
+  * exact decimal converts to the identical correctly-rounded double
+  * on both engines (sums here stay far below 2^53 ulp territory at
+  * oracle scale), so double-at-the-boundary is deterministic AND
+  * render-stable. Unrounded double columns (min/max/lag of a raw
+  * double) pass through untouched — rounding them to decimal would
+  * itself sit on the HALF_UP-vs-half-even cross-engine boundary.
   */
 object Relational {
 
@@ -32,13 +45,13 @@ object Relational {
 
   val q1Agg: Op = Op.sql("q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-      |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(18,4)) AS avg_qty,
-      |  CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS min_price,
-      |  CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS max_price,
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+      |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
@@ -50,17 +63,17 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(qtyD).cast("decimal(18,2)").as("sum_qty"),
-        sum(epD).cast("decimal(18,2)").as("sum_base_price"),
-        // scale 4 is the EXACT product scale of two scale-2 decimals —
-        // casting down to scale 2 would reintroduce a rounding boundary
-        // where Spark (HALF_UP) and DuckDB disagree on .xx5 sums
-        sum(epD * (lit(1) - discD)).cast("decimal(18,4)").as("sum_disc_price"),
+        sum(qtyD).cast("double").as("sum_qty"),
+        sum(epD).cast("double").as("sum_base_price"),
+        // the product keeps the EXACT scale-4 result of two scale-2
+        // decimals; the sum over it is exact, and only the final
+        // boundary cast goes to double
+        sum(epD * (lit(1) - discD)).cast("double").as("sum_disc_price"),
         // avg over the exact decimal sum: one double division of two
         // order-independent values, not an order-sensitive double avg
-        (sum(qtyD).cast("double") / count(lit(1))).cast("decimal(18,4)").as("avg_qty"),
-        min("l_extendedprice").cast("decimal(18,2)").as("min_price"),
-        max("l_extendedprice").cast("decimal(18,2)").as("max_price"),
+        (sum(qtyD).cast("double") / count(lit(1))).as("avg_qty"),
+        min("l_extendedprice").cast("double").as("min_price"),
+        max("l_extendedprice").cast("double").as("max_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -166,7 +179,7 @@ object Relational {
 
   val q10MultiJoin: Op = Op.sql("q10_multi_join",
     """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-      |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+      |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -190,7 +203,7 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
-        * (lit(1) - col("l_discount").cast("decimal(12,2)"))).cast("decimal(18,4)").as("revenue"))
+        * (lit(1) - col("l_discount").cast("decimal(12,2)"))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -215,12 +228,12 @@ object Relational {
   val q13AggDistinct: Op = Op.sql("q13_agg_distinct",
     """SELECT l_returnflag,
       |  count(DISTINCT l_suppkey) AS cd_supp,
-      |  CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sd_qty
+      |  CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sd_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_suppkey")).as("cd_supp"),
-        sum_distinct(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sd_qty"))
+        sum_distinct(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sd_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -329,14 +342,14 @@ object Relational {
 
   val q20Having: Op = Op.sql("q20_having",
     """SELECT o_custkey, count(*) AS n,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS tot
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot
       |FROM orders GROUP BY o_custkey
       |HAVING count(*) >= 12
       |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
     t(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("tot"))
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("tot"))
       .filter(col("n") >= 12)
       .orderBy("o_custkey")
   }
@@ -361,7 +374,7 @@ object Relational {
     """SELECT o_custkey, o_orderkey,
       |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
       |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rk,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS csum
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS csum
       |FROM orders WHERE o_custkey < 50
       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -370,7 +383,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         row_number().over(byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rn"),
         rank().over(byCust.orderBy(col("o_orderstatus"))).as("rk"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).over(byCust).cast("decimal(18,2)").as("csum"))
+        sum(col("o_totalprice").cast("decimal(12,2)")).over(byCust).cast("double").as("csum"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -471,7 +484,7 @@ object Relational {
     * cycle is value-exact (types, decimals, encodings). */
   val q53OrcRoundtrip: Op = Op.sql("q53_orc_roundtrip",
     """SELECT o_orderstatus, count(*) AS n,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_custkey < 50
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
     t(s, dir, "orders").filter(col("o_custkey") < 50)
@@ -480,7 +493,7 @@ object Relational {
     s.read.orc(orcDir)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_price"))
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
       .orderBy("o_orderstatus")
   }
 
@@ -501,12 +514,12 @@ object Relational {
   }
 
   val q28TopNAgg: Op = Op.sql("q28_topn_agg",
-    """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS tot
+    """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot
       |FROM orders GROUP BY o_custkey
       |ORDER BY tot DESC, o_custkey LIMIT 10""".stripMargin) { (s, dir) =>
     t(s, dir, "orders")
       .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("tot"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("tot"))
       .orderBy(col("tot").desc, col("o_custkey"))
       .limit(10)
   }
@@ -591,13 +604,13 @@ object Relational {
     * that salting is semantics-free. */
   val q51SaltedAgg: Op = Op.sql("q51_salted_agg",
     """SELECT l_returnflag, count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Skew.saltedAgg(t(s, dir, "lineitem"), "l_returnflag", salts = 8,
       partial = Seq(count(lit(1)).as("_c"),
         sum(col("l_quantity").cast("decimal(12,2)")).as("_s")),
       finalize = Seq(sum("_c").cast("bigint").as("n"),
-        sum("_s").cast("decimal(18,2)").as("sum_qty")))
+        sum("_s").cast("double").as("sum_qty")))
       .orderBy("l_returnflag")
   }
 
@@ -607,14 +620,14 @@ object Relational {
     * happens once, not once per level. */
   val q37Rollup: Op = Op.sql("q37_rollup",
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
@@ -666,14 +679,14 @@ object Relational {
   val q39Histogram: Op = Op.sql("q39_histogram",
     """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
       |  count(*) AS n,
-      |  CAST(min(o_totalprice) AS DECIMAL(18,2)) AS lo,
-      |  CAST(max(o_totalprice) AS DECIMAL(18,2)) AS hi
+      |  CAST(min(o_totalprice) AS DOUBLE) AS lo,
+      |  CAST(max(o_totalprice) AS DOUBLE) AS hi
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     t(s, dir, "orders")
       .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bucket"))
       .agg(count(lit(1)).as("n"),
-        min("o_totalprice").cast("decimal(18,2)").as("lo"),
-        max("o_totalprice").cast("decimal(18,2)").as("hi"))
+        min("o_totalprice").cast("double").as("lo"),
+        max("o_totalprice").cast("double").as("hi"))
       .orderBy("bucket")
   }
 

@@ -241,13 +241,18 @@ object Similarity {
   }
 
   /** Index directory per (dir, mtime) — a stale lookup DataFrame can
-    * never silently read a different corpus's index. The tag embeds
-    * the FULL sanitized source path (not a truncatable hash), so two
-    * datasets can never map to one index dir. */
+    * never silently read a different corpus's index. The readable
+    * sanitized path alone is NOT injective (`/data/sf-1` and
+    * `/data/sf.1` both sanitize to `_data_sf_1`), so the tag also
+    * carries a full MD5 of the raw path — collision-free in practice,
+    * never truncated — while the sanitized prefix keeps the dir
+    * human-debuggable. */
   def ivfIndexPath(dir: String): String = {
     val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"/root/repo/target/graft_ivf_index/${tag}_$mtime"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"/root/repo/target/graft_ivf_index/${tag}_${digest}_$mtime"
   }
 
   private val indexBuildLock = new Object

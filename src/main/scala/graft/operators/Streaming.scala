@@ -2,6 +2,8 @@ package graft.operators
 
 
 
+import org.apache.spark.sql.functions.col
+
 import graft.Op
 import graft.sources.Tables
 import graft.streaming.Streams
@@ -85,12 +87,17 @@ object Streaming {
     * on this dataset — event values carry exactly 2 decimals, so no
     * rounding happens on either engine; for arbitrary-precision
     * inputs that cast would sit on the cross-engine rounding
-    * boundary SURVEY §5 warns about.) */
+    * boundary SURVEY §5 warns about.) The maintained STATE stays
+    * decimal(22,2) — exactness is what makes incremental == batch an
+    * equality — and only this query boundary casts to double (the
+    * render-stable output form, see [[Relational]]'s contract). */
   val streamMatview: Op = Op.sql("stream_matview",
     """SELECT user_id, count(*) AS n_events,
-      |  CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS sum_value
+      |  CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
-    Streams.matviewBatch(Tables.load(s, dir, "events")).orderBy("user_id")
+    Streams.matviewBatch(Tables.load(s, dir, "events"))
+      .withColumn("sum_value", col("sum_value").cast("double"))
+      .orderBy("user_id")
   }
 
   /** Trending top-3 event types per hour — the "rank in the sink"

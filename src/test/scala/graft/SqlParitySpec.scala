@@ -25,13 +25,13 @@ class SqlParitySpec extends SparkSuite {
   test("aggregation (q1) via spark.sql") {
     parity("q1_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DECIMAL(18,4)) AS avg_qty,
-        |  CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS min_price,
-        |  CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS max_price,
+        |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -55,7 +55,7 @@ class SqlParitySpec extends SparkSuite {
   test("having (q20) via spark.sql") {
     parity("q20_having",
       """SELECT o_custkey, count(*) AS n,
-        |  CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS tot
+        |  CAST(sum(o_totalprice) AS DOUBLE) AS tot
         |FROM orders GROUP BY o_custkey
         |HAVING count(*) >= 12
         |ORDER BY o_custkey""".stripMargin)
@@ -64,7 +64,7 @@ class SqlParitySpec extends SparkSuite {
   test("cube (q40) via spark.sql") {
     parity("q40_cube",
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
@@ -75,12 +75,12 @@ class SqlParitySpec extends SparkSuite {
       """SELECT o_orderkey, o_custkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_sum,
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mov_sum,
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
         |  CAST(lag(o_totalprice) OVER
-        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(18,2)) AS prev_price
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price
         |FROM orders WHERE o_custkey < 200
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }

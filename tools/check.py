@@ -56,13 +56,30 @@ def main():
         if len(s_rows) != len(d_rows):
             print(f"[ROWS] {name}: spark={len(s_rows)} duck={len(d_rows)}")
             print("  spark:", s_rows[:3], "\n  duck :", d_rows[:3]); n_bad += 1; continue
-        bad = None
+        # decimal-typed OUTPUT columns are banned: result consumers
+        # render Decimal('138014.00') vs float 138014.0 differently, so
+        # any trailing-zero value flips a strict hash even when values
+        # are equal (the round-2 driver hash-fails). Decimals stay
+        # internal; the query boundary must be double/int/string.
+        decs = [f.name for f in tb.schema if str(f.type).startswith("decimal")]
+        if decs:
+            print(f"[DECIMAL-BOUNDARY] {name}: output columns {decs}"); n_bad += 1; continue
+        bad = render_bad = None
         for i, (a, b) in enumerate(zip(s_rows, d_rows)):
             ca = [float(x) if hasattr(x, 'as_tuple') or isinstance(x, (int, float)) and not isinstance(x, bool) else x for x in a]
             cb = [float(x) if hasattr(x, 'as_tuple') or isinstance(x, (int, float)) and not isinstance(x, bool) else x for x in b]
             if ca != cb: bad = (i, a, b); break
+            # strict render parity, emulating a str()-keyed hash: a
+            # value pair that is numerically equal but renders apart
+            # (Decimal vs float repr) is still a driver hash mismatch
+            ra = [repr(x) if isinstance(x, float) else str(x) for x in a]
+            rb = [repr(x) if isinstance(x, float) else str(x) for x in b]
+            if ra != rb and not render_bad: render_bad = (i, ra, rb)
         if bad:
             print(f"[VAL] {name}: row {bad[0]}\n  spark: {bad[1]}\n  duck : {bad[2]}"); n_bad += 1
+        elif render_bad:
+            print(f"[RENDER] {name}: row {render_bad[0]} equal values, unequal renderings"
+                  f"\n  spark: {render_bad[1]}\n  duck : {render_bad[2]}"); n_bad += 1
         else:
             print(f"[OK] {name}: {len(s_rows)} rows"); n_ok += 1
     print(f"== {n_ok} ok, {n_bad} bad")

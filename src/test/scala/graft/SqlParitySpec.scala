@@ -55,7 +55,7 @@ class SqlParitySpec extends SparkSuite {
   test("having (q20) via spark.sql") {
     parity("q20_having",
       """SELECT o_custkey, count(*) AS n,
-        |  CAST(sum(o_totalprice) AS DOUBLE) AS tot
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot
         |FROM orders GROUP BY o_custkey
         |HAVING count(*) >= 12
         |ORDER BY o_custkey""".stripMargin)

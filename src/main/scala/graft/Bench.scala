@@ -65,8 +65,30 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(",\"errors\":{", ",", "}")
+    // numeric baseline: the DuckDB oracle's wall-times for the same
+    // headline queries at sf0.1 (min-of-3, all cores — the same
+    // hardware budget), measured by tools/baseline_duckdb.py and
+    // committed as BASELINE_TIMES.json. Embedded verbatim so each
+    // BENCH_r*.json is self-contained and the 2x gate is falsifiable.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "/root/repo/BASELINE_TIMES.json")
+    val baseJson =
+      try {
+        val raw = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(baselinePath)).trim
+        if (raw.startsWith("{")) s""","baseline":$raw""" else ""
+      } catch { case _: Throwable => "" }
+    // load marker: 1-min loadavg at bench end, so cross-round swings
+    // on a shared machine are attributable to load, not code
+    val loadJson =
+      try {
+        val l = java.nio.file.Files
+          .readString(java.nio.file.Paths.get("/proc/loadavg"))
+          .split("\\s+")(0)
+        s""","loadavg1m":$l"""
+      } catch { case _: Throwable => "" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$baseJson$loadJson}"""
     println(line)
     // also land the line in a file: sbt prefixes forked stdout with
     // "[info] ", which the driver's JSON parse tripped over in round 1

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Measure the DuckDB oracle's per-query wall-times for the bench
+headline set and write BASELINE_TIMES.json at the repo root.
+
+This is a MEASUREMENT tool, not part of the graft library: the Scala
+code never imports duckdb — Bench.scala only embeds the committed JSON
+verbatim so every BENCH_r*.json carries a numeric Spark-vs-DuckDB
+baseline and the "within 2x of baseline" gate is falsifiable.
+
+Usage:
+  python3 tools/baseline_duckdb.py <oracle_sql.json> <sf_dir> [out.json]
+
+The oracle SQL is dumped by `sbt "runMain graft.Verify <sf> <out>"`
+(it lands in <out>/oracle_sql.json). DuckDB runs with all cores, the
+same hardware budget as the Spark local[32] bench.
+"""
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# the bench headline set (graft.Bench.headline); ops without an oracle
+# (spec-only) simply have no baseline entry
+HEADLINE = ["q1_agg", "q2_filter_project", "q10_multi_join", "q28_topn_agg",
+            "q22_window_funcs", "q30_range_join", "q31_asof_join",
+            "kv_compact", "kv_range_scan", "dedup_exact",
+            "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+            "ann_topk_brute", "ann_lsh", "ann_ivf",
+            "text_quality", "text_tokens", "text_fingerprint", "stats_sketch",
+            "stream_window_agg", "stream_sessionize"]
+
+RUNS = 3  # min-of-3, matching Bench.scala
+
+
+def main():
+    oracle_path, sf_dir = sys.argv[1], sys.argv[2]
+    out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BASELINE_TIMES.json")
+    with open(oracle_path) as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    times = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        best = None
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            con.execute(sql).fetchall()  # materialize every row
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 4)
+        print(f"{name}: {times[name]}s", file=sys.stderr)
+    doc = {
+        "engine": "duckdb",
+        "version": duckdb.__version__,
+        "threads": con.execute("SELECT current_setting('threads')").fetchone()[0],
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "runs": RUNS,
+        "total": round(sum(times.values()), 4),
+        "queries": times,
+    }
+    with open(out, "w") as f:
+        json.dump(doc, f, separators=(",", ":"))
+        f.write("\n")
+    print(f"wrote {out}: total={doc['total']}s over {len(times)} queries",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

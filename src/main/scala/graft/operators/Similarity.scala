@@ -281,7 +281,8 @@ object Similarity {
         val tag = new java.io.File(path).getName.substring(
           0, new java.io.File(path).getName.lastIndexOf('_'))
         Option(parent.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith(tag + "_") && f.getPath != path)
+          .filter(f => f.getName.startsWith(tag + "_") && f.getPath != path &&
+            !f.getName.endsWith("_pq")) // the PQ index cleans its own
           .foreach { f =>
             def rm(x: java.io.File): Unit = {
               if (x.isDirectory) x.listFiles().foreach(rm)
@@ -393,21 +394,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val luts = unitNorm(queries).collect().map { r =>
-      val q = r.getSeq[Double](1)
-      val lut = new Array[Double](PqM * PqK)
-      var i = 0
-      while (i < PqM * PqK) {
-        val m = i / PqK; val kk = i % PqK
-        var s = 0.0
-        var d = 0
-        while (d < PqSubDim) {
-          s += q(m * PqSubDim + d) * codebook((m * PqK + kk) * PqSubDim + d)
-          d += 1
-        }
-        lut(i) = s
-        i += 1
-      }
-      (r.getLong(0), lut.toSeq)
+      (r.getLong(0), adcLut(r.getSeq[Double](1), codebook))
     }.toSeq.toDF("query_id", "lut")
     // stage 1: ADC scan over codes only → shortlist (partial top-N
     // per partition via WindowGroupLimit, scalars only)
@@ -439,13 +426,143 @@ object Similarity {
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Double]]()
 
+  /** The trained codebook for a dataset, once per (dir, mtime). */
+  def codebookFor(s: SparkSession, dir: String): Seq[Double] = {
+    val key = (dir, new java.io.File(s"$dir/embeddings.parquet").lastModified())
+    pqCache.computeIfAbsent(key, _ => pqTrain(unitNorm(emb(s, dir))))
+  }
+
   val annPq: Op = Op.rowsOnly("ann_pq") { (s, dir) =>
     val e = emb(s, dir)
-    val key = (dir, new java.io.File(s"$dir/embeddings.parquet").lastModified())
-    val cb = pqCache.computeIfAbsent(key, _ => pqTrain(unitNorm(e)))
-    pqTopK(e, e.filter(col("vec_id") < NumQueries), TopK, cb)
+    pqTopK(e, e.filter(col("vec_id") < NumQueries), TopK, codebookFor(s, dir))
       .orderBy("query_id", "neighbor_id")
   }
 
-  val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist)
+  // ---- IVF+PQ composition (the 10B-vector production shape) --------
+
+  /** Per-query ADC lookup table: lut[m·K + k] = dot(q_sub_m, c_{m,k})
+    * — O(M·K·subDim) driver-side prep per query. */
+  private def adcLut(q: Seq[Double], codebook: Seq[Double]): Seq[Double] = {
+    val lut = new Array[Double](PqM * PqK)
+    var i = 0
+    while (i < PqM * PqK) {
+      val m = i / PqK; val kk = i % PqK
+      var s = 0.0
+      var d = 0
+      while (d < PqSubDim) {
+        s += q(m * PqSubDim + d) * codebook((m * PqK + kk) * PqSubDim + d)
+        d += 1
+      }
+      lut(i) = s
+      i += 1
+    }
+    lut.toSeq
+  }
+
+  def pqIndexPath(dir: String): String = ivfIndexPath(dir) + "_pq"
+
+  /** Build the persisted IVF+PQ index once per (dir, mtime): every
+    * vector's PQ codes, WRITTEN partitioned by its IVF cell — the PQ
+    * compression living inside ann_ivf_persist's inverted-list
+    * layout. 8 B of codes per vector per cell dir; the full-precision
+    * vectors never enter the index. */
+  def ensureIvfPqIndex(s: SparkSession, dir: String): Unit = {
+    val path = pqIndexPath(dir)
+    indexBuildLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        // drop stale PQ-index versions of this dataset (older mtimes)
+        val parent = new java.io.File(path).getParentFile
+        val base = new java.io.File(ivfIndexPath(dir)).getName
+        val tag = base.substring(0, base.lastIndexOf('_'))
+        Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(tag + "_") &&
+            f.getName.endsWith("_pq") && f.getPath != path)
+          .foreach { f =>
+            def rm(x: java.io.File): Unit = {
+              if (x.isDirectory) x.listFiles().foreach(rm)
+              x.delete(): Unit
+            }
+            rm(f)
+          }
+        val centroids = centroidsFor(s, dir)
+        val cb = codebookFor(s, dir)
+        // cosine is scale-invariant, so cell assignment on the
+        // unit-normed vector equals ann_ivf_persist's on the raw one
+        unitNorm(emb(s, dir))
+          .withColumn("cell", cellExpr(typedLit(centroids), col("v")))
+          .withColumn("codes", call_function("graft_pq_encode", col("v"),
+            typedLit(cb), lit(PqM), lit(PqK)))
+          .select("vec_id", "codes", "cell")
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+      }
+    }
+  }
+
+  /** IVF+PQ search, the composition that fixes ann_pq's corpus-linear
+    * ADC: each query's ADC scan runs only inside its `NumProbes`
+    * nearest cells of the persisted codes index. The probe-cell union
+    * is a LITERAL `IN` on the partition column — `PartitionFilters`
+    * at the codes scan, so unprobed inverted lists are never listed,
+    * let alone scanned (NumProbes/NumCentroids of the index per
+    * query by construction). Stage 2 re-ranks the per-query shortlist
+    * exactly against the full vectors — the corpus is touched
+    * `shortlist` times per query, never n times. */
+  def ivfPqTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    ensureIvfPqIndex(s, dir)
+    val centroids = centroidsFor(s, dir)
+    val cb = codebookFor(s, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+    // driver-side prep on the (small, already-collected-for-LUTs)
+    // query set: unit-norm, ADC LUT, nprobe nearest cells by cosine
+    val qRows = unitNorm(queries).collect().map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1)
+      val cells = centroids.zipWithIndex.map { case (c, i) =>
+        val dot = q.lazyZip(c).map(_ * _).sum
+        val norm = math.sqrt(c.map(x => x * x).sum) // |q| = 1 already
+        (-dot / norm, i)
+      }.sorted.take(NumProbes).map(_._2)
+      (qid, adcLut(q, cb), cells)
+    }.toSeq
+    val unionCells = qRows.flatMap(_._3).distinct
+    // stage 1: ADC only within each query's own probed cells. The
+    // isin() literal prunes partitions; the (query_id, cell) join key
+    // restricts each query to ITS cells, not the union's.
+    val probes = qRows
+      .flatMap { case (qid, lut, cells) => cells.map(c => (qid, c, lut)) }
+      .toDF("query_id", "cell", "lut")
+    val shortlist = s.read.parquet(pqIndexPath(dir))
+      .filter(col("cell").isin(unionCells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dot",
+        call_function("graft_adc_dot", col("codes"), col("lut"), lit(PqK)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("approx_dot").desc, col("vec_id"))))
+      .filter(col("rn") <= k * PqShortlist)
+      .select(col("query_id"), col("vec_id"))
+    // stage 2: exact re-rank of the shortlist only
+    shortlist
+      .join(e.withColumnRenamed("vec_id", "cand_id"),
+        col("vec_id") === col("cand_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("v").as("qv"))), "query_id")
+      .withColumn("cos_raw", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_raw").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"))
+  }
+
+  val annIvfPq: Op = Op.rowsOnly("ann_ivfpq") { (s, dir) =>
+    ivfPqTopK(s, dir, TopK).orderBy("query_id", "neighbor_id")
+  }
+
+  val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
+    annIvfPq)
 }

@@ -79,6 +79,14 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("IVF+PQ probe prunes the codes index to the probed cells, keyed joins only") {
+    val p = plan("ann_ivfpq")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      "probe-cell IN literal did not become PartitionFilters on the codes scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ADC stage degenerated to an unkeyed join")
+  }
+
   test("cached KV runs serve reads from memory (block-cache analog), same results") {
     // the reference keeps hot SSTable blocks in a block/table cache
     // (storage_engine/src/cache); Spark's columnar cache is the

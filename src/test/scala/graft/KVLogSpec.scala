@@ -68,8 +68,10 @@ class KVLogSpec extends SparkSuite {
     // even keys only: any odd probe key lies INSIDE the run's
     // [min,max] so row-group stats can never reject it — exactly the
     // case where an uncompacted run without a bloom filter degrades a
-    // point get to a full decode
-    log.append(batch((0L until 4000L).map(k => (k * 2, k, false, k.toDouble))))
+    // point get to a full decode. One partition → one file, so the
+    // probed file deterministically spans the full key range.
+    log.append(batch((0L until 4000L).map(k => (k * 2, k, false, k.toDouble)))
+      .coalesce(1))
     val file = new java.io.File(log.committedRuns.head).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
     val input = HadoopInputFile.fromPath(

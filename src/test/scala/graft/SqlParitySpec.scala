@@ -99,6 +99,127 @@ class SqlParitySpec extends SparkSuite {
         |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  // ---- auto-generated parity: every oracle that IS Spark SQL -------
+  //
+  // The hand-written statements above pin a few canonical slt shapes;
+  // this block closes the drift class structurally: every op's
+  // `Op.sql` oracle that parses and means the same thing in Spark's
+  // dialect is ALSO executed through spark.sql and compared against
+  // the DataFrame operator. A divergence like the round-3 q20 bug
+  // (parity text edited away from the oracle) is now impossible —
+  // there is no second copy of the SQL.
+
+  /** Oracles excluded from auto-parity, each for a stated dialect
+    * reason: DuckDB-only syntax Spark can't parse, or a function that
+    * doesn't exist in Spark's catalog. Nothing here is excluded for a
+    * VALUE difference — a semantic divergence must fail the test, not
+    * grow this list. */
+  private val duckdbOnly: Map[String, String] = Map(
+    "q16_expressions" -> "CAST(x AS VARCHAR) — Spark requires VARCHAR(n)",
+    "q24_read_csv" -> "read_csv(path, header := ...) named-arg table function",
+    "q36_json_extract" -> "json_extract_string()",
+    "q52_read_jsonl" -> "read_json_auto() table function",
+    "dedup_ngram_jaccard" -> "DuckDB [..] list literals/slicing",
+    "dedup_embedding" -> "::DOUBLE[] array cast",
+    "dedup_lines" -> "list_* lambda functions",
+    "dedup_contamination" -> "unnest()",
+    "ann_topk_brute" -> "::DOUBLE[] array cast + QUALIFY",
+    "ann_lsh" -> "::DOUBLE[] array cast + QUALIFY",
+    "text_langid" -> "DuckDB [..] list literals",
+    "text_quality" -> "list_ lambda syntax",
+    "text_tokens" -> "string_split_regex()",
+    "text_pack_sequences" -> "string_split_regex()",
+    "text_normalize" -> "regexp_replace(.., 'g') global flag argument",
+    "text_split_assign" -> "0x3 hex literal",
+    "sample_stratified" -> "0x3 hex literal",
+    "text_repetition" -> "DuckDB [..] list literals",
+    "text_pii" -> "CAST(x AS VARCHAR)",
+    "text_topterms" -> "QUALIFY clause",
+    "text_editdist" -> "strpos()",
+    "stream_window_agg" -> "epoch_us()",
+    "stream_sessionize" -> "epoch_us()",
+    "stream_stateful_track" -> "epoch_us()",
+    "stream_stream_join" -> "epoch_us()",
+    "stream_topk" -> "epoch_us()",
+    "q30_range_join" -> "epoch_us()",
+    "q31_asof_join" -> "ASOF JOIN syntax",
+    "q49_asof_tolerance" -> "ASOF JOIN syntax",
+    "pipeline_e2e" -> "string_split()",
+    "pipeline_pack" -> "string_split()",
+    "q47_zorder" -> "DuckDB lambda syntax in the Morton bit-interleave",
+    "q41_pivot" -> "DuckDB PIVOT ... ON ... USING syntax",
+    "q42_explode" -> "unnest()",
+    "q48_gapfill" -> "unnest(generate_series())",
+    "q43_window_frames" -> "DuckDB WINDOW-clause placement",
+    "q44_listagg" -> "string_agg(x, sep ORDER BY ..) in-args ordering",
+  )
+
+  test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {
+    // DuckDB double-quotes identifiers ("value"); default Spark parses
+    // "..." as a string literal. ANSI double-quoted identifiers give
+    // the oracle text its DuckDB meaning — scoped to a child session
+    // so the rest of the suite keeps default parsing.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.ansi.enabled", "true")
+    sess.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    Tables.registerAll(sess, sfDir)
+    val candidates = SparkEntry.ops
+      .filter(op => op.oracle.isDefined && !duckdbOnly.contains(op.name))
+    val failures = candidates.flatMap { op =>
+      try {
+        val viaSql = sess.sql(op.oracle.get).collect()
+        val viaOp = op.run(sess, sfDir).collect()
+        // multiset compare on formatted rows: the oracle's ORDER BY
+        // may be a partial order, and the driver's own compare is
+        // order-insensitive too
+        val a = viaSql.map(_.toString).sorted.toSeq
+        val b = viaOp.map(_.toString).sorted.toSeq
+        if (a == b) None
+        else Some(op.name -> s"MISMATCH sql=${a.take(2)}.. op=${b.take(2)}.. (${a.size}/${b.size} rows)")
+      } catch {
+        case e: Throwable =>
+          Some(op.name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" ").take(200)}")
+      }
+    }
+    assert(failures.isEmpty,
+      failures.map { case (n, m) => s"\n  $n: $m" }.mkString)
+    // coverage floor: the denylist can only shrink this far — adding
+    // an op to it without a real dialect reason fails here
+    assert(candidates.size >= 40,
+      s"auto-parity covers only ${candidates.size} ops — denylist grew too far")
+  }
+
+  test("pragma surface: SET / SHOW TABLES / DESCRIBE (reference tests/slt/pragma.slt)") {
+    // the reference's pragma.slt drives engine settings and catalog
+    // introspection as SQL statements; Spark's SET/SHOW/DESCRIBE is
+    // the same surface, cross-checked against the q25/q26 operators
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.sql("SET spark.sql.autoBroadcastJoinThreshold=1048576")
+      val r = spark.sql("SET spark.sql.autoBroadcastJoinThreshold").collect()
+      assert(r.length == 1 && r(0).getString(1) == "1048576",
+        "SET did not round-trip through SQL")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // SHOW TABLES lists every table q25_query_tables counts
+    val shown = spark.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    val q25 = SparkEntry.queries("q25_query_tables")(spark, sfDir)
+      .collect().map(_.getString(1)).toSet
+    assert(q25.subsetOf(shown), s"SHOW TABLES missing ${q25 -- shown}")
+    // DESCRIBE agrees with q26_query_columns on lineitem's layout
+    import org.apache.spark.sql.functions.col
+    val desc = spark.sql("DESCRIBE lineitem").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val q26 = SparkEntry.queries("q26_query_columns")(spark, sfDir)
+      .filter(col("table_name") === "lineitem").collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    assert(q26.nonEmpty)
+    q26.foreach { case (name, ty) =>
+      assert(desc.contains(name), s"DESCRIBE lineitem missing column $name")
+      assert(graft.sources.Catalog.normalizeType(desc(name).toUpperCase) == ty,
+        s"$name: DESCRIBE says ${desc(name)}, catalog op says $ty")
+    }
+  }
+
   test("custom graft functions are SQL-callable through the extension") {
     val r = spark.sql(
       """SELECT doc_id, graft_simhash64(text) AS sh,

@@ -36,6 +36,18 @@ object Bench {
     try exec("q1_agg") // warmup (untimed)
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
+    // fixed per-query cost of this harness (job scheduling, codegen,
+    // noop commit — everything EXCEPT the query's own work), measured
+    // the same way the queries are: min-of-3 of a one-row plan. At
+    // sf0.1 this floor dominates the small queries; on a long-running
+    // cluster job it's paid once per stage, not per query, so
+    // baseline ratios should be read as (spark - floor) / duckdb.
+    val noopFloor = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     // min of 3 runs: steady-state throughput (what a warm cluster
     // job sees), not first-run codegen/JIT compilation or a stray
     // GC/load spike. A query that fails every run is NOT timed (its
@@ -88,7 +100,7 @@ object Bench {
         s""","loadavg1m":$l"""
       } catch { case _: Throwable => "" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$baseJson$loadJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","spark_noop_floor":$noopFloor$errJson$baseJson$loadJson}"""
     println(line)
     // also land the line in a file: sbt prefixes forked stdout with
     // "[info] ", which the driver's JSON parse tripped over in round 1

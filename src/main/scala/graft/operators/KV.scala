@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Op
-import graft.kv.KVTable
+import graft.kv.{KVLog, KVTable}
 import graft.sources.Tables
 
 /** §2.2 KV storage semantics as oracle-checked operators.
@@ -111,6 +111,35 @@ object KV {
     t.compactedUpTo(cut).compacted()
   }
 
+  private val logBuildLock = new Object
+
+  /** Durable batched ingest through [[graft.kv.KVLog]] (the
+    * reference's WAL write path, wal_record_writer.rs): the log is
+    * split into three seq-range batches, each appended as a
+    * crash-safe bloom-filtered run (temp dir + atomic rename), and
+    * the read-back merge must equal the full-log merge — which is
+    * exactly the DuckDB oracle. Built once per (dir, mtime) like the
+    * ANN indexes; re-runs read the committed runs. */
+  val kvLogIngest: Op = Op.sql("kv_log_ingest",
+    s"""WITH $kvCte
+       |SELECT * FROM ${mergeSql("kv")} ORDER BY key""".stripMargin) { (s, dir) =>
+    val t = kv(s, dir)
+    val mtime = new java.io.File(s"$dir/events.parquet").lastModified()
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val log = KVLog(s"/root/repo/target/graft_kvlog/${tag}_$mtime",
+      "key", "seq", "tombstone")
+    logBuildLock.synchronized {
+      if (log.committedRuns.isEmpty) {
+        val m = t.runs.agg(max("seq")).head().getLong(0)
+        val (c1, c2) = (m / 3, 2 * m / 3)
+        log.append(t.runs.filter(col("seq") <= c1))
+        log.append(t.runs.filter(col("seq") > c1 && col("seq") <= c2))
+        log.append(t.runs.filter(col("seq") > c2))
+      }
+    }
+    log.merged(s).orderBy("key")
+  }
+
   val all: Seq[Op] = Seq(kvPointGet, kvRangeScan, kvCompact,
-    kvSnapshotRead, kvWriteBatch, kvLeveledCompact)
+    kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest)
 }

@@ -144,7 +144,11 @@ object Streams {
     * (`storage_engine/src/wal/wal_record_writer.rs`); here the
     * batchId is the framing. */
   def ingestBatch(batch: DataFrame, runsDir: String, batchId: Long): Unit =
-    batch.write.mode("overwrite").parquet(s"$runsDir/run-$batchId")
+    batch.write.mode("overwrite")
+      // same rule as KVLog.append/KVTable.compactTo: every run carries
+      // a key bloom filter so point gets prune fresh uncompacted runs
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .parquet(s"$runsDir/run-$batchId")
 
   /** All accumulated runs of a [[kvIngest]] directory (one subdir per
     * micro-batch). */

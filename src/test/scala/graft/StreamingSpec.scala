@@ -121,6 +121,28 @@ class StreamingSpec extends SparkSuite {
       val runDirs = new java.io.File(runsDir).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("run-"))
       assert(runDirs.length >= 4, s"expected one run dir per micro-batch, got ${runDirs.length}")
+      // every streamed run can reject an absent point-get key without
+      // decoding pages (same rule as KVLog.append): via the bloom
+      // filter, or — for chunks parquet kept fully dictionary-encoded,
+      // common in small micro-batches with few distinct keys — via the
+      // dictionary itself (exact membership, so parquet-mr skips the
+      // now-redundant bloom filter by design)
+      locally {
+        import scala.jdk.CollectionConverters._
+        val f = runDirs.head.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sparkContext.hadoopConfiguration))
+        try {
+          val keyChunk = reader.getFooter.getBlocks.get(0).getColumns.asScala
+            .find(_.getPath.toDotString == "key").get
+          val dictComplete = !keyChunk.getEncodingStats.hasNonDictionaryEncodedPages
+          assert(keyChunk.getBloomFilterOffset > 0 || dictComplete,
+            "streamed run can't reject absent keys: no bloom filter and " +
+              "non-dictionary pages present")
+        } finally reader.close()
+      }
       // merged read over the accumulated runs == batch KV merge
       val streamedKv = graft.kv.KVTable(
         Streams.kvRuns(spark, runsDir), "key", "seq", "tombstone")

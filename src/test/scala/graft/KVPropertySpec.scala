@@ -46,4 +46,35 @@ class KVPropertySpec extends SparkSuite {
         s"snapshot($cut), trial $trial")
     }
   }
+
+  test("durable log: random append splits + torn interleavings == sequential replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { trial =>
+      val history = genHistory(rnd)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_kvlog_prop_$trial").toString
+      val log = graft.kv.KVLog(dir + "/log", "key", "seq", "tombstone")
+      // split the history into 1..6 contiguous run batches; after a
+      // random prefix of appends, plant a torn mid-write dir (the
+      // crash shapes KVLogSpec pins, here under random interleaving)
+      val rows = history.zipWithIndex.map { case ((k, tomb, v), i) =>
+        (k, i.toLong, tomb, v)
+      }
+      val cuts = (0 +: List.fill(rnd.nextInt(5))(rnd.nextInt(rows.size)).distinct
+        .sorted :+ rows.size).distinct
+      val tornAfter = rnd.nextInt(cuts.size - 1)
+      cuts.sliding(2).zipWithIndex.foreach { case (List(lo, hi), b) =>
+        log.append(rows.slice(lo, hi).toDF("key", "seq", "tombstone", "v"))
+        if (b == tornAfter) {
+          val torn = new java.io.File(log.path, s".tmp_run_torn_$b")
+          assert(torn.mkdirs())
+          java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
+            Array[Byte](80, 65, 82, 49, 9, 9))
+        }
+      }
+      assert(collect(log.merged(spark)) == model(history, None),
+        s"torn-interleaved log diverged from replay, trial $trial")
+    }
+  }
 }

@@ -433,7 +433,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---- semantic dedup (SemDeDup) ----------------------------------
+
+  /** SemDeDup kernel (Abbas et al. 2023): k-means the embedding space,
+    * then prune near-duplicates WITHIN each cluster only. Drop rule is
+    * deterministic and order-free: drop x iff some lower-id y in the
+    * same cell has cosine(x, y) ≥ eps — parallelizable with no
+    * sequential greedy scan, and pairs in different cells are never
+    * compared (SemDeDup's deliberate blind spot: the clustering IS the
+    * candidate generation).
+    *
+    * Scale: the self-join is keyed on `cell`, so shuffle volume is
+    * O(corpus) and pair work is Σ|cell|² — bounded by sizing k so
+    * |cell| ≈ n/k stays small (SemDeDup used k=50k on LAION-440M; AQE
+    * skew-join splits hot cells). Contrast with [[dedupEmbedding]],
+    * which buckets by LSH band instead of learned cells. */
+  def semanticPrune(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                    eps: Double): DataFrame = {
+    val cLit = typedLit(centroids)
+    val assigned = corpus
+      .withColumn("cell", Similarity.cellExpr(cLit, col("v")).cast("int"))
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      // verify in the join output stream (codegen'd cosine), so only
+      // (vec_id) scalars reach the distinct shuffle — never the vectors
+      .filter(cosine(col("a.v"), col("b.v")) >= eps)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** SemDeDup over the embeddings table, reusing the IVF centroids
+    * ([[Similarity.centroidsFor]] — trained once per dataset, shared
+    * with ann_ivf/ann_ivf_persist so every consumer of the cell
+    * layout agrees on assignments). eps matches [[dedupEmbedding]]'s
+    * near-dup threshold. Cell ids come from trained centroids, so no
+    * SQL oracle can recompute them — correctness is DedupSpec's
+    * planted-cluster tests plus the driver's rows-only check. */
+  val dedupSemantic: Op = Op.rowsOnly("dedup_semantic") { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    semanticPrune(e, Similarity.centroidsFor(s, dir), 0.4)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
     dedupSimhash, dedupEmbedding, dedupLines, dedupContamination,
-    dedupCluster)
+    dedupCluster, dedupSemantic)
 }

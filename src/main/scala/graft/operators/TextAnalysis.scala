@@ -334,7 +334,110 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-trained unigram LM quality score (the cheap stand-in for
+    * perplexity filtering: docs whose tokens are corpus-typical score
+    * high, rare-token soup scores low). Two passes: (1) token counts
+    * — one hash-aggregate with map-side combine, output is |vocab|
+    * rows; (2) score — exploded tokens broadcast-join the vocab (at
+    * 100 TB a unigram vocab with a min-count floor still fits in a
+    * broadcast; if it ever didn't, the same plan shuffle-joins on
+    * `tok`), then an INTEGER sum per doc. The only floating-point op
+    * is one final division of exact bigints, so the score is
+    * bit-identical across engines — no ln(), whose last-ulp rounding
+    * differs per libm (same reasoning as [[textTopterms]]). */
+  val textLmScore: Op = Op.sql("text_lm_score",
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |            FROM documents),
+      |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+      |n AS (SELECT count(*) AS total FROM tok)
+      |SELECT t.doc_id,
+      |  count(*) AS n_tok,
+      |  CAST(sum(v.cnt) AS BIGINT) AS sum_cnt,
+      |  CAST(sum(v.cnt) AS BIGINT) * 1.0 / (count(*) * (SELECT total FROM n)) AS avg_p
+      |FROM tok t JOIN v USING (tok)
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.join(broadcast(vocab), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("cnt").as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tok"), col("sum_cnt"),
+        (col("sum_cnt") * 1.0 / (col("n_tok") * col("total"))).as("avg_p"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword set for the Gopher "contains ≥2 stopwords" rule —
+    * shared verbatim by the Spark op and the generated oracle. */
+  val GopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1 /
+    * RefinedWeb): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (# and ellipsis), alpha-word ratio,
+    * stopword floor, plus the per-rule flags so a pipeline can audit
+    * WHY a doc dropped. Every ratio test is cross-multiplied into
+    * integer comparisons (`10·n_alpha ≥ 8·n_words`, never a float
+    * division) so the verdict is bit-identical across engines. Pure
+    * per-row codegen'd expressions: shuffle-free, scales linearly. */
+  val textGopher: Op = Op.sql("text_gopher", {
+    val stop = GopherStop.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (SELECT doc_id,
+       |    len(string_split_regex(text, '\\s+')) AS n_words,
+       |    length(regexp_replace(text, '\\s+', '', 'g')) AS sum_len,
+       |    length(text) - length(replace(text, '#', '')) AS n_hash,
+       |    length(text) - length(replace(text, '...', '')) AS diff3,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |        w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+       |    len(list_filter($stop,
+       |        sw -> list_contains(string_split_regex(text, '\\s+'), sw))) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_words,
+       |  n_words BETWEEN 30 AND 100000 AS ok_words,
+       |  3 * n_words <= sum_len AND sum_len <= 10 * n_words AS ok_wordlen,
+       |  10 * (3 * n_hash + diff3) <= 3 * n_words AS ok_symbol,
+       |  10 * n_alpha >= 8 * n_words AS ok_alpha,
+       |  n_stop >= 2 AS ok_stop,
+       |  (n_words BETWEEN 30 AND 100000)
+       |    AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+       |    AND 10 * (3 * n_hash + diff3) <= 3 * n_words
+       |    AND 10 * n_alpha >= 8 * n_words
+       |    AND n_stop >= 2 AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val toks = split(col("text"), "\\s+")
+    val stopLit = array(GopherStop.map(lit): _*)
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_words"),
+      length(regexp_replace(col("text"), "\\s+", "")).cast("bigint").as("sum_len"),
+      (length(col("text")) - length(expr("replace(text, '#', '')")))
+        .cast("bigint").as("n_hash"),
+      (length(col("text")) - length(expr("replace(text, '...', '')")))
+        .cast("bigint").as("diff3"),
+      size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("bigint").as("n_alpha"),
+      size(filter(stopLit, sw => array_contains(toks, sw)))
+        .cast("bigint").as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        col("n_words").between(30, 100000).as("ok_words"),
+        (lit(3) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_words")).as("ok_wordlen"),
+        (lit(10) * (lit(3) * col("n_hash") + col("diff3"))
+          <= lit(3) * col("n_words")).as("ok_symbol"),
+        (lit(10) * col("n_alpha") >= lit(8) * col("n_words")).as("ok_alpha"),
+        (col("n_stop") >= 2).as("ok_stop"),
+        (col("n_words").between(30, 100000) &&
+          lit(3) * col("n_words") <= col("sum_len") &&
+          col("sum_len") <= lit(10) * col("n_words") &&
+          lit(10) * (lit(3) * col("n_hash") + col("diff3")) <= lit(3) * col("n_words") &&
+          lit(10) * col("n_alpha") >= lit(8) * col("n_words") &&
+          col("n_stop") >= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
-    textTopterms, textEditdist, textPackSequences)
+    textTopterms, textEditdist, textPackSequences, textLmScore, textGopher)
 }

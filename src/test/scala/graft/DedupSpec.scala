@@ -70,4 +70,51 @@ class DedupSpec extends SparkSuite {
     assert(Seq(10L, 11L).forall(got(_) == 10L))
     assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
   }
+
+  test("semantic dedup: drops within-cell near-dups, keeps distinct members") {
+    import spark.implicits._
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),      // cell 0, kept (lowest id in its ε-ball)
+      (2L, Seq(0.999, 0.045)),  // cos(1,2) ≈ 0.999 → dropped
+      (3L, Seq(0.9, 0.436)),    // cell 0 but cos(1,3) = 0.9 < eps → kept
+      (4L, Seq(0.0, 1.0)),      // cell 1, kept
+      (5L, Seq(0.03, 0.9995)),  // cos(4,5) ≈ 0.9995 → dropped
+      (6L, Seq(1.0, 0.001))     // cell 0, near-identical to 1 → dropped
+    ).toDF("vec_id", "v")
+    val kept = Dedup.semanticPrune(vecs, centroids, 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("semantic dedup: pairs split across cells are never compared (SemDeDup blind spot)") {
+    import spark.implicits._
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    // near-identical pair straddling the cell boundary: each lands in
+    // a different cell, so SemDeDup keeps BOTH by design — this pins
+    // the candidate-generation semantics (clustering IS the blocking)
+    val vecs = Seq(
+      (7L, Seq(0.7072, 0.707)),  // cell 0 (cos to c0 barely higher)
+      (8L, Seq(0.707, 0.7072))   // cell 1
+    ).toDF("vec_id", "v")
+    val out = Dedup.semanticPrune(vecs, centroids, 0.99)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.keySet == Set(7L, 8L))
+    assert(out(7L) == 0 && out(8L) == 1)
+  }
+
+  test("dedup_semantic op: survivors are a subset with no within-cell near-dup pair left") {
+    val out = SparkEntry.queries("dedup_semantic")(spark, sfDir)
+    val n = out.count()
+    assert(n > 0 && n <= 500)
+    // self-check: pruning the survivors again removes nothing (fixpoint)
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val survivors = e.join(out.select("vec_id"), Seq("vec_id"))
+    val again = Dedup.semanticPrune(survivors,
+      graft.operators.Similarity.centroidsFor(spark, sfDir), 0.4).count()
+    assert(again == n, s"semantic prune not a fixpoint: $n -> $again")
+  }
 }

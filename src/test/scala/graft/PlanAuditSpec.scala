@@ -72,11 +72,34 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("near-dup candidate joins are keyed (hash/broadcast), not nested-loop") {
-    Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "dedup_embedding").foreach { q =>
+    Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "dedup_embedding",
+      "dedup_semantic").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: candidate generation degenerated to an unkeyed join")
     }
+  }
+
+  test("LM score: vocab joins broadcast, every aggregate stays hash-based") {
+    val p = plan("text_lm_score")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab/total join is not a broadcast — the token stream would shuffle twice")
+    assert(!p.contains("SortAggregate"),
+      "count/sum degenerated to SortAggregate (loses map-side combine)")
+    // the one BroadcastNestedLoopJoin is the 1-row corpus-total scalar
+    // broadcast (the repo's standard scalar pattern) — only an unkeyed
+    // join between REAL relations would be a scale defect
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("gopher filter is shuffle-free per-row work (only the final sort exchanges)") {
+    val p = plan("text_gopher")
+    // per-doc rule evaluation must not aggregate or join anything —
+    // the only Exchange allowed is the rangepartitioning of orderBy
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "gopher rules should be pure per-row expressions")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected shuffles in a per-row filter plan:\n$p")
   }
 
   test("IVF+PQ probe prunes the codes index to the probed cells, keyed joins only") {

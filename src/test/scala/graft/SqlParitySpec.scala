@@ -128,6 +128,8 @@ class SqlParitySpec extends SparkSuite {
     "text_langid" -> "DuckDB [..] list literals",
     "text_quality" -> "list_ lambda syntax",
     "text_tokens" -> "string_split_regex()",
+    "text_lm_score" -> "unnest(string_split_regex())",
+    "text_gopher" -> "string_split_regex() + list_filter lambda",
     "text_pack_sequences" -> "string_split_regex()",
     "text_normalize" -> "regexp_replace(.., 'g') global flag argument",
     "text_split_assign" -> "0x3 hex literal",

@@ -71,4 +71,58 @@ class TextSpec extends SparkSuite {
       assert(ratio == hit.toDouble / n)
     }
   }
+
+  test("unigram LM score matches an independent in-process recomputation") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = docs.map(_._2.size.toLong).sum
+    val expected = docs.map { case (id, toks) =>
+      val sumCnt = toks.map(counts).sum
+      id -> ((toks.size.toLong, sumCnt, sumCnt * 1.0 / (toks.size * total)))
+    }.toMap
+    val got = TextAnalysis.textLmScore.run(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, sc, p) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == sc && r.getDouble(3) == p,
+        s"doc ${r.getLong(0)}: got (${r.getLong(1)},${r.getLong(2)},${r.getDouble(3)}) want ($n,$sc,$p)")
+    }
+    // sanity of the signal itself: common-token docs outscore rare-token docs
+    val ps = got.map(_.getDouble(3))
+    assert(ps.max > ps.min, "score is non-constant over the corpus")
+  }
+
+  test("gopher rules match an independent in-process recomputation and split the corpus") {
+    val texts = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.textGopher.run(spark, sfDir).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val text = texts(r.getLong(0))
+      val toks = text.split("\\s+").toSeq
+      val nWords = toks.size.toLong
+      val sumLen = toks.map(_.length.toLong).sum
+      val nHash = text.count(_ == '#').toLong
+      val diff3 = (text.length - text.replace("...", "").length).toLong
+      val nAlpha = toks.count(_.exists(_.isLetter)).toLong
+      val nStop = TextAnalysis.GopherStop.count(toks.contains).toLong
+      val okWords = nWords >= 30 && nWords <= 100000
+      val okWordlen = 3 * nWords <= sumLen && sumLen <= 10 * nWords
+      val okSymbol = 10 * (3 * nHash + diff3) <= 3 * nWords
+      val okAlpha = 10 * nAlpha >= 8 * nWords
+      val okStop = nStop >= 2
+      val expect = Seq(okWords, okWordlen, okSymbol, okAlpha, okStop,
+        okWords && okWordlen && okSymbol && okAlpha && okStop)
+      val actual = (2 to 7).map(r.getBoolean)
+      assert(r.getLong(1) == nWords && actual == expect,
+        s"doc ${r.getLong(0)}: got $actual want $expect")
+    }
+    // thresholds are calibrated to actually split this corpus
+    val keeps = got.count(_.getBoolean(7))
+    assert(keeps > 0 && keeps < got.length,
+      s"gopher filter is degenerate: $keeps/${got.length} kept")
+  }
 }

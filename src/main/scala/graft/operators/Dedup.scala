@@ -477,7 +477,43 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  // ---- incremental (batch-vs-corpus) dedup ------------------------
+
+  /** Incremental ingest dedup — the shape production pipelines
+    * actually run: an incoming BATCH is checked against the
+    * already-ingested corpus's content hashes, not against itself.
+    * Derived batch: every doc_id % 3 == 0 document arrives verbatim
+    * (a true duplicate of the seen corpus), the rest arrive with new
+    * content. One hash-keyed left join decides is_dup per batch row —
+    * shuffle carries only (md5, id) scalars, never document text.
+    *
+    * At 100 TB the seen-hash side is not a live DISTINCT over the
+    * corpus: it is the persisted KV hash store this library already
+    * provides (kv/KVLog runs with parquet bloom filters on the key
+    * column — absent hashes, i.e. NEW content, reject entire row
+    * groups without decoding). This op keeps the join form so the
+    * decision itself is DuckDB-checkable end to end. */
+  val dedupIncremental: Op = Op.sql("dedup_incremental",
+    """WITH batch AS (
+      |  SELECT doc_id + 200000 AS doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text ELSE 'v2 ' || text END AS text
+      |  FROM documents),
+      |seen AS (SELECT DISTINCT md5(text) AS h FROM documents)
+      |SELECT b.doc_id, s.h IS NOT NULL AS is_dup
+      |FROM batch b LEFT JOIN seen s ON md5(b.text) = s.h
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val batch = d.select((col("doc_id") + 200000).as("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(lit("v2 "), col("text"))).as("text"))
+    val seen = d.select(md5(col("text").cast("binary")).as("h")).distinct()
+    batch.select(col("doc_id"), md5(col("text").cast("binary")).as("bh"))
+      .join(seen, col("bh") === col("h"), "left")
+      .select(col("doc_id"), col("h").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
     dedupSimhash, dedupEmbedding, dedupLines, dedupContamination,
-    dedupCluster, dedupSemantic)
+    dedupCluster, dedupSemantic, dedupIncremental)
 }

@@ -103,6 +103,17 @@ class DedupSpec extends SparkSuite {
     assert(out(7L) == 0 && out(8L) == 1)
   }
 
+  test("incremental dedup flags exactly the verbatim re-ingested batch rows") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val expectDups = docs.filter(col("doc_id") % 3 === 0).count()
+    val out = SparkEntry.queries("dedup_incremental")(spark, sfDir).collect()
+    assert(out.length == docs.count())
+    val dups = out.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    assert(dups.size.toLong == expectDups)
+    // the flagged rows are precisely the batch ids derived from % 3 == 0
+    assert(dups.forall(id => (id - 200000) % 3 == 0))
+  }
+
   test("dedup_semantic op: survivors are a subset with no within-cell near-dup pair left") {
     val out = SparkEntry.queries("dedup_semantic")(spark, sfDir)
     val n = out.count()

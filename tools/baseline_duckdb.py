@@ -36,6 +36,39 @@ HEADLINE = ["q1_agg", "q2_filter_project", "q10_multi_join", "q28_topn_agg",
 
 RUNS = 3  # min-of-3, matching Bench.scala
 
+# Task ANALOGS for the spec-only headline ops: the same user task,
+# done the way a DuckDB user would do it with DuckDB's native tools
+# (no LSH / IVF / sketch-merge machinery to call, so near-dup pairs
+# fall back to verified all-pairs and ANN to brute force). These are
+# NOT value-exact oracles — the JSON labels them under "analogs" so a
+# reader never mistakes them for gate-checked queries. The two
+# all-pairs analogs are quadratic and run ONCE (minutes, not seconds —
+# which is itself the baseline datapoint: the LSH/IVF paths exist
+# because the quadratic fallback stops scaling long before 100 TB).
+ANALOGS = {
+    # near-dup candidate pairs over the derived near-dup corpus:
+    # DuckDB-native = exact all-pairs Jaccard (the dedup_ngram_jaccard
+    # oracle text, reused verbatim at runtime)
+    "dedup_minhash_lsh": ("dedup_ngram_jaccard", 1),
+    "dedup_simhash": ("dedup_ngram_jaccard", 1),
+    # ANN top-k: DuckDB-native = brute-force scan (the ann_topk_brute
+    # oracle), which is what ann_ivf's pruning avoids
+    "ann_ivf": ("ann_topk_brute", RUNS),
+    # order-sensitive doc fingerprint: DuckDB-native = md5 of the text
+    "text_fingerprint": (
+        "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id",
+        RUNS),
+    # sketch profile: DuckDB's own HLL/approx-quantile aggregates
+    "stats_sketch": ("""SELECT count(*) AS n_rows,
+        approx_count_distinct(l_orderkey) AS acd_orderkey,
+        approx_count_distinct(l_partkey) AS acd_partkey,
+        approx_count_distinct(l_suppkey) AS acd_suppkey,
+        approx_quantile(l_extendedprice, 0.5) AS p50_price,
+        approx_quantile(l_extendedprice, 0.95) AS p95_price,
+        approx_quantile(l_quantity, 0.5) AS p50_qty
+        FROM lineitem""", RUNS),
+}
+
 
 def main():
     oracle_path, sf_dir = sys.argv[1], sys.argv[2]
@@ -51,24 +84,32 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     times = {}
+    analog_names = []
     for name in HEADLINE:
-        sql = oracles.get(name)
+        sql, runs = oracles.get(name), RUNS
+        if sql is None and name in ANALOGS:
+            ref, runs = ANALOGS[name]
+            sql = oracles.get(ref, ref)  # op-name indirection or raw SQL
+            analog_names.append(name)
         if sql is None:
             continue
         best = None
-        for _ in range(RUNS):
+        for _ in range(runs):
             t0 = time.monotonic()
             con.execute(sql).fetchall()  # materialize every row
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 4)
-        print(f"{name}: {times[name]}s", file=sys.stderr)
+        print(f"{name}: {times[name]}s"
+              + (" (task analog)" if name in analog_names else ""),
+              file=sys.stderr)
     doc = {
         "engine": "duckdb",
         "version": duckdb.__version__,
         "threads": con.execute("SELECT current_setting('threads')").fetchone()[0],
         "sf": os.path.basename(sf_dir.rstrip("/")),
         "runs": RUNS,
+        "analogs": analog_names,
         "total": round(sum(times.values()), 4),
         "queries": times,
     }

@@ -186,7 +186,7 @@ object Similarity {
     * partition pruning. */
   /** Cell id (nearest centroid by cosine) of `v` under the centroid
     * list literal — the IVF assignment used at build AND probe time. */
-  private[operators] def cellExpr(cLit: Column, v: Column): Column =
+  private[graft] def cellExpr(cLit: Column, v: Column): Column =
     array_position(
       transform(cLit, c => cosine(v, c)),
       array_max(transform(cLit, c => cosine(v, c)))) - 1

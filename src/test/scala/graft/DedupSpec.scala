@@ -114,6 +114,43 @@ class DedupSpec extends SparkSuite {
     assert(dups.forall(id => (id - 200000) % 3 == 0))
   }
 
+  test("semantic dedup blocking recall on planted near-identical pairs (measured pin)") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions._
+    // the synthetic corpus has no pair above cos 0.5 (measured), so
+    // the SemDeDup regime — near-identical duplicates — is planted:
+    // each vector gets a perturbed copy (5% of the next coordinate
+    // mixed into each position, deterministic in pure column exprs),
+    // cosine ≈ 0.99. Centroids stay trained on the ORIGINAL corpus
+    // (the realistic shape: index trained, duplicates arrive later).
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val copies = e.select((col("vec_id") + 10000).as("vec_id"),
+      expr("""transform(v, (x, i) ->
+        x + 0.05 * element_at(v, cast((i + 1) % size(v) + 1 as int)))""").as("v"))
+    val cLit = typedLit(Similarity.centroidsFor(spark, sfDir))
+    val cellOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("cell", Similarity.cellExpr(cLit, col("v")))
+    val planted = cellOf(e).as("x").join(cellOf(copies).as("y"),
+        col("x.vec_id") + 10000 === col("y.vec_id"))
+      .select(cosine(col("x.v"), col("y.v")).as("cos"),
+        (col("x.cell") === col("y.cell")).as("coloc")).cache()
+    val total = planted.count()
+    val sim = planted.filter(col("cos") >= 0.95).count()
+    val coloc = planted.filter(col("coloc")).count()
+    planted.unpersist()
+    val recall = coloc.toDouble / total
+    info(f"planted pairs: $total, cos>=0.95: $sim, colocated: $coloc, recall $recall%.3f")
+    // the perturbation keeps every planted pair in the near-identical
+    // regime SemDeDup targets...
+    assert(sim.toDouble / total >= 0.95, "perturbation too strong to be a near-dup")
+    // ...and k-means blocking co-locates nearly all of them (measured
+    // 2026-08-13; only boundary-straddling vectors split cells). A
+    // drop below the pin means the shared centroids or the cell
+    // assignment regressed — both deterministic for a fixed dataset.
+    assert(recall >= 0.90, f"blocking recall $recall%.3f regressed")
+  }
+
   test("dedup_semantic op: survivors are a subset with no within-cell near-dup pair left") {
     val out = SparkEntry.queries("dedup_semantic")(spark, sfDir)
     val n = out.count()

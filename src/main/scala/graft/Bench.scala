@@ -42,11 +42,15 @@ object Bench {
     // sf0.1 this floor dominates the small queries; on a long-running
     // cluster job it's paid once per stage, not per query, so
     // baseline ratios should be read as (spark - floor) / duckdb.
-    val noopFloor = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      spark.range(1).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    // guarded like the warmup: a floor-measurement failure must not
+    // abort the whole bench — 0.0 just means "no floor correction"
+    val noopFloor =
+      try (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      catch { case e: Throwable => System.err.println(s"[bench] floor: $e"); 0.0 }
 
     // min of 3 runs: steady-state throughput (what a warm cluster
     // job sees), not first-run codegen/JIT compilation or a stray

@@ -39,6 +39,7 @@ final case class KVLog(path: String, keyCol: String, seqCol: String,
     * `_SUCCESS` commit marker exists. */
   def append(batch: DataFrame): Unit = {
     Files.createDirectories(Paths.get(path))
+    sweepOrphanedTemps()
     val id = s"${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"
     val tmp = Paths.get(path, s".tmp_run_$id")
     batch.write
@@ -49,6 +50,25 @@ final case class KVLog(path: String, keyCol: String, seqCol: String,
     Files.move(tmp, Paths.get(path, s"run_$id"),
       StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Crashed appends leave `.tmp_run_*` dirs behind — invisible to
+    * readers but never reclaimed otherwise (the reference WAL recycles
+    * its segments). Swept at the next append; the age floor keeps a
+    * concurrent in-flight write (same log, another session) safe. */
+  private def sweepOrphanedTemps(maxAgeMs: Long = 10 * 60 * 1000): Unit = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".tmp_run_") &&
+        f.lastModified() < cutoff)
+      .foreach(graft.sources.LocalDir.deleteRecursively)
+  }
+
+  /** Wipe the whole log — the retry path for a MULTI-append build
+    * that died between appends: unlike a single commit-by-rename,
+    * partial progress across appends is durable, so the builder must
+    * detect incompleteness (run count) and start over. */
+  def reset(): Unit =
+    graft.sources.LocalDir.deleteRecursively(new java.io.File(path))
 
   /** Committed run directories (have both the `run_` name, i.e. the
     * rename happened, and the `_SUCCESS` marker). Torn or in-flight

@@ -125,11 +125,24 @@ object KV {
        |SELECT * FROM ${mergeSql("kv")} ORDER BY key""".stripMargin) { (s, dir) =>
     val t = kv(s, dir)
     val mtime = new java.io.File(s"$dir/events.parquet").lastModified()
+    // tag = readable sanitized dir + full MD5 of the raw path: the
+    // sanitized form alone is not injective (same hazard and fix as
+    // Similarity.ivfIndexPath), so colliding datasets with equal
+    // mtimes could otherwise share a log dir and serve wrong runs
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val log = KVLog(s"/root/repo/target/graft_kvlog/${tag}_$mtime",
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val log = KVLog(s"/root/repo/target/graft_kvlog/${tag}_${digest}_$mtime",
       "key", "seq", "tombstone")
     logBuildLock.synchronized {
-      if (log.committedRuns.isEmpty) {
+      // completeness = the run COUNT, not non-emptiness: each append
+      // commits durably on its own, so a build killed between appends
+      // leaves 1-2 committed runs — treating that as "built" would
+      // serve a seq-prefix of the log forever. Anything short of all
+      // three is wiped and rebuilt (crashed-build-retried, the same
+      // policy as the _SUCCESS-gated ANN indexes).
+      if (log.committedRuns.size != 3) {
+        log.reset()
         val m = t.runs.agg(max("seq")).head().getLong(0)
         val (c1, c2) = (m / 3, 2 * m / 3)
         log.append(t.runs.filter(col("seq") <= c1))

@@ -276,20 +276,11 @@ object Similarity {
     // would permanently mask a partial index)
     indexBuildLock.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        // drop stale index versions of this dataset (older mtimes)
-        val parent = new java.io.File(path).getParentFile
-        val tag = new java.io.File(path).getName.substring(
-          0, new java.io.File(path).getName.lastIndexOf('_'))
-        Option(parent.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith(tag + "_") && f.getPath != path &&
-            !f.getName.endsWith("_pq")) // the PQ index cleans its own
-          .foreach { f =>
-            def rm(x: java.io.File): Unit = {
-              if (x.isDirectory) x.listFiles().foreach(rm)
-              x.delete(): Unit
-            }
-            rm(f)
-          }
+        // drop stale index versions of this dataset (older mtimes);
+        // the PQ family (`_pq`) cleans its own generations
+        val keep = new java.io.File(path)
+        val tag = keep.getName.substring(0, keep.getName.lastIndexOf('_'))
+        graft.sources.LocalDir.dropStaleSiblings(keep, tag + "_", pqFamily = false)
         e.withColumn("cell", cellExpr(typedLit(centroids), col("v")))
           .write.mode("overwrite").partitionBy("cell").parquet(path)
       }
@@ -471,19 +462,10 @@ object Similarity {
     indexBuildLock.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         // drop stale PQ-index versions of this dataset (older mtimes)
-        val parent = new java.io.File(path).getParentFile
         val base = new java.io.File(ivfIndexPath(dir)).getName
         val tag = base.substring(0, base.lastIndexOf('_'))
-        Option(parent.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith(tag + "_") &&
-            f.getName.endsWith("_pq") && f.getPath != path)
-          .foreach { f =>
-            def rm(x: java.io.File): Unit = {
-              if (x.isDirectory) x.listFiles().foreach(rm)
-              x.delete(): Unit
-            }
-            rm(f)
-          }
+        graft.sources.LocalDir.dropStaleSiblings(
+          new java.io.File(path), tag + "_", pqFamily = true)
         val centroids = centroidsFor(s, dir)
         val cb = codebookFor(s, dir)
         // cosine is scale-invariant, so cell assignment on the

@@ -106,10 +106,35 @@ class AnnSpec extends SparkSuite {
     // 0.98 — the composition gives up nothing for its 4x cell
     // pruning.
     assert(recall >= 0.9, s"IVF+PQ recall $recall (expected ~0.94)")
-    // composition really restricts ADC: every returned neighbor lies
-    // in a probed cell of its query (k results per query, no dups)
+    // composition really restricts ADC: exactly k DISTINCT neighbors
+    // per query, every query answered, and every returned neighbor's
+    // index cell is one of ITS query's probed cells — the (query_id,
+    // cell) join key restriction, asserted against the persisted
+    // index's own cell column plus a recomputation of the probe-cell
+    // selection (same arithmetic as ivfPqTopK's driver-side prep)
     val byQ = df.collect().groupBy(_.getLong(0))
-    assert(byQ.values.forall(_.length <= Similarity.TopK))
+    assert(byQ.keySet.size == Similarity.NumQueries, "a query went unanswered")
+    assert(byQ.values.forall { rs =>
+      rs.length == Similarity.TopK &&
+        rs.map(_.getLong(1)).distinct.length == Similarity.TopK
+    }, "expected exactly k distinct neighbors per query")
+    val centroids = Similarity.centroidsFor(spark, sfDir)
+    val probedOf = Similarity.unitNorm(queries).collect().map { r =>
+      val q = r.getSeq[Double](1)
+      r.getLong(0) -> centroids.zipWithIndex.map { case (c, i) =>
+        val dot = q.lazyZip(c).map(_ * _).sum
+        (-dot / math.sqrt(c.map(x => x * x).sum), i)
+      }.sorted.take(Similarity.NumProbes).map(_._2).toSet
+    }.toMap
+    val cellOf = spark.read.parquet(Similarity.pqIndexPath(sfDir))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byQ.foreach { case (qid, rs) =>
+      rs.foreach { r =>
+        assert(probedOf(qid).contains(cellOf(r.getLong(1))),
+          s"neighbor ${r.getLong(1)} of query $qid came from an unprobed cell")
+      }
+    }
   }
 
   test("LSH candidates per query stay well below the corpus size") {

@@ -107,7 +107,10 @@ class TextSpec extends SparkSuite {
       val sumLen = toks.map(_.length.toLong).sum
       val nHash = text.count(_ == '#').toLong
       val diff3 = (text.length - text.replace("...", "").length).toLong
-      val nAlpha = toks.count(_.exists(_.isLetter)).toLong
+      // ASCII letters only, matching the op's [a-zA-Z] exactly — the
+      // JVM's Char.isLetter would disagree on non-ASCII-letter tokens
+      val nAlpha = toks.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
       val nStop = TextAnalysis.GopherStop.count(toks.contains).toLong
       val okWords = nWords >= 30 && nWords <= 100000
       val okWordlen = 3 * nWords <= sumLen && sumLen <= 10 * nWords

@@ -24,15 +24,34 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# the bench headline set (graft.Bench.headline); ops without an oracle
-# (spec-only) simply have no baseline entry
-HEADLINE = ["q1_agg", "q2_filter_project", "q10_multi_join", "q28_topn_agg",
-            "q22_window_funcs", "q30_range_join", "q31_asof_join",
-            "kv_compact", "kv_range_scan", "dedup_exact",
-            "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-            "ann_topk_brute", "ann_lsh", "ann_ivf",
-            "text_quality", "text_tokens", "text_fingerprint", "stats_sketch",
-            "stream_window_agg", "stream_sessionize"]
+# the bench headline set. The authoritative list is graft.Bench.headline
+# (Scala); a Bench run's own JSON carries it as the `queries` keys, so
+# when target/bench.json exists this script reads the list from there
+# and the fallback below can never silently drift after a headline edit.
+HEADLINE_FALLBACK = [
+    "q1_agg", "q2_filter_project", "q10_multi_join", "q28_topn_agg",
+    "q22_window_funcs", "q30_range_join", "q31_asof_join",
+    "kv_compact", "kv_range_scan", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+    "ann_topk_brute", "ann_lsh", "ann_ivf",
+    "text_quality", "text_tokens", "text_fingerprint", "stats_sketch",
+    "stream_window_agg", "stream_sessionize"]
+
+
+def headline():
+    bench_json = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "target", "bench.json")
+    try:
+        with open(bench_json) as f:
+            names = list(json.load(f)["queries"])
+        if names:
+            print(f"headline from {bench_json}: {len(names)} queries",
+                  file=sys.stderr)
+            return names
+    except (OSError, ValueError, KeyError):
+        pass
+    return HEADLINE_FALLBACK
 
 RUNS = 3  # min-of-3, matching Bench.scala
 
@@ -85,7 +104,7 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     times = {}
     analog_names = []
-    for name in HEADLINE:
+    for name in headline():
         sql, runs = oracles.get(name), RUNS
         if sql is None and name in ANALOGS:
             ref, runs = ANALOGS[name]

@@ -104,6 +104,7 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     times = {}
     analog_names = []
+    measured = {}  # sql text -> seconds; identical analogs measured once
     for name in headline():
         sql, runs = oracles.get(name), RUNS
         if sql is None and name in ANALOGS:
@@ -112,13 +113,16 @@ def main():
             analog_names.append(name)
         if sql is None:
             continue
-        best = None
-        for _ in range(runs):
-            t0 = time.monotonic()
-            con.execute(sql).fetchall()  # materialize every row
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 4)
+        if sql in measured:
+            times[name] = measured[sql]
+        else:
+            best = None
+            for _ in range(runs):
+                t0 = time.monotonic()
+                con.execute(sql).fetchall()  # materialize every row
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = measured[sql] = round(best, 4)
         print(f"{name}: {times[name]}s"
               + (" (task analog)" if name in analog_names else ""),
               file=sys.stderr)

@@ -133,7 +133,13 @@ def main():
         "sf": os.path.basename(sf_dir.rstrip("/")),
         "runs": RUNS,
         "analogs": analog_names,
+        # total over ALL headline entries incl. task analogs (the two
+        # quadratic all-pairs analogs dominate it — that asymmetry is
+        # the datapoint), and separately over the value-exact oracles
+        # only, for a like-for-like total comparison
         "total": round(sum(times.values()), 4),
+        "total_exact": round(sum(v for k, v in times.items()
+                                 if k not in analog_names), 4),
         "queries": times,
     }
     with open(out, "w") as f:

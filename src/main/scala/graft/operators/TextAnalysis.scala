@@ -437,7 +437,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One greedy left-to-right BPE merge of adjacent (l, r) into l+r —
+    * a codegen'd HOF fold, applied distributed to every word type.
+    * ("aaa" under (a,a) → [aa, a]: a merged symbol never re-merges
+    * with the next occurrence in the same pass, the classic rule.) */
+  def bpeMergePair(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE tokenizer-vocab training (Sennrich et al. 2016) over a
+    * word-TYPE dictionary — the shape production trainers use: by
+    * Zipf's law the distinct-word dict is orders of magnitude smaller
+    * than the corpus, so each round's pair-count aggregate shuffles
+    * |dict| rows, not |corpus|. Per round: adjacent-pair counts
+    * (one hash-agg) → the 1-row argmax to the driver (bounded index
+    * metadata, the same policy as the ANN centroids) → the merge
+    * applied distributed via [[bpeMergePair]]. Lineage is truncated
+    * per round like [[Dedup.connectedComponents]]. Ties break
+    * deterministically on (count desc, l asc, r asc). */
+  def bpeTrain(words: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var cur = words
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    for (round <- 1 to rounds) {
+      val top = cur
+        .select(col("cnt"), explode(transform(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          (x, i) => struct(x.as("l"),
+            element_at(col("syms"), i + lit(2)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, pc))
+        val next = cur
+          .withColumn("syms", bpeMergePair(col("syms"), l, r))
+          .localCheckpoint(true)
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    merges.result()
+  }
+
+  /** The learned merge table for 12 rounds over the documents corpus
+    * — the vocab artifact a tokenizer ships. Iterative (each merge
+    * depends on the last), so no SQL oracle; TextSpec recomputes the
+    * full merge sequence with an independent in-process BPE and
+    * asserts equality. */
+  val textBpeTrain: Op = Op.rowsOnly("text_bpe_train") { (s, dir) =>
+    val words = docs(s, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val spark = s
+    import spark.implicits._
+    bpeTrain(words, 12).toDF("rank", "left", "right", "pair_count")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
-    textTopterms, textEditdist, textPackSequences, textLmScore, textGopher)
+    textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
+    textBpeTrain)
 }

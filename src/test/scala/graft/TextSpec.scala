@@ -72,6 +72,46 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("BPE training matches an independent in-process recomputation, merges are usable") {
+    // reference BPE in plain Scala: same word-type dict, same greedy
+    // left-to-right merge, same (count desc, l asc, r asc) tie-break
+    def refBpe(dict0: Seq[(Vector[String], Long)], rounds: Int)
+        : Seq[(Int, String, String, Long)] = {
+      var dict = dict0
+      (1 to rounds).flatMap { round =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        for ((syms, c) <- dict; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += c
+        if (counts.isEmpty) None
+        else {
+          val ((l, r), pc) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          dict = dict.map { case (syms, c) =>
+            val out = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc.init :+ (l + r)
+              else acc :+ x
+            }
+            (out, c)
+          }
+          Some((round, l, r, pc))
+        }
+      }
+    }
+    val words = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+    val expected = refBpe(words.toSeq, 12)
+    val got = TextAnalysis.textBpeTrain.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"merge sequences diverge:\n got=$got\n want=$expected")
+    // the artifact is usable: counts are non-increasing is NOT
+    // guaranteed by BPE, but every merge must have been a real pair
+    assert(got.forall(_._4 > 0) && got.map(m => (m._2, m._3)).distinct.size == got.size)
+  }
+
   test("unigram LM score matches an independent in-process recomputation") {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()

@@ -486,22 +486,60 @@ object TextAnalysis {
     merges.result()
   }
 
-  /** The learned merge table for 12 rounds over the documents corpus
-    * — the vocab artifact a tokenizer ships. Iterative (each merge
-    * depends on the last), so no SQL oracle; TextSpec recomputes the
-    * full merge sequence with an independent in-process BPE and
-    * asserts equality. */
+  val BpeRounds = 12
+
+  /** Merge table per dataset, trained once and reused — the vocab is
+    * a build-time artifact exactly like the ANN centroids
+    * ([[Similarity.centroidsFor]]); encode calls must not retrain. */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[(Int, String, String, Long)]]()
+
+  def bpeMergesFor(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val key = (dir, new java.io.File(s"$dir/documents.parquet").lastModified())
+    bpeCache.computeIfAbsent(key, _ => bpeTrain(
+      docs(s, dir)
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")),
+      BpeRounds))
+  }
+
+  /** The learned merge table for [[BpeRounds]] rounds over the
+    * documents corpus — the vocab artifact a tokenizer ships.
+    * Iterative (each merge depends on the last), so no SQL oracle;
+    * TextSpec recomputes the full merge sequence with an independent
+    * in-process BPE and asserts equality. */
   val textBpeTrain: Op = Op.rowsOnly("text_bpe_train") { (s, dir) =>
-    val words = docs(s, dir)
-      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
     val spark = s
     import spark.implicits._
-    bpeTrain(words, 12).toDF("rank", "left", "right", "pair_count")
+    bpeMergesFor(s, dir).toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** BPE ENCODE with the learned vocab — the apply side of the
+    * tokenizer: per word, chars → the merge list folded in rank order
+    * (rank order is the BPE contract; applying rank k before k-1 can
+    * tokenize differently). The whole encode is one per-row column
+    * expression — [[BpeRounds]] chained HOF folds, shuffle-free,
+    * distributed — and the merge list rides in as literals, the same
+    * broadcast-an-artifact shape as the ANN codebooks. Reports the
+    * per-doc BPE token count next to the char count: the
+    * chars-per-token compression a tokenizer is judged by. */
+  val textBpeEncode: Op = Op.rowsOnly("text_bpe_encode") { (s, dir) =>
+    val merges = bpeMergesFor(s, dir).map(m => (m._2, m._3))
+    val tokensOf = (w: Column) =>
+      merges.foldLeft(split(w, "")) { case (syms, (l, r)) =>
+        bpeMergePair(syms, l, r)
+      }
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      aggregate(
+        transform(split(lower(col("text")), "\\s+"), w => size(tokensOf(w))),
+        lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
-    textBpeTrain)
+    textBpeTrain, textBpeEncode)
 }

@@ -112,6 +112,34 @@ class TextSpec extends SparkSuite {
     assert(got.forall(_._4 > 0) && got.map(m => (m._2, m._3)).distinct.size == got.size)
   }
 
+  test("BPE encode matches an independent in-process encoder, and compresses") {
+    val merges = TextAnalysis.bpeMergesFor(spark, sfDir).map(m => (m._2, m._3))
+    def encodeWord(w: String): Int =
+      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (l, r)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      }.length
+    val texts = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.textBpeEncode.run(spark, sfDir).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val text = texts(r.getLong(0))
+      val want = text.toLowerCase.split("\\s+").map(encodeWord).sum.toLong
+      assert(r.getLong(2) == want,
+        s"doc ${r.getLong(0)}: got ${r.getLong(2)} bpe tokens, want $want")
+    }
+    // with the learned merges the corpus must actually compress:
+    // strictly fewer BPE tokens than raw characters, corpus-wide
+    val (chars, toks) = got.foldLeft((0L, 0L)) { case ((c, t), r) =>
+      (c + r.getLong(1), t + r.getLong(2))
+    }
+    assert(toks < chars, s"no compression: $toks tokens vs $chars chars")
+  }
+
   test("unigram LM score matches an independent in-process recomputation") {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()

@@ -438,9 +438,13 @@ object TextAnalysis {
   }
 
   /** One greedy left-to-right BPE merge of adjacent (l, r) into l+r —
-    * a codegen'd HOF fold, applied distributed to every word type.
-    * ("aaa" under (a,a) → [aa, a]: a merged symbol never re-merges
-    * with the next occurrence in the same pass, the classic rule.) */
+    * a HOF fold applied distributed to every word type. HOFs run
+    * expression-interpreted (outside whole-stage codegen), but the
+    * lambda touches only its own variables, so there is no
+    * re-evaluation blowup (SURVEY §4.1), and the work is per-row over
+    * the word-TYPE dict, not the corpus. ("aaa" under (a,a) →
+    * [aa, a]: a merged symbol never re-merges with the next
+    * occurrence in the same pass, the classic rule.) */
   def bpeMergePair(syms: Column, l: String, r: String): Column =
     aggregate(syms, array().cast("array<string>"), (acc, x) =>
       when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),

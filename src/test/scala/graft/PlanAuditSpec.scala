@@ -102,6 +102,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges <= 2, s"unexpected shuffles in a per-row filter plan:\n$p")
   }
 
+  test("BPE encode is shuffle-free per-row work over the corpus scan") {
+    // the vocab is a driver-held literal (trained+cached separately),
+    // so the encode itself must be a pure projection: no join against
+    // a merges table, no aggregate, only the orderBy exchange
+    val p = plan("text_bpe_encode")
+    assert(!p.contains("Join"), "encode must not join the vocab")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "encode must not aggregate")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected shuffles in the encode plan:\n$p")
+  }
+
   test("IVF+PQ probe prunes the codes index to the probed cells, keyed joins only") {
     val p = plan("ann_ivfpq")
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,

@@ -139,4 +139,30 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs.filter(col("id_b") === col("id_a") + 100000)
       .agg(max("hamming")).head().getInt(0) <= 2)
   }
+
+  test("scene detection: the planted scene boundary trips, intra-scene steps don't") {
+    import spark.implicits._
+    // two-scene video: frames 0-1 solid dark (identical), frames 2-3
+    // solid bright (identical) — the only cut is the 1→2 transition
+    val (w, h) = (16, 12)
+    def solid(v: Int) = Ppm.encode(Ppm.Image(w, h, Array.fill(w * h * 3)(v.toByte)))
+    val video = Ppm.encodeSeq(Seq(solid(10), solid(10), solid(200), solid(200)))
+    val df = Seq(Multimodal.MediaRow(1L, Multimodal.VideoMime, w, h, video)).toDF()
+    val steps = Multimodal.sceneDetect(df, threshold = 60.0)
+      .orderBy("frame_no").collect()
+    assert(steps.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    assert(steps.map(_.getBoolean(4)).toSeq == Seq(false, true, false))
+    // the cut's MAD is exactly the solid-color delta; intra-scene is 0
+    assert(steps(1).getDouble(3) == 190.0 && steps(0).getDouble(3) == 0.0)
+  }
+
+  test("scene detection over the corpus: every transition scored, no dims mixups") {
+    val steps = graft.SparkEntry.queries("mm_scene_detect")(spark, sfDir).collect()
+    assert(steps.nonEmpty)
+    // synthetic videos are 3 frames → exactly 2 transitions each
+    steps.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      assert(rs.length == 2 && rs.forall(_.getInt(2) == 3), s"video $id")
+    }
+    steps.foreach(r => assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 255))
+  }
 }

@@ -223,6 +223,80 @@ object Analytics {
     ex.unionAll(in).orderBy("op", "k")
   }
 
+  /** Ordered event-sequence FUNNEL (view → click → purchase, each
+    * stage strictly after the previous one's FIRST occurrence): one
+    * min-agg per stage, each joined back user-keyed — shuffle O(n) by
+    * user_id, the standard distributed funnel shape (no per-user
+    * sort, no sessionization needed for first-occurrence funnels).
+    * Sub-microsecond ties are the only cross-engine hazard (Spark
+    * reads the NANOS timestamps truncated to micros) and the events
+    * table is minutes-sparse. The oracle is Spark-parseable, so
+    * auto-parity also runs it through spark.sql. */
+  val q54Funnel: Op = Op.sql("q54_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+      |SELECT u.user_id,
+      |  v.user_id IS NOT NULL AS reached_view,
+      |  c.user_id IS NOT NULL AS reached_click,
+      |  p.user_id IS NOT NULL AS reached_purchase
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id
+      |ORDER BY u.user_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+    def firstAfter(evType: String, prev: DataFrame, prevTs: String, out: String) =
+      e.join(prev, Seq("user_id"))
+        .filter(col("event_type") === evType && col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min("ts").as(out))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val c = firstAfter("click", v, "tv", "tc")
+    val p = firstAfter("purchase", c, "tc", "tp")
+    e.select("user_id").distinct()
+      .join(v.select(col("user_id").as("vu")), col("user_id") === col("vu"), "left")
+      .join(c.select(col("user_id").as("cu")), col("user_id") === col("cu"), "left")
+      .join(p.select(col("user_id").as("pu")), col("user_id") === col("pu"), "left")
+      .select(col("user_id"),
+        col("vu").isNotNull.as("reached_view"),
+        col("cu").isNotNull.as("reached_click"),
+        col("pu").isNotNull.as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Weekly cohort RETENTION: cohort = week of a user's first event,
+    * counted active in every week they appear. Two user-keyed
+    * aggregates + one join — shuffle O(n); the output is the classic
+    * (cohort, week, active-users) retention triangle. date_trunc
+    * week semantics (Monday start) agree between engines, and the
+    * truncation absorbs the micros-vs-nanos timestamp difference. */
+  val q55Retention: Op = Op.sql("q55_retention",
+    """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |      FROM events)
+      |SELECT f.cohort, a.wk, count(DISTINCT a.user_id) AS n_active
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY f.cohort, a.wk
+      |ORDER BY f.cohort, a.wk""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+    val f = e.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).cast("date").as("cohort"))
+    val a = e.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+    a.join(f, Seq("user_id"))
+      .groupBy("cohort", "wk")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort", "wk")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
-    q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll)
+    q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
+    q54Funnel, q55Retention)
 }

@@ -89,4 +89,27 @@ class AnalyticsSpec extends SparkSuite {
     }
     li.unpersist()
   }
+
+  test("funnel stages are monotone and strictly ordered in time") {
+    val rows = graft.SparkEntry.queries("q54_funnel")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, c, p) = (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+      assert(!(c && !v) && !(p && !c), s"funnel not monotone for user ${r.getLong(0)}")
+    }
+    // the funnel must actually discriminate on this corpus
+    val n = rows.length
+    val np = rows.count(_.getBoolean(3))
+    assert(np > 0 && np <= n)
+  }
+
+  test("retention triangle: no activity before a user's cohort week") {
+    val rows = graft.SparkEntry.queries("q55_retention")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getDate(1).before(r.getDate(0)),
+        s"active week ${r.getDate(1)} precedes cohort ${r.getDate(0)}")
+      assert(r.getLong(2) > 0)
+    }
+  }
 }

@@ -490,6 +490,29 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** Per-source CAP (source balancing — "no source contributes more
+    * than K documents"): deterministic content-hash priority within
+    * each source, so the kept set is stable under repartitioning and
+    * re-ingestion like [[textSplitAssign]]. One window per source
+    * shard — at 100 TB the partition key is the source, so each
+    * shard ranks in parallel; no global sort. */
+  val sampleCapped: Op = Op.sql("sample_capped",
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source, rk FROM ranked
+      |WHERE rk <= 15 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("text").cast("binary")), col("doc_id"))).as("rk"))
+      .filter(col("rk") <= 15)
+      .orderBy("doc_id")
+  }
+
   val BpeRounds = 12
 
   /** Merge table per dataset, trained once and reused — the vocab is
@@ -545,5 +568,5 @@ object TextAnalysis {
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
-    textBpeTrain, textBpeEncode)
+    textBpeTrain, textBpeEncode, sampleCapped)
 }

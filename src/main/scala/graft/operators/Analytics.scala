@@ -296,7 +296,67 @@ object Analytics {
       .orderBy("cohort", "wk")
   }
 
+  /** Arbitrary GROUPING SETS (ROLLUP/CUBE's general form, q37/q40's
+    * sibling): two INDEPENDENT one-column summaries — ((status),
+    * (priority)) — from ONE scan + ONE shuffle, with per-column
+    * GROUPING flags disambiguating grouped-out NULLs from data NULLs.
+    * Spark expands grouping sets map-side exactly like CUBE, so the
+    * fact table is read once. Flags are emitted per column (0/1 ints)
+    * rather than as a combined grouping_id, whose bit order is an
+    * engine-specific convention. */
+  val q57GroupingSets: Op = Op.sql("q57_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus)  AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY g_status, g_priority,
+      |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Time-based RANGE frame (q43 covers ROWS frames; this is the
+    * value-based sibling): per-user sliding ONE-HOUR sum/count, the
+    * rate-limiting / rolling-exposure shape. The order key is epoch
+    * SECONDS as a bigint — both engines floor sub-second parts
+    * identically, RANGE peers (equal timestamps) are frame-mates by
+    * definition so ties cannot reorder, and decimal sums make sliding
+    * re-aggregation exact. One shuffle on user_id. */
+  val q58TimeRangeFrame: Op = Op.sql("q58_time_range_frame",
+    """WITH e AS (SELECT event_id, user_id,
+      |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+      |             "value" AS v
+      |           FROM events)
+      |SELECT event_id, user_id, es,
+      |  CAST(sum(CAST(v AS DECIMAL(12,2))) OVER w AS DOUBLE) AS hour_sum,
+      |  count(*) OVER w AS hour_n
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, es, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("es")
+      .rangeBetween(-3600L, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"), col("value").as("v"))
+      .select(col("event_id"), col("user_id"), col("es"),
+        sum(col("v").cast("decimal(12,2)")).over(w).cast("double").as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
-    q54Funnel, q55Retention)
+    q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame)
 }

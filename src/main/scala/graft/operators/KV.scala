@@ -153,6 +153,59 @@ object KV {
     log.merged(s).orderBy("key")
   }
 
+  /** SCD type-2 dimension build — the warehouse face of the KV
+    * version history (reference: version_set keeps every seq'd value;
+    * SCD2 is that history made queryable). Each non-tombstone version
+    * becomes a row with [valid_from, valid_to] seq bounds from
+    * lead(seq) over the per-key version chain; a delete closes the
+    * last version and contributes no row itself. ONE shuffle on the
+    * key (the window partition), nothing driver-side — at 100 TB this
+    * is the same plan as any per-key window. */
+  val kvScd2: Op = Op.sql("kv_scd2",
+    s"""WITH $kvCte,
+       |v AS (SELECT key, seq, tombstone, v,
+       |        lead(seq) OVER (PARTITION BY key ORDER BY seq) AS next_seq
+       |      FROM kv)
+       |SELECT key, seq AS valid_from, next_seq - 1 AS valid_to,
+       |  next_seq IS NULL AS is_current, v
+       |FROM v WHERE NOT tombstone
+       |ORDER BY key, valid_from""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("seq")
+    kv(s, dir).runs
+      .withColumn("next_seq", lead(col("seq"), 1).over(w))
+      .filter(!col("tombstone"))
+      .select(col("key"), col("seq").as("valid_from"),
+        (col("next_seq") - 1).as("valid_to"),
+        col("next_seq").isNull.as("is_current"), col("v"))
+      .orderBy("key", "valid_from")
+  }
+
+  /** TTL-expiry read (RocksDB-style TTL semantics on the LSM log): a
+    * key whose LATEST version is older than the expiry horizon is
+    * absent — no fallback to older versions, exactly like a tombstone
+    * the clock wrote.
+    * The horizon derives from the log (99% of max seq — tight enough
+    * that roughly half the keys' LATEST versions predate it at every
+    * test SF, so expiry genuinely bites). Plan = the normal merge
+    * plus one post-merge filter; at scale the horizon predicate
+    * additionally prunes whole runs via min/max stats before the
+    * merge shuffle. */
+  val kvTtl: Op = Op.sql("kv_ttl",
+    s"""WITH $kvCte,
+       |mx AS (SELECT CAST(floor(max(seq) * 0.99) AS BIGINT) AS horizon FROM kv)
+       |SELECT key, seq, v FROM (
+       |  SELECT key, seq, v, tombstone,
+       |         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |  FROM kv) l, mx
+       |WHERE rn = 1 AND NOT tombstone AND seq > horizon
+       |ORDER BY key""".stripMargin) { (s, dir) =>
+    val t = kv(s, dir)
+    val horizon = t.runs.agg(floor(max("seq") * 0.99).cast("bigint")).head().getLong(0)
+    t.merged().filter(col("seq") > horizon).orderBy("key")
+  }
+
   val all: Seq[Op] = Seq(kvPointGet, kvRangeScan, kvCompact,
-    kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest)
+    kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest,
+    kvScd2, kvTtl)
 }

@@ -135,5 +135,59 @@ object Layout {
       .sortWithinPartitions("z")
       .write.mode("overwrite").parquet(ZorderPath)
 
-  val all: Seq[Op] = Seq(q34BucketedJoin, q35PartitionPruning, q47Zorder)
+  val SmallFilesPath = "/root/repo/target/graft_events_small"
+  val CompactedPath = "/root/repo/target/graft_events_compacted"
+  val FragmentFiles = 64
+  val TargetFileBytes = 1L << 20 // 1 MiB at test SF; 128 MiB in production
+
+  /** Small-file COMPACTION — the ingest-side layout problem the other
+    * two ops don't cover: streaming/incremental writers leave
+    * thousands of KB-sized files per partition, and at 100 TB the
+    * resulting task count (one per file) and namenode pressure
+    * dominate query latency long before data volume does. The rewrite
+    * sizes its output from the FILES THEMSELVES: list the fragment
+    * dir (driver-side file METADATA, bounded like the ANN centroid
+    * reads — never data), target ceil(bytes/128 MiB) outputs
+    * (1 MiB here so test SF exercises a real multi-file fold), one
+    * round-robin shuffle to even-sized files. The oracle aggregates
+    * the COMPACTED table against the original parquet, proving the
+    * rewrite byte-preserved the data; the spec asserts the file
+    * count actually collapsed to the computed target. */
+  val layoutCompactFiles: Op = Op.sql("layout_compact_files",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  CAST(sum(CAST(user_id AS BIGINT)) AS BIGINT) AS sum_user
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    compactSmallFiles(s, dir)
+    s.read.parquet(CompactedPath)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        sum(col("user_id").cast("bigint")).as("sum_user"))
+      .orderBy("event_type")
+  }
+
+  /** Fragment events into [[FragmentFiles]] tiny files, then compact
+    * to ceil(totalBytes / [[TargetFileBytes]]) even outputs; returns
+    * (fragmentCount, compactedCount) for the spec. */
+  def compactSmallFiles(s: org.apache.spark.sql.SparkSession, dir: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    Tables.load(s, dir, "events")
+      .repartition(FragmentFiles)
+      .write.mode("overwrite").parquet(SmallFilesPath)
+    val fs = new Path(SmallFilesPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val frags = fs.listStatus(new Path(SmallFilesPath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = frags.map(_.getLen).sum
+    val nOut = math.max(1, ((totalBytes + TargetFileBytes - 1) / TargetFileBytes).toInt)
+    s.read.parquet(SmallFilesPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(CompactedPath)
+    val outs = fs.listStatus(new Path(CompactedPath))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (frags.length, outs)
+  }
+
+  val all: Seq[Op] = Seq(q34BucketedJoin, q35PartitionPruning, q47Zorder,
+    layoutCompactFiles)
 }

@@ -338,6 +338,74 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** One audio clip's voice-activity summary. */
+  final case class VadRow(doc_id: Long, n_frames: Int, voiced_frames: Int,
+                          n_segments: Int, voiced_ratio: Double)
+
+  /** Energy-based voice-activity detection (the audio analog of
+    * [[sceneDetect]]'s shot segmentation — the pass that lets a
+    * speech pipeline transcribe only voiced spans): decode PCM16,
+    * cut into 20 ms frames, RMS per frame against a threshold, count
+    * voiced frames and contiguous voiced SEGMENTS. Pure per-row codec
+    * work in-partition; one scalar summary row per clip leaves. */
+  def vad(audio: DataFrame, threshold: Double): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.select("doc_id", "mime", "sample_rate", "n_samples", "payload").as[AudioRow]
+      .mapPartitions(_.map { r =>
+        val a = graft.functions.Wav.decode(r.payload)
+        val flen = math.max(1, a.sampleRate / 50) // 20 ms
+        var frames, voiced, segments = 0
+        var inSeg = false
+        var off = 0
+        while (off < a.samples.length) {
+          val end = math.min(off + flen, a.samples.length)
+          var sum = 0.0
+          var i = off
+          while (i < end) { val v = a.samples(i).toDouble; sum += v * v; i += 1 }
+          val rms = math.sqrt(sum / (end - off))
+          frames += 1
+          if (rms > threshold) {
+            voiced += 1
+            if (!inSeg) { segments += 1; inSeg = true }
+          } else inSeg = false
+          off = end
+        }
+        VadRow(r.doc_id, frames, voiced, segments,
+          if (frames == 0) 0.0 else voiced.toDouble / frames)
+      }).toDF()
+  }
+
+  /** VAD corpus: the synthesized waveforms with deterministic SILENCE
+    * GAPS planted (every ((frame + doc_id) % 3 == 0)'th 20 ms frame
+    * zeroed through a real decode → mute → re-encode round-trip), so
+    * the detector sees genuine voiced/unvoiced structure that varies
+    * per clip. */
+  def vadCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioTable(s, dir)
+      .select("doc_id", "mime", "sample_rate", "n_samples", "payload").as[AudioRow]
+      .mapPartitions(_.map { r =>
+        val a = graft.functions.Wav.decode(r.payload)
+        val flen = math.max(1, a.sampleRate / 50)
+        val out = a.samples.clone()
+        var i = 0
+        while (i < out.length) {
+          if ((i / flen + r.doc_id) % 3 == 0) out(i) = 0
+          i += 1
+        }
+        r.copy(payload = graft.functions.Wav.encode(
+          graft.functions.Wav.Audio(a.sampleRate, out)))
+      }).toDF()
+  }
+
+  /** Threshold well below the synthesized signal's RMS (hundreds) and
+    * above true zero — muted frames read exactly 0. Spec plants a
+    * known silence/tone layout and pins frame, segment and ratio
+    * counts. */
+  val mmAudioVad: Op = Op.rowsOnly("mm_audio_vad") { (s, dir) =>
+    vad(vadCorpus(s, dir), threshold = 50.0).orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup,
-    mmAudioFeatures, mmSceneDetect)
+    mmAudioFeatures, mmSceneDetect, mmAudioVad)
 }

@@ -565,8 +565,97 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** RAG-style sliding-window CHUNKING with overlap ([[textPackSequences]]
+    * packs docs end-to-end for training; this cuts each doc alone into
+    * overlapping retrieval windows — size 64, stride 48, so adjacent
+    * chunks share 16 tokens and no boundary sentence is ever lost).
+    * The chunk count is exact integer math (ceil((n−W)/S)+1 via DIV),
+    * the explode is NARROW (fan-out inside the partition, no shuffle
+    * before the final sort), and each chunk is reported as its md5 —
+    * the embedding-input fingerprint — so only scalars leave the row.
+    * Empty docs still yield their one (empty) chunk, keeping chunk
+    * accounting total. */
+  val textChunkOverlap: Op = Op.sql("text_chunk_overlap",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+      |c AS (SELECT doc_id, toks, n,
+      |        unnest(generate_series(0,
+      |          CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END)) AS ci
+      |      FROM n)
+      |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+      |  CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    val (w, st) = (64, 48)
+    docs(s, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= lit("")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          when(col("n") <= w, lit(0))
+            .otherwise(expr(s"(n - $w + ${st - 1}) DIV $st")).cast("int"))).as("ci"))
+      .select(col("doc_id"), col("ci").cast("bigint").as("chunk_id"),
+        size(slice(col("toks"), col("ci") * st + 1, lit(w))).cast("bigint").as("n_tok"),
+        md5(concat_ws(" ", slice(col("toks"), col("ci") * st + 1, lit(w)))
+          .cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** FUZZY JOIN with a complete blocking tier: a small probe set
+    * (per-source min long token, first char dropped — a planted
+    * edit-distance-1 misspelling) joined against the distinct token
+    * vocabulary at Levenshtein ≤ 2. Blocking is the length band
+    * |len(a)−len(b)| ≤ 2 — IMPLIED by edit distance ≤ 2, so the
+    * banded join provably loses nothing — expressed as an equi-key
+    * hash join (probes replicate to the 5 candidate lengths; the
+    * probe side is the small one, so replication is free and the join
+    * broadcasts). The exact DP verify runs inside the join output,
+    * never all-pairs: the same blocking-then-verify shape as the
+    * dedup family, with [[textEditdist]]'s verifier as the tier-2
+    * predicate. At 100 TB the vocabulary side stays sharded;
+    * production blocking adds q-gram pigeonhole keys on top, which
+    * only SHRINK candidate volume — the length band is the
+    * completeness guarantee. */
+  val textFuzzyJoin: Op = Op.sql("text_fuzzy_join",
+    """WITH toks AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE regexp_full_match(tok, '[a-z]{4,20}')),
+      |vocab AS (SELECT DISTINCT tok FROM toks),
+      |probes AS (SELECT source, substring(min(tok), 2) AS probe
+      |           FROM toks WHERE length(tok) >= 6 GROUP BY source)
+      |SELECT p.source, p.probe, v.tok,
+      |  CAST(levenshtein(p.probe, v.tok) AS BIGINT) AS dist
+      |FROM probes p JOIN vocab v
+      |  ON abs(length(p.probe) - length(v.tok)) <= 2
+      |WHERE levenshtein(p.probe, v.tok) <= 2
+      |ORDER BY source, probe, tok""".stripMargin) { (s, dir) =>
+    val toks = docs(s, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]{4,20}$"))
+      .distinct()
+    val vocab = toks.select("tok").distinct()
+      .withColumn("lb", length(col("tok")))
+    val probes = toks.filter(length(col("tok")) >= 6)
+      .groupBy("source").agg(min("tok").as("src_tok"))
+      .select(col("source"), expr("substring(src_tok, 2)").as("probe"))
+      .select(col("source"), col("probe"),
+        explode(sequence(length(col("probe")) - 2, length(col("probe")) + 2)).as("lb"))
+    vocab.join(broadcast(probes), Seq("lb"))
+      .withColumn("dist", levenshtein(col("probe"), col("tok")).cast("bigint"))
+      .filter(col("dist") <= 2)
+      .select("source", "probe", "tok", "dist")
+      .orderBy("source", "probe", "tok")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
-    textBpeTrain, textBpeEncode, sampleCapped)
+    textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin)
 }

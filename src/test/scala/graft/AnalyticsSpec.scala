@@ -103,6 +103,44 @@ class AnalyticsSpec extends SparkSuite {
     assert(np > 0 && np <= n)
   }
 
+  test("grouping sets: each declared set is a complete marginal of the table") {
+    val rows = Analytics.q57GroupingSets.run(spark, sfDir).collect()
+    val total = Tables.load(spark, sfDir, "orders").count()
+    // set 1: grouped by status (priority nulled, flags (0,1))
+    val byStatus = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+    val byPriority = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 0)
+    assert(byStatus.nonEmpty && byPriority.nonEmpty)
+    assert(byStatus.length + byPriority.length == rows.length,
+      "grouping flags must partition the output into exactly the two declared sets")
+    assert(byStatus.map(_.getLong(4)).sum == total)
+    assert(byPriority.map(_.getLong(4)).sum == total)
+    // grouped-out column is null, kept column is not (flags disambiguate)
+    byStatus.foreach(r => assert(!r.isNullAt(0) && r.isNullAt(1)))
+    byPriority.foreach(r => assert(r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("time range frame: sliding hour window equals a brute per-user recompute") {
+    val rows = graft.SparkEntry.queries("q58_time_range_frame")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // brute-force the frame for every row of a handful of users
+    val users = rows.map(_._1).distinct.take(5).toSet
+    val byUser = rows.filter(r => users(r._1)).groupBy(_._1)
+    val events = Tables.load(spark, sfDir, "events")
+      .filter(col("user_id").isin(users.toSeq: _*))
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    byUser.foreach { case (u, rs) =>
+      val evs = events.filter(_._1 == u)
+      rs.foreach { case (_, es, hourSum, hourN) =>
+        val in = evs.filter(e => e._2 > es - 3601 && e._2 <= es)
+        assert(in.length.toLong == hourN, s"user $u at $es: n mismatch")
+        assert(math.abs(in.map(e => BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble - hourSum) < 1e-9,
+          s"user $u at $es: sum mismatch")
+      }
+    }
+  }
+
   test("retention triangle: no activity before a user's cohort week") {
     val rows = graft.SparkEntry.queries("q55_retention")(spark, sfDir).collect()
     assert(rows.nonEmpty)

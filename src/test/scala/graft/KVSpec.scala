@@ -124,4 +124,51 @@ class KVSpec extends SparkSuite {
     // prefix keys (k1, k3 — k2's tombstone erased it) + 3 young rows
     assert(table.compactedUpTo(4L).runs.count() == 5)
   }
+
+  test("SCD2 build: version chains tile the seq line, current slice == merged view") {
+    val rows = SparkEntry.queries("kv_scd2")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (key, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // at most one open (current) version per key, and only the last
+      assert(sorted.init.forall(_._3.isDefined), s"key $key: non-final open version")
+      sorted.foreach { case (_, from, to, current, _) =>
+        assert(current == to.isEmpty)
+        to.foreach(t => assert(t >= from, s"key $key: empty validity [$from,$t]"))
+      }
+      // closed versions may not overlap: next valid_from > prev valid_to
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, Some(prevTo), _, _), (_, nextFrom, _, _, _)) =>
+          assert(nextFrom > prevTo, s"key $key: overlapping versions")
+        case _ =>
+      }
+    }
+    // the current slice IS the merged KV view (same keys, same values)
+    val current = rows.filter(_._4).map(r => (r._1, r._2, r._5)).sortBy(_._1).toSeq
+    val merged = SparkEntry.queries("kv_compact")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(current == merged,
+      "SCD2 is_current slice must equal the latest-wins merge")
+  }
+
+  test("TTL read: live set is exactly the unexpired slice of the merge") {
+    val merged = SparkEntry.queries("kv_compact")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val horizon = {
+      val logMax = graft.sources.Tables.load(spark, sfDir, "events")
+        .agg(max("event_id")).head().getLong(0)
+      math.floor(logMax * 0.99).toLong
+    }
+    val ttl = SparkEntry.queries("kv_ttl")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ttl.forall(_._2 > horizon), "an expired version survived the TTL read")
+    assert(ttl.sortBy(_._1).toSeq ==
+      merged.filter(_._2 > horizon).sortBy(_._1).toSeq,
+      "TTL view must be the merge minus expired keys — nothing else")
+    // the horizon actually bites at this SF: some keys expired, some live
+    assert(ttl.nonEmpty && ttl.length < merged.length)
+  }
 }

@@ -156,6 +156,43 @@ class MultimodalSpec extends SparkSuite {
     assert(steps(1).getDouble(3) == 190.0 && steps(0).getDouble(3) == 0.0)
   }
 
+  test("VAD pins the planted silence/tone layout exactly") {
+    import spark.implicits._
+    import graft.functions.Wav
+    // 10 frames at 8 kHz (160 samples each): silence ×3, tone ×3,
+    // silence ×1, tone ×3 → 10 frames, 6 voiced, 2 segments
+    val flen = 160
+    val pattern = Seq(0, 0, 0, 1, 1, 1, 0, 1, 1, 1)
+    val samples = pattern.flatMap(on =>
+      Array.fill(flen)(if (on == 1) 1000.toShort else 0.toShort)).toArray
+    val payload = Wav.encode(Wav.Audio(8000, samples))
+    val df = Seq(Multimodal.AudioRow(1L, Multimodal.AudioMime, 8000,
+      samples.length, payload)).toDF()
+    val r = Multimodal.vad(df, threshold = 50.0).collect().head
+    assert(r.getInt(1) == 10, "frame count")
+    assert(r.getInt(2) == 6, "voiced frames")
+    assert(r.getInt(3) == 2, "segments")
+    assert(math.abs(r.getDouble(4) - 0.6) < 1e-12, "voiced ratio")
+  }
+
+  test("VAD over the muted corpus: real gaps detected, never degenerate") {
+    val rows = Multimodal.vad(Multimodal.vadCorpus(spark, sfDir), 50.0)
+      .collect()
+    val n = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length.toLong == n)
+    rows.foreach { r =>
+      val (frames, voiced, segs) =
+        (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(frames > 0 && voiced <= frames)
+      assert(segs <= voiced && (segs > 0) == (voiced > 0))
+      // the mute pattern silences every 3rd frame, so any clip with
+      // ≥3 frames must have at least one unvoiced frame
+      if (frames >= 3) assert(voiced < frames, s"doc ${r.getLong(0)}: no gap")
+    }
+    // and the corpus genuinely exercises multi-segment clips
+    assert(rows.exists(_.getInt(3) >= 2), "no clip has 2+ voiced segments")
+  }
+
   test("scene detection over the corpus: every transition scored, no dims mixups") {
     val steps = graft.SparkEntry.queries("mm_scene_detect")(spark, sfDir).collect()
     assert(steps.nonEmpty)

@@ -170,4 +170,34 @@ class PlanAuditSpec extends SparkSuite {
     assert(avg < 0.4, f"files cover $avg%.2f of the (custkey × day) space on average")
     fracs.foreach(fr => assert(fr < 0.7, f"one file spans $fr%.2f of the space"))
   }
+
+  test("small-file compaction: file count collapses to the byte-sized target, rows survive") {
+    import graft.operators.Layout
+    val (nFrag, nOut) = Layout.compactSmallFiles(spark, sfDir)
+    assert(nFrag == Layout.FragmentFiles, s"fragmentation produced $nFrag files")
+    assert(nOut < nFrag, "compaction did not reduce the file count")
+    // the output count is the byte-derived target, not a guess
+    val bytes = new java.io.File(Layout.SmallFilesPath)
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val want = math.max(1,
+      ((bytes + Layout.TargetFileBytes - 1) / Layout.TargetFileBytes).toInt)
+    assert(nOut == want, s"wrote $nOut files, byte-sized target is $want")
+    assert(spark.read.parquet(Layout.CompactedPath).count() ==
+      graft.sources.Tables.load(spark, sfDir, "events").count(),
+      "compaction lost rows")
+  }
+
+  test("chunking is narrow: no hash Exchange before the final sort (explode in-partition)") {
+    val p = plan("text_chunk_overlap")
+    assert(!p.contains("hashpartitioning"),
+      "chunk fan-out introduced a hash shuffle — explode must stay narrow")
+    assert(p.contains("Generate"), "explode missing from the plan")
+  }
+
+  test("grouping sets expand map-side into one hash aggregation") {
+    val p = plan("q57_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must Expand, not re-scan per set")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "grouping-set aggregate fell back to SortAggregate")
+  }
 }

@@ -154,6 +154,9 @@ class SqlParitySpec extends SparkSuite {
     "q48_gapfill" -> "unnest(generate_series())",
     "q43_window_frames" -> "DuckDB WINDOW-clause placement",
     "q44_listagg" -> "string_agg(x, sep ORDER BY ..) in-args ordering",
+    "q58_time_range_frame" -> "epoch()",
+    "text_chunk_overlap" -> "list_filter/list_slice lambda + generate_series + // division",
+    "text_fuzzy_join" -> "string_split_regex() + regexp_full_match()",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -196,4 +196,50 @@ class TextSpec extends SparkSuite {
     assert(keeps > 0 && keeps < got.length,
       s"gopher filter is degenerate: $keeps/${got.length} kept")
   }
+
+  test("chunk overlap: an independent in-process chunker reproduces every chunk") {
+    val got = SparkEntry.queries("text_chunk_overlap")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val texts = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = texts.toSeq.flatMap { case (docId, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val nChunks = if (toks.length <= 64) 1 else (toks.length - 64 + 47) / 48 + 1
+      (0 until nChunks).map { ci =>
+        val chunk = toks.slice(ci * 48, ci * 48 + 64)
+        (docId, ci.toLong, chunk.length.toLong, md5hex(chunk.mkString(" ")))
+      }
+    }.sorted
+    assert(got.sorted.toSeq == expected, "chunker disagrees with reference impl")
+    // overlap really exists: for multi-chunk docs, consecutive chunk
+    // starts are 48 apart over 64-token windows → 16 shared tokens
+    assert(got.groupBy(_._1).exists(_._2.length > 1),
+      "corpus has no multi-chunk docs — overlap untested")
+  }
+
+  test("fuzzy join finds every planted edit-distance-1 probe and respects the band") {
+    val rows = SparkEntry.queries("text_fuzzy_join")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, probe, tok, dist) =>
+      assert(dist <= 2 && math.abs(probe.length - tok.length) <= 2)
+    }
+    // each probe was built by dropping the first char of a real vocab
+    // token — that origin token must come back at distance exactly 1
+    val toks = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]{4,20}$"))
+      .collect().map(r => (r.getString(0), r.getString(1))).distinct
+    val origins = toks.groupBy(_._1).map { case (src, ts) =>
+      src -> ts.map(_._2).filter(_.length >= 6).min
+    }
+    origins.foreach { case (src, origin) =>
+      assert(rows.exists(r => r._1 == src && r._3 == origin && r._4 == 1L),
+        s"source $src: planted origin '$origin' not recovered at dist 1")
+    }
+  }
 }

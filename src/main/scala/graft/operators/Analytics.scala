@@ -356,7 +356,100 @@ object Analytics {
       .orderBy("user_id", "es", "event_id")
   }
 
+  /** Recursive-query surface (`WITH RECURSIVE`, the one standard-SQL
+    * shape Catalyst has no operator for): full ancestor transitive
+    * closure over an edge RELATION, expressed as the iterative
+    * frontier⋈edges dataflow every distributed engine compiles
+    * recursion into. The edge table is derived deterministically from
+    * supplier keys (heap numbering: parent(k) = (k−1) div 2) so both
+    * engines build the identical graph from the same parquet — but
+    * the traversal itself only ever reads the RELATION, never the
+    * formula: each level is one keyed equi-join (frontier.anc =
+    * edges.node), so the plan is the real recursive-CTE plan, not
+    * arithmetic unrolled.
+    *
+    * Scale: rounds = graph depth (log n here, diameter in general);
+    * per-round shuffle is O(frontier). Each level is eagerly
+    * persisted and the final union localCheckpoint'ed, then all loop
+    * state freed — same residency discipline as
+    * [[Dedup.connectedComponents]]. The driver sees only an
+    * empty-check per round. */
+  val q59TransitiveClosure: Op = Op.sql("q59_transitive_closure",
+    """WITH RECURSIVE edges AS (
+      |  SELECT s_suppkey AS node, (s_suppkey - 1) // 2 AS parent
+      |  FROM supplier WHERE s_suppkey > 0),
+      |anc AS (
+      |  SELECT node, parent AS anc, CAST(1 AS BIGINT) AS depth FROM edges
+      |  UNION ALL
+      |  SELECT a.node, e.parent, a.depth + 1
+      |  FROM anc a JOIN edges e ON a.anc = e.node
+      |  WHERE a.anc > 0)
+      |SELECT node, anc, depth FROM anc ORDER BY node, depth""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel
+    val edges = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("node"),
+        expr("(s_suppkey - 1) DIV 2").as("parent"))
+      .filter(col("node") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eJoin = edges.select(col("node").as("e_node"), col("parent").as("e_parent"))
+    var frontier = edges
+      .select(col("node"), col("parent").as("anc"), lit(1L).as("depth"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    var iter = 0
+    var done = false
+    while (!done && iter < 64) {
+      val next = frontier.filter(col("anc") > 0)
+        .join(eJoin, col("anc") === col("e_node"))
+        .select(col("node"), col("e_parent").as("anc"),
+          (col("depth") + 1).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.isEmpty) done = true
+      else { levels += next; frontier = next }
+      iter += 1
+    }
+    require(done, s"transitive closure: frontier alive after $iter rounds")
+    val out = levels.reduce(_.unionAll(_))
+      .orderBy("node", "depth").localCheckpoint(true)
+    levels.foreach(_.unpersist())
+    edges.unpersist()
+    out
+  }
+
+  /** Ranking-function completeness (q22 covers row_number/rank/
+    * sum-over; q43/q58 cover frames): dense_rank, percent_rank and
+    * cume_dist over an order WITH ties (their tie semantics are the
+    * point — peers share rank, so ties cannot perturb the output),
+    * plus ntile(4) and lag-with-default over a TOTAL order (they
+    * depend on physical row order, so the order key must be unique
+    * for determinism). Both engines define ntile identically (early
+    * buckets take the remainder) and percent_rank/cume_dist are exact
+    * small-integer IEEE divisions, so doubles hash-match. One shuffle
+    * on o_custkey shared by both windows. */
+  val q60RankingSuite: Op = Op.sql("q60_ranking_suite",
+    """SELECT o_custkey, o_orderkey,
+      |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drk,
+      |  CAST(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS DOUBLE) AS prk,
+      |  CAST(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS DOUBLE) AS cd,
+      |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS nt,
+      |  lag(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_key
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val byCust = Window.partitionBy("o_custkey")
+    val ties = byCust.orderBy(col("o_orderstatus"))
+    val total = byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(ties).as("drk"),
+        percent_rank().over(ties).cast("double").as("prk"),
+        cume_dist().over(ties).cast("double").as("cd"),
+        ntile(4).over(total).as("nt"),
+        lag(col("o_orderkey"), 1, -1).over(total).as("prev_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
-    q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame)
+    q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
+    q59TransitiveClosure, q60RankingSuite)
 }

@@ -141,6 +141,63 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("transitive closure: every ancestor chain matches the arithmetic recompute") {
+    val got = Analytics.q59TransitiveClosure.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = Tables.load(spark, sfDir, "supplier")
+      .select("s_suppkey").collect().map(_.getLong(0))
+    // the traversal only ever read the edge RELATION; this walks the
+    // parent formula independently, root 0 inclusive
+    val expected = keys.filter(_ > 0).flatMap { k =>
+      var n = k; var d = 0L
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      while (n > 0) { n = (n - 1) / 2; d += 1; out += ((k, n, d)) }
+      out
+    }.toSet
+    assert(got == expected, "closure disagrees with independent chain walk")
+    assert(got.exists(_._3 >= 3), "graph too shallow to exercise recursion")
+    // root reachability: every node's deepest ancestor is the root
+    got.groupBy(_._1).foreach { case (k, rs) =>
+      assert(rs.maxBy(_._3)._2 == 0L, s"node $k never reached the root")
+    }
+  }
+
+  test("ranking suite: per-partition recompute of all five functions agrees") {
+    val rows = Analytics.q60RankingSuite.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val orders = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (ck, got) =>
+      val part = orders.filter(_._1 == ck)
+      val n = part.length.toDouble
+      val statuses = part.map(_._3).sorted
+      val totalOrder = part.sortBy(t => (-t._4, t._2)).map(_._2)
+      got.foreach { case (_, ok, drk, prk, cd, nt, prev) =>
+        val st = part.find(_._2 == ok).get._3
+        val below = statuses.count(_ < st)
+        val peers = statuses.count(_ == st)
+        assert(drk == statuses.distinct.count(_ <= st), s"dense_rank $ck/$ok")
+        val expPrk = if (n == 1) 0.0 else below / (n - 1)
+        assert(math.abs(prk - expPrk) < 1e-15, s"percent_rank $ck/$ok")
+        assert(math.abs(cd - (below + peers) / n) < 1e-15, s"cume_dist $ck/$ok")
+        val pos = totalOrder.indexOf(ok)
+        // ntile's remainder distribution: early buckets one row larger
+        val base = part.length / 4
+        val rem = part.length % 4
+        val starts = (0 until 4)
+          .map(b => base + (if (b < rem) 1 else 0)).scanLeft(0)(_ + _)
+        assert(nt == starts.indexWhere(_ > pos), s"ntile $ck/$ok pos $pos nt $nt")
+        assert(prev == (if (pos == 0) -1L else totalOrder(pos - 1)),
+          s"lag default $ck/$ok")
+      }
+    }
+  }
+
   test("retention triangle: no activity before a user's cohort week") {
     val rows = graft.SparkEntry.queries("q55_retention")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -194,6 +194,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Generate"), "explode missing from the plan")
   }
 
+  test("fuzzy join: banded equi-join broadcasts the probe side, never nested-loops") {
+    val p = plan("text_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin"),
+      "length-band join must hash-join on the band key with broadcast probes")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy join fell back to an all-pairs plan")
+  }
+
+  test("ranking suite: both windows share one shuffle on the partition key") {
+    val p = plan("q60_ranking_suite")
+    val exchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"two windows over the same partition key must reuse one Exchange, saw $exchanges")
+  }
+
   test("grouping sets expand map-side into one hash aggregation") {
     val p = plan("q57_grouping_sets")
     assert(p.contains("Expand"), "grouping sets must Expand, not re-scan per set")

@@ -545,6 +545,56 @@ object Similarity {
     ivfPqTopK(s, dir, TopK).orderBy("query_id", "neighbor_id")
   }
 
+  /** k-NN LABEL PROPAGATION — the step that turns similarity search
+    * into training-data curation (auto-labeling a probe set from its
+    * nearest labeled neighbors, the standard quality-classifier
+    * bootstrap): top-[[TopK]] cosine neighbors per query vote on
+    * `label`, majority wins, ties break to the smaller label so the
+    * output is order-free. Same plan as [[annTopkBrute]] (broadcast
+    * query set, ONE corpus scan, partial top-k per partition) plus a
+    * |queries|×|labels|-row aggregate — nothing new shuffles. For a
+    * large probe set the candidate stage composes with
+    * [[ivfPqTopK]]'s pruned layout; the voting tail is unchanged. */
+  val annKnnClassify: Op = Op.sql("ann_knn_classify",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NumQueries),
+       |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |nn AS (
+       |  SELECT q.vec_id AS query_id, q.label AS true_label, c.label AS nlabel
+       |  FROM q, c
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) <= $TopK),
+       |votes AS (SELECT query_id, true_label, nlabel, count(*) AS votes
+       |          FROM nn GROUP BY 1, 2, 3)
+       |SELECT query_id, nlabel AS pred_label, votes, true_label
+       |FROM votes
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |        ORDER BY votes DESC, nlabel) = 1
+       |ORDER BY query_id""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val q = e.filter(col("vec_id") < NumQueries)
+    val c = e.filter(col("vec_id") >= NumQueries)
+    val nn = c.as("c")
+      .crossJoin(broadcast(q.as("q")))
+      .withColumn("cos_raw", cosine(col("q.v"), col("c.v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("cos_raw").desc, col("c.vec_id"))))
+      .filter(col("rn") <= TopK)
+      .select(col("q.vec_id").as("query_id"), col("q.label").as("true_label"),
+        col("c.label").as("nlabel"))
+    nn.groupBy("query_id", "true_label", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rv", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("nlabel"))))
+      .filter(col("rv") === 1)
+      .select(col("query_id"), col("nlabel").as("pred_label"),
+        col("votes"), col("true_label"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
-    annIvfPq)
+    annIvfPq, annKnnClassify)
 }

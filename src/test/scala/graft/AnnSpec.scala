@@ -54,6 +54,32 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.85, s"IVF recall $recall (expected ~0.94)")
   }
 
+  test("kNN classify: an in-process brute vote reproduces every prediction") {
+    val rows = Similarity.annKnnClassify.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = all.filter(_._1 >= Similarity.NumQueries)
+    val queries = all.filter(_._1 < Similarity.NumQueries)
+    assert(rows.length == queries.length, "one prediction per query")
+    queries.foreach { case (qid, qv, qlabel) =>
+      val top = corpus.map(c => (c._1, cos(qv, c._2), c._3))
+        .sortBy(t => (-t._2, t._1)).take(Similarity.TopK)
+      val (predLabel, votes) = top.groupBy(_._3).view
+        .mapValues(_.length).toSeq.minBy { case (l, n) => (-n, l) }
+      val got = rows.find(_._1 == qid).get
+      assert(got._2 == predLabel && got._3 == votes.toLong && got._4 == qlabel,
+        s"query $qid: got $got, want ($predLabel, $votes, $qlabel)")
+    }
+  }
+
   test("IVF returns at most k neighbors per query, none from unprobed space twice") {
     val centroids = Similarity.ivfCentroids(emb)
     val rows = Similarity.ivfTopK(emb, queries, Similarity.TopK, centroids).collect()

@@ -156,6 +156,7 @@ class SqlParitySpec extends SparkSuite {
     "q44_listagg" -> "string_agg(x, sep ORDER BY ..) in-args ordering",
     "q58_time_range_frame" -> "epoch()",
     "q59_transitive_closure" -> "WITH RECURSIVE + // division",
+    "ann_knn_classify" -> "::DOUBLE[] + list_cosine_similarity + QUALIFY",
     "text_chunk_overlap" -> "list_filter/list_slice lambda + generate_series + // division",
     "text_fuzzy_join" -> "string_split_regex() + regexp_full_match()",
   )

@@ -374,6 +374,39 @@ object Analytics {
     * state freed — same residency discipline as
     * [[Dedup.connectedComponents]]. The driver sees only an
     * empty-check per round. */
+  /** Ancestor closure of an arbitrary acyclic edge RELATION
+    * (`node`, `parent`): (node, anc, depth) for every transitive
+    * ancestor. The iterative frontier⋈edges dataflow recursive CTEs
+    * compile into — one keyed equi-join per level, rounds = depth.
+    * Terminates only at a fixpoint; `maxIter` is a cycle guard. */
+  def ancestorClosure(edgesIn: DataFrame, maxIter: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = edgesIn.toDF("node", "parent")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eJoin = edges.select(col("node").as("e_node"), col("parent").as("e_parent"))
+    var frontier = edges
+      .select(col("node"), col("parent").as("anc"), lit(1L).as("depth"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val next = frontier
+        .join(eJoin, col("anc") === col("e_node"))
+        .select(col("node"), col("e_parent").as("anc"),
+          (col("depth") + 1).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.isEmpty) done = true
+      else { levels += next; frontier = next }
+      iter += 1
+    }
+    require(done, s"ancestorClosure: frontier alive after $iter rounds (cycle?)")
+    val out = levels.reduce(_.unionAll(_)).localCheckpoint(true)
+    levels.foreach(_.unpersist())
+    edges.unpersist()
+    out
+  }
+
   val q59TransitiveClosure: Op = Op.sql("q59_transitive_closure",
     """WITH RECURSIVE edges AS (
       |  SELECT s_suppkey AS node, (s_suppkey - 1) // 2 AS parent
@@ -385,35 +418,11 @@ object Analytics {
       |  FROM anc a JOIN edges e ON a.anc = e.node
       |  WHERE a.anc > 0)
       |SELECT node, anc, depth FROM anc ORDER BY node, depth""".stripMargin) { (s, dir) =>
-    import org.apache.spark.storage.StorageLevel
-    val edges = t(s, dir, "supplier")
+    ancestorClosure(t(s, dir, "supplier")
       .select(col("s_suppkey").as("node"),
         expr("(s_suppkey - 1) DIV 2").as("parent"))
-      .filter(col("node") > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val eJoin = edges.select(col("node").as("e_node"), col("parent").as("e_parent"))
-    var frontier = edges
-      .select(col("node"), col("parent").as("anc"), lit(1L).as("depth"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
-    var iter = 0
-    var done = false
-    while (!done && iter < 64) {
-      val next = frontier.filter(col("anc") > 0)
-        .join(eJoin, col("anc") === col("e_node"))
-        .select(col("node"), col("e_parent").as("anc"),
-          (col("depth") + 1).as("depth"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty) done = true
-      else { levels += next; frontier = next }
-      iter += 1
-    }
-    require(done, s"transitive closure: frontier alive after $iter rounds")
-    val out = levels.reduce(_.unionAll(_))
-      .orderBy("node", "depth").localCheckpoint(true)
-    levels.foreach(_.unpersist())
-    edges.unpersist()
-    out
+      .filter(col("node") > 0))
+      .orderBy("node", "depth")
   }
 
   /** Ranking-function completeness (q22 covers row_number/rank/

@@ -162,6 +162,28 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("ancestor closure property: random seeded forests match the in-process walk") {
+    import spark.implicits._
+    // parent(k) < k guarantees acyclicity; different seeds give
+    // different shapes (chains, stars, mixed) so a join-key mix-up
+    // that happens to be symmetric on the heap graph still fails here
+    Seq(11, 42, 99).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val parent = (1 until 150).map(k => k.toLong -> rng.nextInt(k).toLong).toMap
+      val edges = parent.toSeq.map { case (n, p) => (n, p) }
+        .toDF("node", "parent")
+      val got = Analytics.ancestorClosure(edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = parent.keys.flatMap { k =>
+        var n = k; var d = 0L
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        while (parent.contains(n)) { n = parent(n); d += 1; out += ((k, n, d)) }
+        out
+      }.toSet
+      assert(got == expected, s"seed $seed: closure != walk")
+    }
+  }
+
   test("ranking suite: per-partition recompute of all five functions agrees") {
     val rows = Analytics.q60RankingSuite.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),

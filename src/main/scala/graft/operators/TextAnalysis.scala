@@ -654,8 +654,50 @@ object TextAnalysis {
       .orderBy("source", "probe", "tok")
   }
 
+  /** MIXTURE SAMPLING — the data-mixing stage of a pretraining
+    * pipeline ([[sampleCapped]] caps doc COUNTS; this fills per-source
+    * TOKEN budgets to hit a target mix): each source gets a char
+    * budget = its mixture weight × half the corpus total (weights
+    * 1:2:3:4 by source index class — stand-ins for the tuned
+    * per-domain weights a mixing recipe ships), and docs fill the
+    * budget in content-hash priority order via one prefix-sum window.
+    * All integer math (weight × total DIV 100) — no FP in the
+    * selection predicate; the corpus total rides a one-row broadcast,
+    * never the driver. Same plan shape at 100 TB: one window shuffle
+    * on source + one broadcast join. */
+  val sampleMixture: Op = Op.sql("sample_mixture",
+    """WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER w AS rk,
+      |    CAST(sum(n_chars) OVER w AS BIGINT) AS cum_chars
+      |  FROM documents
+      |  WINDOW w AS (PARTITION BY source ORDER BY md5(text), doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT doc_id, source, rk, cum_chars,
+      |  ((1 + (CAST(substring(source, 4) AS INTEGER) % 4)) * t.total) // 100 AS cap
+      |FROM ranked r, tot t
+      |WHERE cum_chars <= ((1 + (CAST(substring(source, 4) AS INTEGER) % 4)) * t.total) // 100
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val tot = d.agg(sum("n_chars").cast("long").as("total"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    d.select(col("doc_id"), col("source"), col("n_chars"),
+        row_number().over(w).as("rk"),
+        sum(col("n_chars")).over(w).cast("long").as("cum_chars"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cap",
+        expr("((1 + (CAST(substring(source, 4) AS INT) % 4)) * total) DIV 100"))
+      .filter(col("cum_chars") <= col("cap"))
+      .select("doc_id", "source", "rk", "cum_chars", "cap")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
-    textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin)
+    textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
+    sampleMixture)
 }

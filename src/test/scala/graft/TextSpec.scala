@@ -221,6 +221,34 @@ class TextSpec extends SparkSuite {
       "corpus has no multi-chunk docs — overlap untested")
   }
 
+  test("mixture sampling: in-process recompute agrees, budgets are maximal and bite") {
+    val got = SparkEntry.queries("sample_mixture")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), md5hex(r.getString(3))))
+    val total = all.map(_._3).sum
+    val expected = all.groupBy(_._2).flatMap { case (src, ds) =>
+      val cap = (1 + src.drop(3).toInt % 4) * total / 100
+      var cum = 0L
+      ds.toSeq.sortBy(d => (d._4, d._1)).takeWhile { d => cum += d._3; cum <= cap }
+        .map(_._1)
+    }.toSet
+    assert(got.map(_._1).toSet == expected, "selection differs from recompute")
+    // budgets are maximal (cum ≤ cap for all kept) and genuinely bite
+    got.foreach { case (_, _, _, cum, cap) => assert(cum <= cap) }
+    assert(got.length < all.length, "mixture kept everything — budget never bit")
+    // the weight classes produce genuinely different keep-rates
+    val keepBySrc = got.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val perSrc = all.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val byClass = keepBySrc.toSeq.groupBy(t => t._1.drop(3).toInt % 4)
+      .view.mapValues(ss => ss.map(t => t._2 / perSrc(t._1)).sum / ss.length).toMap
+    assert(byClass(3) > byClass(0), "higher-weight sources must keep more")
+  }
+
   test("fuzzy join finds every planted edit-distance-1 probe and respects the band") {
     val rows = SparkEntry.queries("text_fuzzy_join")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -457,8 +457,36 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** UNPIVOT / melt — the inverse of [[q41Pivot]]: three per-status
+    * metrics widened by an aggregate, then melted to long form
+    * (status, metric, value) in ONE pass over the aggregated rows
+    * (Spark's native `unpivot`, which Expands map-side like
+    * grouping sets — never one scan per metric). The value column is
+    * unified to DOUBLE by both engines' unpivot contract; metrics are
+    * decimal-exact or integer-exact before the final cast. */
+  val q61Unpivot: Op = Op.sql("q61_unpivot",
+    """WITH base AS (
+      |  SELECT o_orderstatus AS st,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |    CAST(count(*) AS DOUBLE) AS n_orders,
+      |    CAST(min(o_orderkey) AS DOUBLE) AS min_key
+      |  FROM orders GROUP BY 1)
+      |SELECT st, metric, v
+      |FROM (UNPIVOT base ON sum_price, n_orders, min_key INTO NAME metric VALUE v)
+      |ORDER BY st, metric""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"),
+        count(lit(1)).cast("double").as("n_orders"),
+        min("o_orderkey").cast("double").as("min_key"))
+      .unpivot(Array(col("st")),
+        Array(col("sum_price"), col("n_orders"), col("min_key")),
+        "metric", "v")
+      .orderBy("st", "metric")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
-    q59TransitiveClosure, q60RankingSuite)
+    q59TransitiveClosure, q60RankingSuite, q61Unpivot)
 }

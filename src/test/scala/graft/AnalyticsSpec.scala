@@ -220,6 +220,24 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("unpivot: three rows per status, values equal the wide aggregate") {
+    val rows = Analytics.q61Unpivot.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val statuses = rows.map(_._1).distinct
+    statuses.foreach { st =>
+      val ms = rows.filter(_._1 == st).map(_._2).sorted
+      assert(ms.toSeq == Seq("min_key", "n_orders", "sum_price"), s"status $st")
+    }
+    val orders = Tables.load(spark, sfDir, "orders")
+    val wide = orders.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.length == wide.size)
+    rows.filter(_._2 == "n_orders").foreach { case (st, _, v) =>
+      assert(v == wide(st).toDouble, s"melted n_orders for $st")
+    }
+  }
+
   test("retention triangle: no activity before a user's cohort week") {
     val rows = graft.SparkEntry.queries("q55_retention")(spark, sfDir).collect()
     assert(rows.nonEmpty)

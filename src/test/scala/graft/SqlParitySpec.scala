@@ -158,6 +158,7 @@ class SqlParitySpec extends SparkSuite {
     "q59_transitive_closure" -> "WITH RECURSIVE + // division",
     "ann_knn_classify" -> "::DOUBLE[] + list_cosine_similarity + QUALIFY",
     "sample_mixture" -> "// division + DuckDB WINDOW-clause placement",
+    "q61_unpivot" -> "DuckDB UNPIVOT statement syntax",
     "text_chunk_overlap" -> "list_filter/list_slice lambda + generate_series + // division",
     "text_fuzzy_join" -> "string_split_regex() + regexp_full_match()",
   )

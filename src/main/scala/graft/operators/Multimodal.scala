@@ -406,6 +406,33 @@ object Multimodal {
     vad(vadCorpus(s, dir), threshold = 50.0).orderBy("doc_id")
   }
 
+  /** Multimodal PIPELINE manifest — the binary-side flagship
+    * composition ([[graft.operators.Pipeline.pipelineE2e]] is the
+    * text side): image near-dup pairs, video scene cuts and audio
+    * voiced segments audited in ONE submitted plan, reduced to a
+    * three-row per-modality manifest (n_docs, n_flagged). Each
+    * branch ends in a one-row aggregate, so the cross-joins are
+    * broadcast scalars — the manifest costs three codec passes and
+    * shuffles only counters. The per-stage ops stay independently
+    * spec'd; this proves they compose. */
+  val pipelineMm: Op = Op.rowsOnly("pipeline_mm") { (s, dir) =>
+    val media = mediaTable(s, dir)
+    val img = media.filter(col("mime") === lit(ImageMime))
+    val imgRow = img.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(phashPairs(phash(img)).agg(count(lit(1)).as("n_flagged")))
+      .select(lit("image").as("modality"), col("n_docs"), col("n_flagged"))
+    val vidRow = media.filter(col("mime") === lit(VideoMime))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sceneDetect(media, 60.0).filter(col("is_cut"))
+        .agg(count(lit(1)).as("n_flagged")))
+      .select(lit("video").as("modality"), col("n_docs"), col("n_flagged"))
+    val audRow = vad(vadCorpus(s, dir), 50.0)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_segments").cast("long").as("n_flagged"))
+      .select(lit("audio").as("modality"), col("n_docs"), col("n_flagged"))
+    imgRow.unionByName(vidRow).unionByName(audRow).orderBy("modality")
+  }
+
   val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup,
-    mmAudioFeatures, mmSceneDetect, mmAudioVad)
+    mmAudioFeatures, mmSceneDetect, mmAudioVad, pipelineMm)
 }

@@ -193,6 +193,27 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.exists(_.getInt(3) >= 2), "no clip has 2+ voiced segments")
   }
 
+  test("pipeline manifest equals the standalone stages, modality by modality") {
+    val m = Multimodal.pipelineMm.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.keySet == Set("audio", "image", "video"))
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val img = media.filter(col("mime") === Multimodal.ImageMime)
+    assert(m("image")._1 == img.count())
+    assert(m("image")._2 ==
+      Multimodal.phashPairs(Multimodal.phash(img)).count())
+    assert(m("video")._1 ==
+      media.filter(col("mime") === Multimodal.VideoMime).count())
+    assert(m("video")._2 ==
+      Multimodal.sceneDetect(media, 60.0).filter(col("is_cut")).count())
+    val vadRows = Multimodal.vad(Multimodal.vadCorpus(spark, sfDir), 50.0)
+    assert(m("audio")._1 == vadRows.count())
+    assert(m("audio")._2 ==
+      vadRows.agg(sum("n_segments")).head().getLong(0))
+    // every modality processed real rows
+    m.values.foreach { case (docs, _) => assert(docs > 0) }
+  }
+
   test("scene detection over the corpus: every transition scored, no dims mixups") {
     val steps = graft.SparkEntry.queries("mm_scene_detect")(spark, sfDir).collect()
     assert(steps.nonEmpty)

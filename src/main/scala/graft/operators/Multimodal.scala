@@ -419,12 +419,12 @@ object Multimodal {
     val media = mediaTable(s, dir)
     val img = media.filter(col("mime") === lit(ImageMime))
     val imgRow = img.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(phashPairs(phash(img)).agg(count(lit(1)).as("n_flagged")))
+      .crossJoin(broadcast(phashPairs(phash(img)).agg(count(lit(1)).as("n_flagged"))))
       .select(lit("image").as("modality"), col("n_docs"), col("n_flagged"))
     val vidRow = media.filter(col("mime") === lit(VideoMime))
       .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(sceneDetect(media, 60.0).filter(col("is_cut"))
-        .agg(count(lit(1)).as("n_flagged")))
+      .crossJoin(broadcast(sceneDetect(media, 60.0).filter(col("is_cut"))
+        .agg(count(lit(1)).as("n_flagged"))))
       .select(lit("video").as("modality"), col("n_docs"), col("n_flagged"))
     val audRow = vad(vadCorpus(s, dir), 50.0)
       .agg(count(lit(1)).as("n_docs"),

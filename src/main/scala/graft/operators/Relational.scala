@@ -454,6 +454,32 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  private val badCsvPath = "/root/repo/target/graft_csv/nation_bad.csv"
+
+  /** Malformed-row handling on the CSV ingest path (the robustness
+    * half of q24 — a real feed always carries torn rows): the fixture
+    * plants wrong-arity, bad-int and extra-field rows among clean
+    * nation rows; Spark reads with an EXPLICIT schema under
+    * DROPMALFORMED and both engines must drop exactly the planted
+    * rows and keep every clean one (the oracle is DuckDB's
+    * independent `ignore_errors` parse of the same bytes). Explicit
+    * schema is the scale rule anyway — inference over 100 TB is a
+    * full extra pass — and PERMISSIVE + `_corrupt_record` is the
+    * audit-mode variant of the same reader contract. */
+  val q62CsvBadRecords: Op = Op.sql("q62_csv_bad_records",
+    s"""SELECT n_nationkey, n_name, n_regionkey
+       |FROM read_csv('$badCsvPath', header=true,
+       |  columns={'n_nationkey':'BIGINT','n_name':'VARCHAR','n_regionkey':'BIGINT'},
+       |  ignore_errors=true)
+       |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    CsvSource.materializeNationCsvWithErrors(s, dir, badCsvPath)
+    s.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(badCsvPath)
+      .orderBy("n_nationkey")
+  }
+
   private val jsonlDir = "/root/repo/target/graft_jsonl/supplier"
 
   /** JSONL (newline-delimited JSON) source — the interchange format
@@ -721,7 +747,7 @@ object Relational {
     q10MultiJoin, q11OrderLimitOffset, q12Distinct, q13AggDistinct,
     q14ScalarSubquery, q15DerivedTable, q16Expressions, q17StringFuncs,
     q18DateInterval, q19ValuesScan, q20Having, q21SetOps, q22WindowFuncs,
-    q23CreateInsert, q24ReadCsv, q25QueryTables, q26QueryColumns,
+    q23CreateInsert, q24ReadCsv, q62CsvBadRecords, q25QueryTables, q26QueryColumns,
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
     q33SkewSaltedJoin, q36JsonExtract, q37Rollup, q38IntegrityAudit,
     q39Histogram, q46MergeUpsert, q51SaltedAgg, q52ReadJsonl, q53OrcRoundtrip)

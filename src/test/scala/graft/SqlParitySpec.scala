@@ -117,6 +117,7 @@ class SqlParitySpec extends SparkSuite {
   private val duckdbOnly: Map[String, String] = Map(
     "q16_expressions" -> "CAST(x AS VARCHAR) — Spark requires VARCHAR(n)",
     "q24_read_csv" -> "read_csv(path, header := ...) named-arg table function",
+    "q62_csv_bad_records" -> "read_csv columns={...} + ignore_errors named args",
     "q36_json_extract" -> "json_extract_string()",
     "q52_read_jsonl" -> "read_json_auto() table function",
     "dedup_ngram_jaccard" -> "DuckDB [..] list literals/slicing",

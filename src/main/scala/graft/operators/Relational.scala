@@ -440,6 +440,48 @@ object Relational {
     ManagedTables.read(s, "graft_m1").orderBy("o_orderkey")
   }
 
+  /** TIME TRAVEL (AS OF version) over the versioned warehouse
+    * ([[graft.sources.VersionedTables]]): publish v0, publish a
+    * price-bumped v1, then aggregate BOTH versions from their pinned
+    * snapshots — the v0 numbers must be computed from the v0
+    * directory, untouched by the later write. The oracle recomputes
+    * both versions from the source parquet (v0 = the slice, v1 = the
+    * slice with the CASE bump), so a time-travel read that leaked the
+    * newer data would hash-mismatch immediately. Decimal-exact
+    * arithmetic before the final double cast. */
+  val q63TimeTravel: Op = Op.sql("q63_time_travel",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey < 1000),
+      |v0 AS (SELECT CAST(0 AS INTEGER) AS version, o_orderstatus,
+      |         count(*) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
+      |       FROM base GROUP BY 2),
+      |v1 AS (SELECT CAST(1 AS INTEGER) AS version, o_orderstatus,
+      |         count(*) AS n,
+      |         CAST(sum(CASE WHEN o_orderstatus = 'O'
+      |                       THEN price + 1.00 ELSE price END) AS DOUBLE) AS sum_price
+      |       FROM base GROUP BY 2)
+      |SELECT version, o_orderstatus, n, sum_price
+      |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+      |ORDER BY version, o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.sources.VersionedTables
+    val base = t(s, dir, "orders").filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTables.vacuum("graft_tt")
+    VersionedTables.write(s, "graft_tt", base)
+    VersionedTables.write(s, "graft_tt",
+      base.withColumn("price",
+        when(col("o_orderstatus") === "O", col("price") + lit(BigDecimal("1.00")))
+          .otherwise(col("price")).cast("decimal(12,2)")))
+    def asOf(v: Int) = VersionedTables.read(s, "graft_tt", Some(v))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("price").cast("double").as("sum_price"))
+      .select(lit(v).as("version"), col("o_orderstatus"), col("n"), col("sum_price"))
+    asOf(0).unionByName(asOf(1)).orderBy("version", "o_orderstatus")
+  }
+
   private val csvPath = "/root/repo/target/graft_csv/nation.csv"
 
   val q24ReadCsv: Op = Op.sql("q24_read_csv",
@@ -750,5 +792,6 @@ object Relational {
     q23CreateInsert, q24ReadCsv, q62CsvBadRecords, q25QueryTables, q26QueryColumns,
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
     q33SkewSaltedJoin, q36JsonExtract, q37Rollup, q38IntegrityAudit,
-    q39Histogram, q46MergeUpsert, q51SaltedAgg, q52ReadJsonl, q53OrcRoundtrip)
+    q39Histogram, q46MergeUpsert, q63TimeTravel, q51SaltedAgg, q52ReadJsonl,
+    q53OrcRoundtrip)
 }

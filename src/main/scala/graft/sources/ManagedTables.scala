@@ -149,3 +149,56 @@ object ManagedTables {
       .toSeq.sorted
   }
 }
+
+/** TIME TRAVEL over managed tables — the warehouse face of the KV
+  * version history ([[graft.kv.KVTable]] keeps per-key seq versions;
+  * this keeps whole-TABLE versions): every write lands in a fresh
+  * immutable `v<N>/` directory and a one-line `LATEST` pointer file
+  * flips atomically (tmp + rename) — the Delta/Iceberg snapshot
+  * pattern without the log format. Readers pin a version by reading
+  * the pointer once; concurrent writers never touch a published
+  * directory, so an AS OF read is reproducible forever (or until
+  * [[vacuum]]). Version data is parquet like everything else —
+  * pruning/pushdown unchanged; the pointer file is the only
+  * driver-side metadata. */
+object VersionedTables {
+
+  private def root(wh: String, name: String) = s"$wh/$name"
+  private def vdir(wh: String, name: String, v: Int) = s"${root(wh, name)}/v$v"
+
+  /** Latest published version, -1 if none. */
+  def latest(name: String, wh: String = ManagedTables.defaultWarehouse): Int = {
+    val p = java.nio.file.Paths.get(root(wh, name), "LATEST")
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
+    else -1
+  }
+
+  /** Publish `df` as the next version; returns the version number.
+    * The data dir is complete before the pointer flips, so readers
+    * can never observe a half-written version. */
+  def write(spark: SparkSession, name: String, df: DataFrame,
+            wh: String = ManagedTables.defaultWarehouse): Int = {
+    val v = latest(name, wh) + 1
+    df.write.mode("overwrite").parquet(vdir(wh, name, v))
+    val dirP = java.nio.file.Paths.get(root(wh, name))
+    val tmp = dirP.resolve("LATEST.__tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dirP.resolve("LATEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Read AS OF `version` (default: latest). */
+  def read(spark: SparkSession, name: String, version: Option[Int] = None,
+           wh: String = ManagedTables.defaultWarehouse): DataFrame = {
+    val v = version.getOrElse(latest(name, wh))
+    require(v >= 0, s"versioned table '$name' has no published version")
+    spark.read.parquet(vdir(wh, name, v))
+  }
+
+  /** Drop all versions (test hygiene / retention). */
+  def vacuum(name: String, wh: String = ManagedTables.defaultWarehouse): Unit =
+    ManagedTables.drop(name, wh)
+}

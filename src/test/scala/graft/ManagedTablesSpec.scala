@@ -109,6 +109,31 @@ class ManagedTablesSpec extends SparkSuite {
     assert(!new java.io.File(s"$wh/t_crash.__old").exists())
   }
 
+  test("time travel: published versions are immutable, unpublished ones invisible") {
+    import spark.implicits._
+    import graft.sources.VersionedTables
+    VersionedTables.vacuum("t_tt", wh)
+    assert(VersionedTables.latest("t_tt", wh) == -1)
+    val v0 = VersionedTables.write(spark, "t_tt", Seq((1L, "a"), (2L, "b")).toDF("k", "s"), wh)
+    val v1 = VersionedTables.write(spark, "t_tt", Seq((1L, "A"), (3L, "c")).toDF("k", "s"), wh)
+    assert((v0, v1) == (0, 1) && VersionedTables.latest("t_tt", wh) == 1)
+    // AS OF v0 still reads the original rows after v1 published
+    val asOf0 = VersionedTables.read(spark, "t_tt", Some(0), wh).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(asOf0 == Seq((1L, "a"), (2L, "b")), "v0 changed after a later write")
+    // default read = latest
+    val head = VersionedTables.read(spark, "t_tt", None, wh).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(head == Seq((1L, "A"), (3L, "c")))
+    // a version directory without a pointer flip is invisible: readers
+    // see the published head, exactly as after a mid-write crash
+    Seq((9L, "zz")).toDF("k", "s").write.parquet(s"$wh/t_tt/v2")
+    assert(VersionedTables.latest("t_tt", wh) == 1, "unflipped pointer moved")
+    val afterCrash = VersionedTables.read(spark, "t_tt", None, wh).collect()
+    assert(afterCrash.length == 2, "half-published version leaked into reads")
+    VersionedTables.vacuum("t_tt", wh)
+  }
+
   test("merge rejects a duplicate-key update batch before any write") {
     import spark.implicits._
     ManagedTables.create(spark, "t_dup", schema, wh)

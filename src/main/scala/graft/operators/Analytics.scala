@@ -485,8 +485,41 @@ object Analytics {
       .orderBy("st", "metric")
   }
 
+  /** LOCF forward-fill (last observation carried forward — the
+    * time-series gap repair [[q48Gapfill]]'s zero-fill doesn't give
+    * you): nulls planted on every 3rd event are replaced by the last
+    * non-null reading of the SAME user at or before that row, via
+    * `last(v, ignoreNulls)` over a running frame — one shuffle on the
+    * partition key, single pass, no self-join. A leading null run
+    * (no prior observation) stays null by contract. The order key
+    * (es, event_id) is total, so the fill is deterministic. */
+  val q64Locf: Op = Op.sql("q64_locf",
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+      |    CASE WHEN event_id % 3 = 0 THEN NULL
+      |         ELSE CAST("value" AS DECIMAL(12,2)) END AS v
+      |  FROM events)
+      |SELECT event_id, user_id, es, CAST(v AS DOUBLE) AS v,
+      |  CAST(last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY es, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_filled
+      |FROM e ORDER BY user_id, es, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("es"),
+        when(pmod(col("event_id"), lit(3)) === 0, lit(null))
+          .otherwise(col("value").cast("decimal(12,2)")).as("v"))
+      .withColumn("v_filled",
+        last(col("v"), ignoreNulls = true).over(w).cast("double"))
+      .withColumn("v", col("v").cast("double"))
+      .orderBy("user_id", "es", "event_id")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
-    q59TransitiveClosure, q60RankingSuite, q61Unpivot)
+    q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf)
 }

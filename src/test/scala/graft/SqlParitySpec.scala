@@ -157,6 +157,7 @@ class SqlParitySpec extends SparkSuite {
     "q44_listagg" -> "string_agg(x, sep ORDER BY ..) in-args ordering",
     "q58_time_range_frame" -> "epoch()",
     "q59_transitive_closure" -> "WITH RECURSIVE + // division",
+    "q64_locf" -> "epoch() + IGNORE NULLS argument placement",
     "ann_knn_classify" -> "::DOUBLE[] + list_cosine_similarity + QUALIFY",
     "sample_mixture" -> "// division + DuckDB WINDOW-clause placement",
     "q61_unpivot" -> "DuckDB UNPIVOT statement syntax",

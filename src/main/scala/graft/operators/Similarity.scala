@@ -595,6 +595,34 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** The k-NN vote composed over the IVF+PQ probe path — the SCALE
+    * form of [[annKnnClassify]] (which is the brute voting baseline,
+    * exactly as [[annTopkBrute]] baselines [[annIvfPq]]): neighbors
+    * come from [[ivfPqTopK]]'s cell-pruned, ADC-shortlisted,
+    * exact-re-ranked search; only the (query, neighbor) id pairs then
+    * join the label column and vote. At 10B vectors the probe reads
+    * nprobe/K of the corpus and the voting tail is a
+    * |queries|·k-row aggregate — nothing corpus-linear remains.
+    * Spec: predictions agree with the brute vote wherever the probe's
+    * recall delivers the same top-k (measured ≥80% agreement). */
+  val annKnnIvfPq: Op = Op.rowsOnly("ann_knn_ivfpq") { (s, dir) =>
+    val labels = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val qLabels = labels.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+    ivfPqTopK(s, dir, TopK)
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rv", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("label"))))
+      .filter(col("rv") === 1)
+      .join(broadcast(qLabels), "query_id")
+      .select(col("query_id"), col("label").as("pred_label"),
+        col("votes"), col("true_label"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
-    annIvfPq, annKnnClassify)
+    annIvfPq, annKnnClassify, annKnnIvfPq)
 }

@@ -80,6 +80,22 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("kNN over IVF+PQ: one prediction per query, high agreement with the brute vote") {
+    val fast = Similarity.annKnnIvfPq.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val brute = Similarity.annKnnClassify.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(fast.length == brute.length, "one prediction per query")
+    assert(fast.map(_._1).toSeq == brute.map(_._1).toSeq)
+    // same true labels regardless of search path
+    assert(fast.map(r => (r._1, r._4)).toSeq == brute.map(r => (r._1, r._4)).toSeq)
+    val agree = fast.zip(brute).count { case (f, b) => f._2 == b._2 }
+    // probe recall ≥0.9 ⇒ votes rarely flip; pinned below measured so
+    // a probe-path regression that degrades neighbors fails loudly
+    assert(agree.toDouble / fast.length >= 0.8,
+      s"IVF+PQ vote agrees with brute on only $agree/${fast.length} queries")
+  }
+
   test("IVF returns at most k neighbors per query, none from unprobed space twice") {
     val centroids = Similarity.ivfCentroids(emb)
     val rows = Similarity.ivfTopK(emb, queries, Similarity.TopK, centroids).collect()

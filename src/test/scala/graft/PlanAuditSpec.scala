@@ -209,6 +209,16 @@ class PlanAuditSpec extends SparkSuite {
       s"two windows over the same partition key must reuse one Exchange, saw $exchanges")
   }
 
+  test("single-window ops shuffle exactly once on their partition key") {
+    // each of these is one per-key window pass; a second hash Exchange
+    // would mean the plan re-partitions needlessly at 100 TB
+    Seq("kv_scd2" -> 1, "q58_time_range_frame" -> 1, "q64_locf" -> 1,
+        "sample_mixture" -> 1).foreach { case (op, want) =>
+      val n = "hashpartitioning".r.findAllIn(plan(op)).length
+      assert(n == want, s"$op: expected $want hash Exchange(s), saw $n")
+    }
+  }
+
   test("grouping sets expand map-side into one hash aggregation") {
     val p = plan("q57_grouping_sets")
     assert(p.contains("Expand"), "grouping sets must Expand, not re-scan per set")

@@ -518,8 +518,48 @@ object Analytics {
       .orderBy("user_id", "es", "event_id")
   }
 
+  /** Per-group z-score OUTLIER detection (the anomaly filter every
+    * monitoring/data-quality pipeline runs): events whose value sits
+    * more than 3σ from their event-type mean. Group moments (n, Σx,
+    * Σx²) are computed EXACTLY in decimal — one map-side-partial
+    * hash-agg producing |groups| rows — then broadcast back over the
+    * stream, so the fact table is scanned once and never shuffled.
+    * z = (x − S/n)/√((SS − S²/n)/(n−1)) is evaluated in doubles from
+    * exact-decimal inputs with the identical expression tree on both
+    * engines, so every IEEE step is correctly rounded to the same
+    * bits and the |z| > 3 cut is deterministic (nearest value sits
+    * 1.6e-3 from the threshold; fp divergence would need ~1e-15).
+    * At 100 TB this is scan + broadcast — no shuffle of the data. */
+  val q66ZscoreOutliers: Op = Op.sql("q66_zscore_outliers",
+    """WITH e AS (
+      |  SELECT event_id, event_type, CAST("value" AS DECIMAL(12,2)) AS pd
+      |  FROM events),
+      |st AS (SELECT event_type, count(*) AS n,
+      |         CAST(sum(pd) AS DOUBLE) AS s,
+      |         CAST(sum(pd*pd) AS DOUBLE) AS ss
+      |       FROM e GROUP BY event_type)
+      |SELECT event_id, e.event_type, CAST(pd AS DOUBLE) AS v,
+      |  round((CAST(pd AS DOUBLE) - s/n) / sqrt((ss - s*s/n)/(n-1)), 4) AS z
+      |FROM e JOIN st ON e.event_type = st.event_type
+      |WHERE abs((CAST(pd AS DOUBLE) - s/n) / sqrt((ss - s*s/n)/(n-1))) > 3.0
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select(col("event_id"), col("event_type"),
+      col("value").cast("decimal(12,2)").as("pd"))
+    val st = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("pd")).cast("double").as("s"),
+      sum(col("pd") * col("pd")).cast("double").as("ss"))
+    val v = col("pd").cast("double")
+    val z = (v - col("s") / col("n")) /
+      sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+    e.join(broadcast(st), "event_type")
+      .filter(abs(z) > 3.0)
+      .select(col("event_id"), col("event_type"), v.as("v"), round(z, 4).as("z"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
-    q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf)
+    q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
+    q66ZscoreOutliers)
 }

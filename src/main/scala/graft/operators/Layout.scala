@@ -188,6 +188,56 @@ object Layout {
     (frags.length, outs)
   }
 
+  /** Retention VACUUM over the versioned warehouse (Delta `VACUUM` /
+    * Iceberg `expireSnapshots`; the reference's analog is LSM
+    * obsolete-SSTable deletion after compaction,
+    * `storage_engine/src/manager/version_set.rs`): publish v0..v2,
+    * expire everything but the newest two, then aggregate BOTH
+    * surviving snapshots. The oracle recomputes v1/v2 from the source
+    * parquet — if vacuum had deleted a live version (or left the
+    * pointer dangling) the read would fail or hash-mismatch. The spec
+    * (ManagedTablesSpec) additionally pins that v0's directory is
+    * physically gone, that an AS OF v0 read now fails loudly, and
+    * that retain is idempotent. Driver-side cost is file metadata
+    * only — at 100 TB this is a namenode sweep, not a data job. */
+  val layoutVacuum: Op = Op.sql("layout_vacuum",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey < 3000),
+      |v1 AS (SELECT CAST(1 AS INTEGER) AS version, o_orderstatus,
+      |         count(*) AS n,
+      |         CAST(sum(CASE WHEN o_orderstatus = 'O'
+      |                       THEN price + 1.00 ELSE price END) AS DOUBLE) AS sum_price
+      |       FROM base GROUP BY 2),
+      |v2 AS (SELECT CAST(2 AS INTEGER) AS version, o_orderstatus,
+      |         count(*) AS n,
+      |         CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |                       THEN price + 2.50 ELSE price END) AS DOUBLE) AS sum_price
+      |       FROM base GROUP BY 2)
+      |SELECT version, o_orderstatus, n, sum_price
+      |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      |ORDER BY version, o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.sources.VersionedTables
+    val base = Tables.load(s, dir, "orders").filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    def bump(status: String, by: String) =
+      base.withColumn("price",
+        when(col("o_orderstatus") === status, col("price") + lit(BigDecimal(by)))
+          .otherwise(col("price")).cast("decimal(12,2)"))
+    VersionedTables.vacuum("graft_ret")
+    VersionedTables.write(s, "graft_ret", base)           // v0 — will expire
+    VersionedTables.write(s, "graft_ret", bump("O", "1.00")) // v1
+    VersionedTables.write(s, "graft_ret", bump("F", "2.50")) // v2
+    VersionedTables.retain("graft_ret", keepLast = 2)
+    def asOf(v: Int) = VersionedTables.read(s, "graft_ret", Some(v))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("price").cast("double").as("sum_price"))
+      .select(lit(v).as("version"), col("o_orderstatus"), col("n"), col("sum_price"))
+    asOf(1).unionByName(asOf(2)).orderBy("version", "o_orderstatus")
+  }
+
   val all: Seq[Op] = Seq(q34BucketedJoin, q35PartitionPruning, q47Zorder,
-    layoutCompactFiles)
+    layoutCompactFiles, layoutVacuum)
 }

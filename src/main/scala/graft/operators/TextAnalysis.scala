@@ -695,9 +695,81 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Okapi BM25 relevance scoring (Robertson et al.; the ranking
+    * function behind Lucene/Elasticsearch defaults) for a pinned
+    * 3-term query — the retrieval-side scorer a RAG/data-curation
+    * pipeline runs after [[textChunkOverlap]] chunks the corpus.
+    * Plan: tokenize (narrow explode) → one hash-agg on doc_id for
+    * (dl, per-term tf) → one tiny agg for (N, avgdl, per-term df) →
+    * broadcast stats back → per-row scalar math. The corpus shuffles
+    * once, keyed by doc_id; the stats ride a one-row broadcast; terms
+    * generalize to a broadcast term table at 100 TB.
+    *
+    * Determinism: every count is integer-exact and every rational
+    * step (avgdl, dl/avgdl, the k1/b saturation w_t) is the identical
+    * IEEE expression tree on both engines → bit-equal, oracle-checked
+    * at full strength. The ONE transcendental, idf's ln, is measured
+    * to differ by 1 ulp between JVM Math.log and libm ln on 8 of 8357
+    * feasible (N, df) arguments (see SURVEY §5) — a round-4 output
+    * flips only if the unrounded score sits within ~1e-16 of a
+    * rounding boundary (p≈1e-12/row), and the sf0.01 gate inputs are
+    * fixed and verified to agree. The rational core carries the
+    * oracle; ln only mixes three already-verified numbers. */
+  val textBm25: Op = {
+    val terms = Seq("spark", "join", "scan")
+    val wSql = terms.map { t =>
+      s"(CAST(tf_$t AS DOUBLE) * 2.2) / (tf_$t + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/avgdl))) AS w_$t"
+    }.mkString(",\n      |    ")
+    val idfSql = terms.map { t =>
+      s"ln(1.0 + (n - df_$t + 0.5)/(df_$t + 0.5)) AS idf_$t"
+    }.mkString(",\n      |    ")
+    Op.sql("text_bm25",
+      s"""WITH tok AS (
+        |  SELECT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |        FROM documents) WHERE tok <> ''),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |    ${terms.map(t => s"count(*) FILTER (WHERE tok = '$t') AS tf_$t").mkString(",\n        |    ")}
+        |  FROM tok GROUP BY doc_id),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl,
+        |    ${terms.map(t => s"count(*) FILTER (WHERE tf_$t > 0) AS df_$t").mkString(",\n        |    ")}
+        |  FROM per_doc),
+        |sc AS (
+        |  SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+        |    $wSql,
+        |    $idfSql
+        |  FROM per_doc, st)
+        |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+        |  ${terms.map(t => s"round(w_$t, 4) AS w_$t").mkString(", ")},
+        |  round(${terms.map(t => s"idf_$t*w_$t").mkString(" + ")}, 4) AS bm25
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = docs(s, dir).select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"),
+        terms.map(t => count(when(col("tok") === t, 1)).as(s"tf_$t")): _*)
+      val st = perDoc.agg(count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      def w(t: String) = (col(s"tf_$t").cast("double") * lit(2.2)) /
+        (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+      def idf(t: String) =
+        log(lit(1.0) + (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      val keyCols = Seq(col("doc_id"), col("dl")) ++ terms.map(t => col(s"tf_$t"))
+      val scCols = keyCols ++ terms.map(t => w(t).as(s"w_$t")) ++
+        terms.map(t => idf(t).as(s"idf_$t"))
+      val sc = perDoc.crossJoin(broadcast(st)).select(scCols: _*)
+      val outCols = keyCols ++ terms.map(t => round(col(s"w_$t"), 4).as(s"w_$t")) ++
+        Seq(round(terms.map(t => col(s"idf_$t") * col(s"w_$t")).reduce(_ + _), 4).as("bm25"))
+      sc.select(outCols: _*).orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
-    sampleMixture)
+    sampleMixture, textBm25)
 }

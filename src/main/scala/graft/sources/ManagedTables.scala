@@ -198,6 +198,38 @@ object VersionedTables {
     spark.read.parquet(vdir(wh, name, v))
   }
 
+  /** Published version numbers present on disk, ascending. */
+  def versions(name: String, wh: String = ManagedTables.defaultWarehouse): Seq[Int] = {
+    val d = new java.io.File(root(wh, name))
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(_.isDirectory).map(_.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toInt }.toSeq.sorted
+  }
+
+  /** RETENTION vacuum (Delta `VACUUM` / Iceberg `expireSnapshots`):
+    * delete every published version older than the newest `keepLast`,
+    * returning the versions removed. The `LATEST` pointer is never
+    * touched — current readers are unaffected; only AS OF reads of
+    * expired versions lose their data (they fail loudly on the
+    * missing directory, never silently read partial data, because
+    * deletion is per-version-directory and a version is only ever
+    * whole). Driver-side work is file metadata only. */
+  def retain(name: String, keepLast: Int,
+             wh: String = ManagedTables.defaultWarehouse): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val vs = versions(name, wh)
+    val expired = vs.dropRight(keepLast)
+    expired.foreach { v =>
+      val d = new java.io.File(vdir(wh, name, v))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    expired
+  }
+
   /** Drop all versions (test hygiene / retention). */
   def vacuum(name: String, wh: String = ManagedTables.defaultWarehouse): Unit =
     ManagedTables.drop(name, wh)

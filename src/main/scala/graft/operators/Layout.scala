@@ -238,6 +238,43 @@ object Layout {
     asOf(1).unionByName(asOf(2)).orderBy("version", "o_orderstatus")
   }
 
+  /** RUNTIME BLOOM-FILTER join pruning (Spark's InjectRuntimeFilter;
+    * the dynamic cousin of q35's static pruning): a selective dim
+    * filter (urgent 1995+ orders, ~20% of the table) is turned into a
+    * bloom filter BUILT AT RUNTIME from the creation side and pushed
+    * into the fact scan as `might_contain(l_orderkey)` — the probe
+    * side drops ~80% of rows BEFORE the join shuffle, which at 100 TB
+    * is the difference between shuffling the whole fact table and
+    * shuffling only the keys that can match. Runs in an isolated
+    * `newSession` (broadcast disabled so the shuffle join qualifies —
+    * with a broadcastable dim Spark would rightly prefer BHJ and skip
+    * the filter; thresholds opened so test-SF sizes qualify) — the
+    * shared session's planner is never touched. PlanAuditSpec pins
+    * `might_contain` + bloom_filter_agg in the executed plan. */
+  val q65RuntimeBloomJoin: Op = Op.sql("q65_runtime_bloom_join",
+    """SELECT l_orderkey, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    val li = Tables.load(s2, dir, "lineitem")
+    val o = Tables.load(s2, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_orderkey")
+  }
+
   val all: Seq[Op] = Seq(q34BucketedJoin, q35PartitionPruning, q47Zorder,
-    layoutCompactFiles, layoutVacuum)
+    layoutCompactFiles, layoutVacuum, q65RuntimeBloomJoin)
 }

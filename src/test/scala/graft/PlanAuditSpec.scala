@@ -225,4 +225,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
       "grouping-set aggregate fell back to SortAggregate")
   }
+
+  test("runtime bloom filter prunes the fact scan before the join shuffle (q65)") {
+    // the selective dim predicate must materialize as bloom_filter_agg
+    // on the creation side and a might_contain filter on the fact side
+    // BEFORE the shuffle — the property that keeps an 80%-selective
+    // dim filter from shuffling the whole 100 TB fact table
+    val p = plan("q65_runtime_bloom_join")
+    assert(p.contains("bloom_filter_agg"),
+      "no runtime bloom filter built from the filtered dim side")
+    assert(p.contains("might_contain"),
+      "fact side not pruned by might_contain before the join")
+  }
 }

@@ -557,9 +557,89 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Batch SESSIONIZATION (the batch face of stream_sessionize's
+    * session_window): events more than 30 min after the same user's
+    * previous event start a new session; session id = running count
+    * of boundary flags. Timestamps compare as INTEGER microseconds
+    * (`unix_micros` / DuckDB `epoch_us`) so the 30-min cut is exact —
+    * the events table carries sub-second micros, and a double epoch
+    * would round them. ONE shuffle total: lag and the running sum
+    * share the (user_id | ts, event_id) window, and the per-session
+    * aggregate reuses the user_id partitioning because its grouping
+    * keys are a superset (plan-audited). The per-user sequential
+    * dependency is real but bounded: session assignment is a per-key
+    * scan, the classic distributed sessionize shape at 100 TB. */
+  val q67Sessionize: Op = Op.sql("q67_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, tus,
+      |    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |              <= 1800000000 THEN 0 ELSE 1 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, tus,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM b)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(tus) AS start_us, max(tus) - min(tus) AS dur_us
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("tus"), 1).over(w)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("is_new",
+        when(col("tus") - prev <= 1800000000L, 0L).otherwise(1L))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("tus").as("start_us"),
+        (max(col("tus")) - min(col("tus"))).as("dur_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Exact DECAY-WEIGHTED rolling score (the EWMA-style recency
+    * feature a training pipeline attaches to event streams): per
+    * user, score = Σ_{j=0..7} value[t−j] / 2^j over the last 8
+    * events. The weights 1/2^j are EXACT decimal literals and the
+    * products/sum stay in decimal (scale 2+7=9, far under both
+    * engines' precision caps), so the score is integer-exact until
+    * the final double cast — no IEEE summation-order hazard at all,
+    * unlike a pow()-based EWMA. Eight lags share one (user_id | tus,
+    * event_id) window: ONE shuffle, single pass. */
+  val q69DecayScore: Op = {
+    val weights = (0 to 7).map(j => BigDecimal(1) / BigDecimal(2).pow(j))
+    val wSql = weights.zipWithIndex.map { case (w, j) =>
+      s"coalesce(lag(v, $j) OVER win, CAST(0 AS DECIMAL(12,2))) * CAST($w AS DECIMAL(10,7))"
+    }.mkString(" +\n      |  ")
+    Op.sql("q69_decay_score",
+      s"""WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    CAST("value" AS DECIMAL(12,2)) AS v
+        |  FROM events)
+        |SELECT event_id, user_id, CAST(v AS DOUBLE) AS v,
+        |  CAST($wSql AS DOUBLE) AS score
+        |FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val score = weights.zipWithIndex.map { case (w, j) =>
+        coalesce(lag(col("v"), j).over(win), lit(BigDecimal(0)).cast("decimal(12,2)")) *
+          lit(w).cast("decimal(10,7)")
+      }.reduce(_ + _)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("value").cast("decimal(12,2)").as("v"))
+        .select(col("event_id"), col("user_id"), col("v").cast("double").as("v"),
+          score.cast("double").as("score"))
+        .orderBy("event_id")
+    }
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
-    q66ZscoreOutliers)
+    q66ZscoreOutliers, q67Sessionize, q69DecayScore)
 }

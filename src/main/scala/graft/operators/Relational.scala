@@ -482,6 +482,64 @@ object Relational {
     asOf(0).unionByName(asOf(1)).orderBy("version", "o_orderstatus")
   }
 
+  /** SNAPSHOT DIFF / CDC (the change feed between two warehouse
+    * versions — Delta CDF / Iceberg changelog; reference analog: MVCC
+    * version deltas in the LSM manager): publish v0 and a mutated v1
+    * to the versioned warehouse, then emit the insert/update/delete
+    * rows between them via a key-keyed FULL OUTER join over the two
+    * pinned snapshots. v1 drops keys ≡0 mod 97 (deletes), gains keys
+    * ≡0 mod 7 (inserts) and bumps open-order prices (updates);
+    * unchanged rows are filtered out, so output size is the CHANGE
+    * volume, not the table. The oracle recomputes both versions from
+    * the source parquet and diffs them the same way — a snapshot read
+    * that leaked the other version's rows mislabels ops and
+    * hash-mismatches. At 100 TB this is one sort-merge join keyed on
+    * the primary key — the canonical distributed table-diff. */
+  val q68SnapshotDiff: Op = Op.sql("q68_snapshot_diff",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey < 2500),
+      |v0 AS (SELECT * FROM base WHERE k % 7 <> 0),
+      |v1 AS (SELECT k, st,
+      |         CAST(CASE WHEN st = 'O' THEN price + 1.00 ELSE price END
+      |              AS DECIMAL(12,2)) AS price
+      |       FROM base WHERE k % 97 <> 0)
+      |SELECT coalesce(b.k, a.k) AS o_orderkey,
+      |  CASE WHEN b.k IS NULL THEN 'insert'
+      |       WHEN a.k IS NULL THEN 'delete' ELSE 'update' END AS op,
+      |  CAST(b.price AS DOUBLE) AS before_price,
+      |  CAST(a.price AS DOUBLE) AS after_price
+      |FROM v0 b FULL JOIN v1 a ON b.k = a.k
+      |WHERE b.k IS NULL OR a.k IS NULL
+      |   OR b.price <> a.price OR b.st <> a.st
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    import graft.sources.VersionedTables
+    val base = t(s, dir, "orders").filter(col("o_orderkey") < 2500)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    VersionedTables.vacuum("graft_cdc")
+    VersionedTables.write(s, "graft_cdc", base.filter(col("k") % 7 =!= 0))
+    VersionedTables.write(s, "graft_cdc",
+      base.filter(col("k") % 97 =!= 0)
+        .withColumn("price",
+          when(col("st") === "O", col("price") + lit(BigDecimal("1.00")))
+            .otherwise(col("price")).cast("decimal(12,2)")))
+    val b = VersionedTables.read(s, "graft_cdc", Some(0))
+      .select(col("k").as("bk"), col("st").as("bst"), col("price").as("bprice"))
+    val a = VersionedTables.read(s, "graft_cdc", Some(1))
+      .select(col("k").as("ak"), col("st").as("ast"), col("price").as("aprice"))
+    b.join(a, col("bk") === col("ak"), "full_outer")
+      .filter(col("bk").isNull || col("ak").isNull
+        || col("bprice") =!= col("aprice") || col("bst") =!= col("ast"))
+      .select(coalesce(col("bk"), col("ak")).as("o_orderkey"),
+        when(col("bk").isNull, "insert")
+          .when(col("ak").isNull, "delete").otherwise("update").as("op"),
+        col("bprice").cast("double").as("before_price"),
+        col("aprice").cast("double").as("after_price"))
+      .orderBy("o_orderkey")
+  }
+
   private val csvPath = "/root/repo/target/graft_csv/nation.csv"
 
   val q24ReadCsv: Op = Op.sql("q24_read_csv",
@@ -792,6 +850,6 @@ object Relational {
     q23CreateInsert, q24ReadCsv, q62CsvBadRecords, q25QueryTables, q26QueryColumns,
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
     q33SkewSaltedJoin, q36JsonExtract, q37Rollup, q38IntegrityAudit,
-    q39Histogram, q46MergeUpsert, q63TimeTravel, q51SaltedAgg, q52ReadJsonl,
-    q53OrcRoundtrip)
+    q39Histogram, q46MergeUpsert, q63TimeTravel, q68SnapshotDiff, q51SaltedAgg,
+    q52ReadJsonl, q53OrcRoundtrip)
 }

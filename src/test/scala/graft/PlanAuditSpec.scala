@@ -212,11 +212,23 @@ class PlanAuditSpec extends SparkSuite {
   test("single-window ops shuffle exactly once on their partition key") {
     // each of these is one per-key window pass; a second hash Exchange
     // would mean the plan re-partitions needlessly at 100 TB
+    // q67 includes a groupBy(user_id, session_id) AFTER its windows:
+    // one exchange proves the aggregate reuses the user_id
+    // partitioning (grouping keys ⊇ partition key), q69's eight lags
+    // share one window
     Seq("kv_scd2" -> 1, "q58_time_range_frame" -> 1, "q64_locf" -> 1,
-        "sample_mixture" -> 1).foreach { case (op, want) =>
+        "sample_mixture" -> 1, "q67_sessionize" -> 1,
+        "q69_decay_score" -> 1).foreach { case (op, want) =>
       val n = "hashpartitioning".r.findAllIn(plan(op)).length
       assert(n == want, s"$op: expected $want hash Exchange(s), saw $n")
     }
+  }
+
+  test("snapshot diff is a keyed full-outer merge join, never nested-loop") {
+    val p = plan("q68_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff must be a full outer join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "CDC diff fell off the keyed-join path")
   }
 
   test("grouping sets expand map-side into one hash aggregation") {

@@ -163,6 +163,9 @@ class SqlParitySpec extends SparkSuite {
     "q61_unpivot" -> "DuckDB UNPIVOT statement syntax",
     "text_chunk_overlap" -> "list_filter/list_slice lambda + generate_series + // division",
     "text_fuzzy_join" -> "string_split_regex() + regexp_full_match()",
+    "text_bm25" -> "unnest(string_split_regex()) + count(*) FILTER",
+    "q67_sessionize" -> "epoch_us()",
+    "q69_decay_score" -> "epoch_us() + DuckDB WINDOW-clause placement",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -247,4 +247,56 @@ class AnalyticsSpec extends SparkSuite {
       assert(r.getLong(2) > 0)
     }
   }
+
+  test("sessionize equals an independent in-process recompute") {
+    val gap = 1800000000L
+    val out = Analytics.q67Sessionize.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // recompute sessions sequentially from the raw events — the
+    // reference semantics, with none of the window machinery
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val ordered = es.map(e => (e._3, e._2)).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer[List[Long]]()
+      ordered.foreach { case (tus, _) =>
+        if (sessions.nonEmpty && tus - sessions.last.last <= gap)
+          sessions(sessions.length - 1) = sessions.last :+ tus
+        else sessions += List(tus)
+      }
+      sessions.zipWithIndex.map { case (ts, i) =>
+        (uid, (i + 1).toLong, ts.length.toLong, ts.head, ts.last - ts.head)
+      }
+    }
+    assert(out.sorted.toSeq == expected.sorted,
+      s"sessionize diverged from sequential recompute (${out.length} vs ${expected.length} sessions)")
+    assert(out.map(_._3).sum == events.length, "events lost or duplicated across sessions")
+  }
+
+  test("snapshot diff applied to v0 reproduces v1 exactly (CDC round-trip)") {
+    import graft.sources.VersionedTables
+    val rows = graft.SparkEntry.queries("q68_snapshot_diff")(spark, sfDir).collect()
+    val v0 = VersionedTables.read(spark, "graft_cdc", Some(0))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(2).doubleValue).toMap
+    val v1 = VersionedTables.read(spark, "graft_cdc", Some(1))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(2).doubleValue).toMap
+    val deletes = rows.filter(_.getString(1) == "delete").map(_.getLong(0)).toSet
+    // after-image from the DIFF OUTPUT ONLY — applying it to v0 must
+    // land exactly on v1 (keys and values), the defining CDC property
+    val after = rows.filter(r => r.getString(1) != "delete")
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val applied = (v0 -- deletes) ++ after
+    assert(applied == v1, "v0 + diff does not reproduce v1")
+    // completeness: every key whose value differs is in the diff
+    val changed = rows.map(_.getLong(0)).toSet
+    (v0.keySet intersect v1.keySet).foreach { k =>
+      if (!changed.contains(k)) assert(v0(k) == v1(k),
+        s"key $k differs between versions but is missing from the diff")
+    }
+    // the three op classes are all present and correctly labeled
+    assert(deletes.nonEmpty && after.keySet.exists(k => !v0.contains(k))
+      && after.keySet.exists(v0.contains), "fixture lost an op class")
+    deletes.foreach(k => assert(v0.contains(k) && !v1.contains(k)))
+  }
 }

@@ -396,7 +396,9 @@ object Analytics {
         .select(col("node"), col("e_parent").as("anc"),
           (col("depth") + 1).as("depth"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty) done = true
+      // the terminating (empty) frontier never joins `levels`, so it
+      // must free its own cache entry here
+      if (next.isEmpty) { next.unpersist(); done = true }
       else { levels += next; frontier = next }
       iter += 1
     }

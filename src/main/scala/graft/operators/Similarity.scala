@@ -191,17 +191,25 @@ object Similarity {
       transform(cLit, c => cosine(v, c)),
       array_max(transform(cLit, c => cosine(v, c)))) - 1
 
+  /** The `NumProbes` nearest cells of `v`, ranked through the SAME
+    * codegen'd cosine kernel as [[cellExpr]] (ties to the smaller
+    * cell id, which is also `array_position`'s first-match rule) —
+    * every probe path shares this one expression tree with the build
+    * assignment, so probe and build can never disagree on a boundary
+    * rounding. */
+  private[graft] def probeCellsExpr(cLit: Column, v: Column): Column =
+    slice(transform(
+      array_sort(transform(sequence(lit(0), lit(NumCentroids - 1)),
+        i => struct((-cosine(v, element_at(cLit, i + 1))).as("negcos"),
+          i.as("cell")))),
+      e => e.getField("cell")), 1, NumProbes)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroids: Seq[Seq[Double]]): DataFrame = {
     val cLit = typedLit(centroids)
     val listed = corpus.withColumn("cell", cellExpr(cLit, col("v")))
     // each query probes its NumProbes closest cells
-    val probed = queries.withColumn("probe_cells",
-        slice(transform(
-          array_sort(transform(sequence(lit(0), lit(NumCentroids - 1)),
-            i => struct((-cosine(col("v"), element_at(cLit, i + 1))).as("negcos"),
-              i.as("cell")))),
-          e => e.getField("cell")), 1, NumProbes))
+    val probed = queries.withColumn("probe_cells", probeCellsExpr(cLit, col("v")))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(col("probe_cells")).as("cell"))
     probed.join(listed, Seq("cell"))
@@ -354,14 +362,17 @@ object Similarity {
     flat.toSeq
   }
 
+  /** Unit-norm of one vector column (‖v‖₂-scaled copy). */
+  private[graft] def unitNormExpr(v: Column): Column =
+    bound(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))) { n =>
+      transform(v, x => x / n)
+    }
+
   /** Unit-normalize so dot == cosine (ADC approximates dot). Public:
     * specs must train/encode through the same normalization the
     * operator uses. */
   def unitNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), bound(sqrt(aggregate(col("v"), lit(0.0),
-      (acc, x) => acc + x * x))) { n =>
-      transform(col("v"), x => x / n)
-    }.as("v"))
+    df.select(col("vec_id"), unitNormExpr(col("v")).as("v"))
 
   /** PQ-compressed ANN, two-stage (the production shape): the corpus
     * is stored as M 4-bit codes per vector (packed: 8 B vs 256 B of
@@ -468,12 +479,17 @@ object Similarity {
           new java.io.File(path), tag + "_", pqFamily = true)
         val centroids = centroidsFor(s, dir)
         val cb = codebookFor(s, dir)
-        // cosine is scale-invariant, so cell assignment on the
-        // unit-normed vector equals ann_ivf_persist's on the raw one
-        unitNorm(emb(s, dir))
+        // cell from the RAW vector through cellExpr — bit-identical
+        // to ann_ivf_persist's build assignment. (Cosine is
+        // scale-invariant only in exact arithmetic; normalizing
+        // before assigning could flip a near-tie boundary rounding
+        // and land the same vector in different cells of the two
+        // indexes.) The codes then encode the unit-normed vector,
+        // which is what the codebook was trained on.
+        emb(s, dir)
           .withColumn("cell", cellExpr(typedLit(centroids), col("v")))
-          .withColumn("codes", call_function("graft_pq_encode", col("v"),
-            typedLit(cb), lit(PqM), lit(PqK)))
+          .withColumn("codes", call_function("graft_pq_encode",
+            unitNormExpr(col("v")), typedLit(cb), lit(PqM), lit(PqK)))
           .select("vec_id", "codes", "cell")
           .write.mode("overwrite").partitionBy("cell").parquet(path)
       }
@@ -488,26 +504,32 @@ object Similarity {
     * let alone scanned (NumProbes/NumCentroids of the index per
     * query by construction). Stage 2 re-ranks the per-query shortlist
     * exactly against the full vectors — the corpus is touched
-    * `shortlist` times per query, never n times. */
-  def ivfPqTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    * `shortlist` times per query, never n times.
+    *
+    * `corpusOnly` restricts candidates to labeled corpus rows
+    * (`vec_id >= NumQueries`) — the voting population
+    * [[annKnnClassify]] uses — so the k-NN composition never lets
+    * one probe-set query vote on another's label. */
+  def ivfPqTopK(s: SparkSession, dir: String, k: Int,
+                corpusOnly: Boolean = false): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
     ensureIvfPqIndex(s, dir)
     val centroids = centroidsFor(s, dir)
     val cb = codebookFor(s, dir)
     val queries = e.filter(col("vec_id") < NumQueries)
-    // driver-side prep on the (small, already-collected-for-LUTs)
-    // query set: unit-norm, ADC LUT, nprobe nearest cells by cosine
-    val qRows = unitNorm(queries).collect().map { r =>
-      val qid = r.getLong(0)
-      val q = r.getSeq[Double](1)
-      val cells = centroids.zipWithIndex.map { case (c, i) =>
-        val dot = q.lazyZip(c).map(_ * _).sum
-        val norm = math.sqrt(c.map(x => x * x).sum) // |q| = 1 already
-        (-dot / norm, i)
-      }.sorted.take(NumProbes).map(_._2)
-      (qid, adcLut(q, cb), cells)
-    }.toSeq
+    // query-side prep, ONE collect of the small query set: probe
+    // cells ranked by probeCellsExpr on the RAW vector — the same
+    // codegen'd kernel/expression tree the index cells were built
+    // with, so probe and build cannot disagree on a boundary
+    // rounding — plus the unit-normed vector for the driver-built
+    // ADC LUT.
+    val qRows = queries
+      .select(col("vec_id"), unitNormExpr(col("v")).as("u"),
+        probeCellsExpr(typedLit(centroids), col("v")).as("cells"))
+      .collect().map { r =>
+        (r.getLong(0), adcLut(r.getSeq[Double](1), cb), r.getSeq[Int](2))
+      }.toSeq
     val unionCells = qRows.flatMap(_._3).distinct
     // stage 1: ADC only within each query's own probed cells. The
     // isin() literal prunes partitions; the (query_id, cell) join key
@@ -515,8 +537,10 @@ object Similarity {
     val probes = qRows
       .flatMap { case (qid, lut, cells) => cells.map(c => (qid, c, lut)) }
       .toDF("query_id", "cell", "lut")
-    val shortlist = s.read.parquet(pqIndexPath(dir))
+    val scan = s.read.parquet(pqIndexPath(dir))
       .filter(col("cell").isin(unionCells: _*))
+    val shortlist = (if (corpusOnly) scan.filter(col("vec_id") >= NumQueries)
+                     else scan)
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("approx_dot",
@@ -599,8 +623,12 @@ object Similarity {
     * form of [[annKnnClassify]] (which is the brute voting baseline,
     * exactly as [[annTopkBrute]] baselines [[annIvfPq]]): neighbors
     * come from [[ivfPqTopK]]'s cell-pruned, ADC-shortlisted,
-    * exact-re-ranked search; only the (query, neighbor) id pairs then
-    * join the label column and vote. At 10B vectors the probe reads
+    * exact-re-ranked search restricted to the labeled corpus
+    * (`corpusOnly` — the exact voting population [[annKnnClassify]]
+    * draws from, so probe-set queries never vote on each other and
+    * any disagreement with the brute vote is attributable to probe
+    * recall alone); only the (query, neighbor) id pairs then join
+    * the label column and vote. At 10B vectors the probe reads
     * nprobe/K of the corpus and the voting tail is a
     * |queries|·k-row aggregate — nothing corpus-linear remains.
     * Spec: predictions agree with the brute vote wherever the probe's
@@ -609,7 +637,7 @@ object Similarity {
     val labels = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
     val qLabels = labels.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("label").as("true_label"))
-    ivfPqTopK(s, dir, TopK)
+    ivfPqTopK(s, dir, TopK, corpusOnly = true)
       .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
       .groupBy("query_id", "label")
       .agg(count(lit(1)).as("votes"))

@@ -349,7 +349,7 @@ object TextAnalysis {
     """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
       |            FROM documents),
       |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
-      |n AS (SELECT count(*) AS total FROM tok)
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
       |SELECT t.doc_id,
       |  count(*) AS n_tok,
       |  CAST(sum(v.cnt) AS BIGINT) AS sum_cnt,
@@ -359,7 +359,9 @@ object TextAnalysis {
     val tok = docs(s, dir).select(col("doc_id"),
       explode(split(lower(col("text")), "\\s+")).as("tok"))
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = tok.agg(count(lit(1)).as("total"))
+    // corpus token total = Σ vocab counts: an aggregate over |vocab|
+    // rows, not a third scan-and-tokenize of the corpus
+    val total = vocab.agg(sum("cnt").as("total"))
     tok.join(broadcast(vocab), Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("cnt").as("sum_cnt"))

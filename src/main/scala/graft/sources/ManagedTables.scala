@@ -207,25 +207,25 @@ object VersionedTables {
   }
 
   /** RETENTION vacuum (Delta `VACUUM` / Iceberg `expireSnapshots`):
-    * delete every published version older than the newest `keepLast`,
-    * returning the versions removed. The `LATEST` pointer is never
-    * touched — current readers are unaffected; only AS OF reads of
-    * expired versions lose their data (they fail loudly on the
+    * delete every PUBLISHED version older than the newest `keepLast`,
+    * returning the versions removed. "Published" is anchored on the
+    * `LATEST` pointer, not on-disk directories — an orphan dir from a
+    * write that crashed before its pointer flip (v > latest) neither
+    * counts toward `keepLast` nor shields a published version from
+    * expiry, so retain can never delete the version LATEST points to
+    * and never leaves the pointer dangling. The pointer itself is
+    * never touched — current readers are unaffected; only AS OF reads
+    * of expired versions lose their data (they fail loudly on the
     * missing directory, never silently read partial data, because
     * deletion is per-version-directory and a version is only ever
     * whole). Driver-side work is file metadata only. */
   def retain(name: String, keepLast: Int,
              wh: String = ManagedTables.defaultWarehouse): Seq[Int] = {
     require(keepLast >= 1, "must keep at least the latest version")
-    val vs = versions(name, wh)
-    val expired = vs.dropRight(keepLast)
+    val lat = latest(name, wh)
+    val expired = versions(name, wh).filter(_ <= lat - keepLast)
     expired.foreach { v =>
-      val d = new java.io.File(vdir(wh, name, v))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
+      LocalDir.deleteRecursively(new java.io.File(vdir(wh, name, v)))
     }
     expired
   }

@@ -134,6 +134,27 @@ class ManagedTablesSpec extends SparkSuite {
     VersionedTables.vacuum("t_tt", wh)
   }
 
+  test("retain anchors on the LATEST pointer, not on-disk dirs: an orphan never costs a published version") {
+    import spark.implicits._
+    import graft.sources.VersionedTables
+    VersionedTables.vacuum("t_ret", wh)
+    VersionedTables.write(spark, "t_ret", Seq((1L, "a")).toDF("k", "s"), wh) // v0
+    VersionedTables.write(spark, "t_ret", Seq((1L, "A")).toDF("k", "s"), wh) // v1 = LATEST
+    // orphan v2: data dir written, crash before the pointer flip
+    Seq((9L, "zz")).toDF("k", "s").write.parquet(s"$wh/t_ret/v2")
+    // counting the orphan toward keepLast would expire v1 — the
+    // published LATEST — and leave the pointer dangling
+    assert(VersionedTables.retain("t_ret", keepLast = 1, wh) == Seq(0))
+    assert(VersionedTables.latest("t_ret", wh) == 1)
+    val head = VersionedTables.read(spark, "t_ret", None, wh).collect()
+    assert(head.length == 1 && head.head.getString(1) == "A",
+      "published LATEST must survive retain")
+    // idempotent: nothing further to expire (the orphan is not
+    // retain's to delete — it is unpublished, not expired)
+    assert(VersionedTables.retain("t_ret", keepLast = 1, wh).isEmpty)
+    VersionedTables.vacuum("t_ret", wh)
+  }
+
   test("merge rejects a duplicate-key update batch before any write") {
     import spark.implicits._
     ManagedTables.create(spark, "t_dup", schema, wh)

@@ -109,7 +109,14 @@ def main():
         sql, runs = oracles.get(name), RUNS
         if sql is None and name in ANALOGS:
             ref, runs = ANALOGS[name]
-            sql = oracles.get(ref, ref)  # op-name indirection or raw SQL
+            if " " in ref:  # raw SQL analog
+                sql = ref
+            else:  # op-name indirection into oracle_sql.json
+                sql = oracles.get(ref)
+                if sql is None:
+                    print(f"SKIP {name}: analog references missing "
+                          f"oracle '{ref}'", file=sys.stderr)
+                    continue
             analog_names.append(name)
         if sql is None:
             continue

@@ -769,9 +769,93 @@ object TextAnalysis {
     }
   }
 
+  /** URL CANONICALIZATION + dedup — the web-crawl staple (every
+    * CommonCrawl-derived corpus dedups by canonical URL before any
+    * content pass): lowercase scheme/host, strip a leading `www.`,
+    * drop the scheme's default port, strip the fragment and a
+    * trailing slash, and drop `utm_*` tracking params while KEEPING
+    * other params in their original order. The URL column is derived
+    * deterministically from (doc_id, source) — four raw variants per
+    * canonical target, so groups genuinely merge DIFFERENT raw forms
+    * (case/www/port with plain; fragment/trailing-slash with
+    * utm-strip) — and, like q59's edge relation, both engines build
+    * the identical strings from the same parquet while the operator
+    * itself only ever reads the URL string.
+    *
+    * Scale: pure per-row codegen'd regex/array builtins (no UDF, no
+    * lookahead so the patterns are RE2-safe too), then one
+    * hash-aggregate on the canonical string — the same
+    * shuffle-carries-only-(canon, id) shape as [[Dedup.dedupExact]].
+    * Keeps are min(doc_id): deterministic under any partitioning. */
+  val textUrlCanon: Op = Op.sql("text_url_canon",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE (doc_id // 100) % 4
+      |      WHEN 0 THEN 'https://' || source || '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR)
+      |      WHEN 1 THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/' || CAST(doc_id % 50 AS VARCHAR)
+      |      WHEN 2 THEN 'https://' || source || '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR) || '/?ref=' || CAST(doc_id % 50 % 10 AS VARCHAR) || '#frag'
+      |      ELSE 'https://' || source || '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=mail&ref=' || CAST(doc_id % 50 % 10 AS VARCHAR)
+      |    END AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_replace(lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1), '^([^:]*)', 1)), '^www\.', '') AS host,
+      |    regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1), ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS query
+      |  FROM u),
+      |c AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443') OR (scheme = 'http' AND port = '80')
+      |         THEN '' ELSE ':' || port END ||
+      |    path ||
+      |    CASE WHEN len(list_filter(string_split(query, '&'), x -> x <> '' AND NOT starts_with(x, 'utm_'))) = 0 THEN ''
+      |         ELSE '?' || list_aggregate(list_filter(string_split(query, '&'), x -> x <> '' AND NOT starts_with(x, 'utm_')), 'string_agg', '&') END
+      |    AS canon_url
+      |  FROM p)
+      |SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+      |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin) { (s, dir) =>
+    val pp = (col("doc_id") % 50).cast("string")
+    val rr = (col("doc_id") % 50 % 10).cast("string")
+    val u = docs(s, dir).select(col("doc_id"),
+      when(expr("(doc_id div 100) % 4") === 0,
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"), pp))
+      .when(expr("(doc_id div 100) % 4") === 1,
+        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/docs/"), pp))
+      .when(expr("(doc_id div 100) % 4") === 2,
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"), pp,
+          lit("/?ref="), rr, lit("#frag")))
+      .otherwise(
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"), pp,
+          lit("?utm_source=mail&ref="), rr)).as("url"))
+    val hostport = regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]*)", 1)
+    val p = u.select(col("doc_id"),
+      lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)).as("scheme"),
+      regexp_replace(lower(regexp_extract(hostport, "^([^:]*)", 1)), "^www\\.", "").as("host"),
+      regexp_extract(hostport, ":([0-9]+)$", 1).as("port"),
+      regexp_replace(regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*([^?#]*)", 1), "/$", "").as("path"),
+      regexp_extract(col("url"), "\\?([^#]*)", 1).as("query"))
+    val kept = filter(split(col("query"), "&"),
+      x => x =!= "" && !x.startsWith("utm_"))
+    p.select(col("doc_id"),
+        concat(col("scheme"), lit("://"), col("host"),
+          when(col("port") === "" ||
+               (col("scheme") === "https" && col("port") === "443") ||
+               (col("scheme") === "http" && col("port") === "80"), "")
+            .otherwise(concat(lit(":"), col("port"))),
+          col("path"),
+          when(size(kept) === 0, "")
+            .otherwise(concat(lit("?"), array_join(kept, "&")))).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_doc_id"))
+      .orderBy("canon_url")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
-    sampleMixture, textBm25)
+    sampleMixture, textBm25, textUrlCanon)
 }

@@ -299,4 +299,25 @@ class AnalyticsSpec extends SparkSuite {
       && after.keySet.exists(v0.contains), "fixture lost an op class")
     deletes.foreach(k => assert(v0.contains(k) && !v1.contains(k)))
   }
+
+  test("triangle counts match an independent in-process enumeration") {
+    val out = Analytics.q70Triangles.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the same derived edge set and enumerate triangles the
+    // slow, obvious way (sorted-adjacency intersection) on the driver
+    val edges = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") < 10)
+      .select((col("l_orderkey") % 300).as("a"), (col("l_suppkey") % 300).as("b"))
+      .filter(col("a") =!= col("b")).collect()
+      .map(r => { val (x, y) = (r.getLong(0), r.getLong(1))
+        (math.min(x, y), math.max(x, y)) }).distinct
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((u, v) <- edges; w <- adj(u) intersect adj(v); if u < v && v < w) {
+      counts(u) += 1; counts(v) += 1; counts(w) += 1
+    }
+    assert(out == counts.toMap, "per-node triangle counts diverge from brute enumeration")
+    assert(out.values.sum % 3 == 0, "triangle incidences must be divisible by 3")
+  }
 }

@@ -166,6 +166,7 @@ class SqlParitySpec extends SparkSuite {
     "text_bm25" -> "unnest(string_split_regex()) + count(*) FILTER",
     "q67_sessionize" -> "epoch_us()",
     "q69_decay_score" -> "epoch_us() + DuckDB WINDOW-clause placement",
+    "text_url_canon" -> "// division + list_filter/list_aggregate lambda + string_split()",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

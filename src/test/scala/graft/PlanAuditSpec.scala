@@ -249,4 +249,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("might_contain"),
       "fact side not pruned by might_contain before the join")
   }
+
+  test("triangle counting: every join is keyed, never nested-loop or cartesian") {
+    // the wedge self-join and the closing-edge join both carry an
+    // equi-conjunct (src=src / (src,dst) match); losing it to a BNLJ
+    // would make the plan hub-quadratic — the exact failure the
+    // degree orientation exists to prevent
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must stay keyed:\n$p")
+  }
+
+  test("url canon is per-row codegen until the single dedup hash-agg") {
+    val p = plan("text_url_canon")
+    assert(!p.contains("Join"), "url canonicalization must not join anything")
+    assert(p.contains("HashAggregate"), "dedup must be a hash aggregate")
+    // partial+final agg pair = one hash Exchange, plus the orderBy's
+    // range Exchange — nothing else may shuffle (formatted mode lists
+    // each operator twice: tree line + detail block, so 2 × 2 = 4)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4, s"unexpected shuffles in url canon plan:\n$p")
+  }
 }

@@ -639,6 +639,62 @@ object Analytics {
     }
   }
 
+  /** INTERVAL MERGE (gaps-and-islands consolidation) — the general
+    * form of [[q67Sessionize]]: inputs are RANGES, not points, so a
+    * long interval can swallow several later-starting short ones —
+    * which is why the boundary test needs a running `max(end)` over
+    * all PRIOR intervals, not a `lag` of the previous row (the bug in
+    * every naive port of sessionization to ranges). Intervals are
+    * derived deterministically from events (length = (event_id % 7 +
+    * 1) minutes); islands = maximal unions of overlapping-or-touching
+    * ranges per user. All arithmetic is exact integer microseconds.
+    *
+    * Scale: both windows and the final aggregate share the user_id
+    * key — ONE shuffle total (plan-audited with the other single-key
+    * window ops); per-key state is the sort, which Spark externalizes,
+    * so a hot user spills instead of failing. */
+  val q71IntervalMerge: Op = Op.sql("q71_interval_merge",
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+      |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e_us
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, s_us, e_us,
+      |    CASE WHEN s_us > max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 1 - sign(count(*) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) END AS is_new,
+      |    event_id
+      |  FROM iv),
+      |s AS (
+      |  SELECT user_id, s_us, e_us,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM b)
+      |SELECT user_id, island, count(*) AS n_intervals,
+      |  min(s_us) AS start_us, max(e_us) AS end_us
+      |FROM s GROUP BY user_id, island
+      |ORDER BY user_id, island""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + (col("event_id") % 7 + 1) * 60000000L).as("e_us"))
+      // first row of a user has no prior: count-over-prior is 0 there,
+      // so 1 - sign(count) opens an island without a null branch —
+      // the same expression tree on both engines
+      .withColumn("is_new",
+        when(col("s_us") > max(col("e_us")).over(prior), 1)
+          .otherwise(lit(1) - sign(count(lit(1)).over(prior)).cast("int")))
+      .withColumn("island", sum(col("is_new")).over(run).cast("bigint"))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_intervals"),
+        min("s_us").as("start_us"), max("e_us").as("end_us"))
+      .orderBy("user_id", "island")
+  }
+
   /** Exact TRIANGLE COUNTING per node — the standard graph metric
     * for cluster quality (e.g. judging whether a near-dup cluster
     * from [[Dedup.connectedComponents]] is a dense clique or a
@@ -704,5 +760,5 @@ object Analytics {
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
-    q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles)
+    q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge)
 }

@@ -300,6 +300,37 @@ class AnalyticsSpec extends SparkSuite {
     deletes.foreach(k => assert(v0.contains(k) && !v1.contains(k)))
   }
 
+  test("interval merge matches a sequential sweep and islands are maximal") {
+    val out = Analytics.q71IntervalMerge.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent recompute: classic one-pass sweep per user over
+    // (start, end) sorted intervals
+    val ivs = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(2) + (r.getLong(1) % 7 + 1) * 60000000L, r.getLong(1)))
+    val expected = ivs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._4))
+      val islands = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      for ((_, s, e, _) <- sorted) {
+        if (islands.nonEmpty && s <= islands.last._3)
+          islands(islands.length - 1) = (islands.last._1 + 1, islands.last._2,
+            math.max(islands.last._3, e))
+        else islands += ((1L, s, e))
+      }
+      islands.zipWithIndex.map { case ((n, s, e), i) => (u, i + 1L, n, s, e) }
+    }.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == expected, "merged islands diverge from the sequential sweep")
+    // the merge must actually merge, and islands must be disjoint
+    assert(out.exists(_._3 > 1), "no interval ever merged — fixture too sparse")
+    out.groupBy(_._1).values.foreach { is =>
+      is.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._4 > a._5, s"islands overlap: $a / $b")
+        case _ =>
+      }
+    }
+  }
+
   test("triangle counts match an independent in-process enumeration") {
     val out = Analytics.q70Triangles.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

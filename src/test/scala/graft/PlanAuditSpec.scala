@@ -218,7 +218,7 @@ class PlanAuditSpec extends SparkSuite {
     // share one window
     Seq("kv_scd2" -> 1, "q58_time_range_frame" -> 1, "q64_locf" -> 1,
         "sample_mixture" -> 1, "q67_sessionize" -> 1,
-        "q69_decay_score" -> 1).foreach { case (op, want) =>
+        "q69_decay_score" -> 1, "q71_interval_merge" -> 1).foreach { case (op, want) =>
       val n = "hashpartitioning".r.findAllIn(plan(op)).length
       assert(n == want, s"$op: expected $want hash Exchange(s), saw $n")
     }

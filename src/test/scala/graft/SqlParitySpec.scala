@@ -167,6 +167,7 @@ class SqlParitySpec extends SparkSuite {
     "q67_sessionize" -> "epoch_us()",
     "q69_decay_score" -> "epoch_us() + DuckDB WINDOW-clause placement",
     "text_url_canon" -> "// division + list_filter/list_aggregate lambda + string_split()",
+    "q71_interval_merge" -> "epoch_us()",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -651,6 +651,34 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Per-DIMENSION profile of the embedding corpus (mean/std/min/max
+    * per coordinate) — the drift monitor a production vector pipeline
+    * runs on every ingest batch: a dimension whose mean wanders or
+    * whose std collapses signals a bad encoder rollout long before
+    * recall metrics move. posexplode is NARROW (fan-out in-partition)
+    * and the aggregate groups on `dim` — 64 groups — so the shuffle
+    * carries partial (sum, sum², min, max, n) per (partition, dim):
+    * bytes ∝ partitions × dim, independent of corpus size. The
+    * mean/std are rounded to 1e-6 (parallel double summation's
+    * reorder error is ~1e-13 here, far under the rounding grain —
+    * same reasoning as dedup_embedding's cosine rounding); min/max
+    * are order-free and stay exact. */
+  val vecProfile: Op = Op.sql("vec_profile",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |d AS (SELECT g.pos AS dim, e.v[g.pos] AS x
+      |      FROM e CROSS JOIN generate_series(1, 64) g(pos))
+      |SELECT dim, round(avg(x), 6) AS mean, round(stddev_pop(x), 6) AS std,
+      |       min(x) AS mn, max(x) AS mx
+      |FROM d GROUP BY dim ORDER BY dim""".stripMargin) { (s, dir) =>
+    emb(s, dir)
+      .select(posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).cast("bigint").as("dim"))
+      .agg(round(avg("x"), 6).as("mean"),
+        round(stddev_pop(col("x")), 6).as("std"),
+        min("x").as("mn"), max("x").as("mx"))
+      .orderBy("dim")
+  }
+
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
-    annIvfPq, annKnnClassify, annKnnIvfPq)
+    annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile)
 }

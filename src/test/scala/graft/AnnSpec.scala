@@ -209,4 +209,23 @@ class AnnSpec extends SparkSuite {
     assert(fromIndex == inMemory,
       s"persisted-index probe diverged: $fromIndex vs $inMemory")
   }
+
+  test("vec_profile matches a driver-side recompute within the rounding grain") {
+    val rows = Similarity.vecProfile.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val vecs = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .collect().map(_.getSeq[Double](0))
+    val dim = vecs.head.length
+    assert(rows.length == dim && rows.map(_._1).toSeq == (1 to dim).map(_.toLong))
+    rows.foreach { case (d, mean, std, mn, mx) =>
+      val xs = vecs.map(_(d.toInt - 1))
+      val m = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length)
+      assert(math.abs(mean - m) <= 1e-6 && math.abs(std - sd) <= 1e-6,
+        s"dim $d: ($mean, $std) vs recomputed ($m, $sd)")
+      assert(mn == xs.min && mx == xs.max, s"dim $d: exact min/max diverged")
+      assert(mn <= mean && mean <= mx && std >= 0)
+    }
+  }
 }

@@ -168,6 +168,7 @@ class SqlParitySpec extends SparkSuite {
     "q69_decay_score" -> "epoch_us() + DuckDB WINDOW-clause placement",
     "text_url_canon" -> "// division + list_filter/list_aggregate lambda + string_split()",
     "q71_interval_merge" -> "epoch_us()",
+    "vec_profile" -> "::DOUBLE[] cast + generate_series table function",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

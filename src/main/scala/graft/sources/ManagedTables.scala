@@ -190,11 +190,18 @@ object VersionedTables {
     v
   }
 
-  /** Read AS OF `version` (default: latest). */
+  /** Read AS OF `version` (default: latest). Only PUBLISHED versions
+    * (v ≤ the LATEST pointer) are readable: an on-disk dir beyond the
+    * pointer is a crashed write's orphan whose data may be partial,
+    * so asking for it fails loudly instead of silently returning
+    * whatever bytes landed before the crash. */
   def read(spark: SparkSession, name: String, version: Option[Int] = None,
            wh: String = ManagedTables.defaultWarehouse): DataFrame = {
-    val v = version.getOrElse(latest(name, wh))
+    val lat = latest(name, wh)
+    val v = version.getOrElse(lat)
     require(v >= 0, s"versioned table '$name' has no published version")
+    require(v <= lat,
+      s"versioned table '$name' has no published version $v (latest: $lat)")
     spark.read.parquet(vdir(wh, name, v))
   }
 

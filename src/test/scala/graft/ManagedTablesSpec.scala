@@ -131,6 +131,11 @@ class ManagedTablesSpec extends SparkSuite {
     assert(VersionedTables.latest("t_tt", wh) == 1, "unflipped pointer moved")
     val afterCrash = VersionedTables.read(spark, "t_tt", None, wh).collect()
     assert(afterCrash.length == 2, "half-published version leaked into reads")
+    // an explicit AS OF of the unpublished version must fail loudly —
+    // its dir exists but its data may be partial
+    intercept[IllegalArgumentException] {
+      VersionedTables.read(spark, "t_tt", Some(2), wh)
+    }
     VersionedTables.vacuum("t_tt", wh)
   }
 

@@ -853,9 +853,51 @@ object TextAnalysis {
       .orderBy("canon_url")
   }
 
+  /** VOCABULARY GROWTH curve per source (Heaps-law monitoring — the
+    * corpus-curation signal for "is this source saturated": a source
+    * whose curve has flattened contributes no new types and can stop
+    * being crawled/sampled): for every doc that introduces at least
+    * one new token type, the number of types it introduces and the
+    * running vocabulary size at that point. Exact integers end to
+    * end: first-seen doc per (source, type) = min(doc_id) — order-free
+    * under any partitioning — then a per-(source, first_doc) count and
+    * one small running-sum window.
+    *
+    * Scale: the (source, tok) hash-agg IS the vocabulary build
+    * (map-side combine, shuffle O(tokens) carrying (source, tok,
+    * doc_id) scalars → |vocab| rows); everything after operates on
+    * |vocab| and |introducing docs| rows, invisible next to the scan.
+    * The curve never materializes per-doc state. */
+  val textVocabGrowth: Op = Op.sql("text_vocab_growth",
+    """WITH tok AS (
+      |  SELECT source, doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |fd AS (
+      |  SELECT source, tok, min(doc_id) AS first_doc
+      |  FROM tok WHERE tok <> '' GROUP BY source, tok),
+      |newt AS (
+      |  SELECT source, first_doc, count(*) AS n_new_types
+      |  FROM fd GROUP BY source, first_doc)
+      |SELECT source, first_doc, n_new_types,
+      |  CAST(sum(n_new_types) OVER (PARTITION BY source ORDER BY first_doc
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+      |FROM newt ORDER BY source, first_doc""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val run = Window.partitionBy("source").orderBy("first_doc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.groupBy("source", "tok").agg(min("doc_id").as("first_doc"))
+      .groupBy("source", "first_doc").agg(count(lit(1)).as("n_new_types"))
+      .withColumn("vocab_size", sum("n_new_types").over(run).cast("bigint"))
+      .orderBy("source", "first_doc")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
-    sampleMixture, textBm25, textUrlCanon)
+    sampleMixture, textBm25, textUrlCanon, textVocabGrowth)
 }

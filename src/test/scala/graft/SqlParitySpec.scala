@@ -169,6 +169,7 @@ class SqlParitySpec extends SparkSuite {
     "text_url_canon" -> "// division + list_filter/list_aggregate lambda + string_split()",
     "q71_interval_merge" -> "epoch_us()",
     "vec_profile" -> "::DOUBLE[] cast + generate_series table function",
+    "text_vocab_growth" -> "unnest(string_split_regex())",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

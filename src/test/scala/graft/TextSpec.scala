@@ -292,4 +292,30 @@ class TextSpec extends SparkSuite {
     // keep is the smallest doc_id of its group — deterministic keeps
     rows.foreach { case (_, _, keep) => assert(keep >= 0 && keep < nDocs) }
   }
+
+  test("vocab growth: running curve is monotone and lands exactly on the distinct-type count") {
+    val rows = graft.operators.TextAnalysis.textVocabGrowth.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per source: curve strictly increases, steps sum to the level
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._3).sum == sorted.last._4,
+        s"$src: steps do not sum to the final vocabulary")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 == a._4 + b._3, s"$src: running sum broke at doc ${b._2}")
+        case _ =>
+      }
+    }
+    // the curve's final level equals an independent distinct count
+    val distinct = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.maxBy(_._2)._4 == distinct(src),
+        s"$src: final vocab_size != distinct type count")
+    }
+  }
 }

@@ -756,9 +756,82 @@ object Analytics {
       .orderBy("node")
   }
 
+  /** INTEGER-EXACT PageRank (5 iterations, damping 0.85) over the
+    * same derived graph as [[q70Triangles]] — the link-analysis
+    * centrality a curation pipeline uses to weight interlinked
+    * sources. Everything is BIGINT: ranks carry a 10^12 fixed-point
+    * scale, per-edge contributions are floor divisions (`div` /
+    * DuckDB `//`, identical on positive operands), and the damping
+    * step is `(85·Σ) div 100` — so both engines produce bit-identical
+    * ranks and the oracle is hash-exact, unlike a double-based
+    * PageRank whose summation order diverges. The oracle SQL is
+    * GENERATED from the same loop that builds the DataFrame plan —
+    * one source of truth for the unrolling.
+    *
+    * Scale: each iteration is one keyed join (edges ⋈ ranks, both
+    * partitioned by src) + one hash-agg on dst — shuffle O(m) longs
+    * per round, rounds fixed at 5. Edges and out-degrees are
+    * persisted once; rank frames are tiny (one long per node). The
+    * overflow budget is explicit: 85 · n · scale < 2^63 up to
+    * n ≈ 10^5 nodes at this scale, and the scale is the knob. */
+  val q72Pagerank: Op = {
+    val Scale = 1000000000000L
+    val base = """WITH raw AS (
+      |  SELECT l_orderkey % 300 AS a, l_suppkey % 300 AS b
+      |  FROM lineitem WHERE l_quantity < 10),
+      |ue AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v FROM raw WHERE a <> b),
+      |e AS (SELECT u AS src, v AS dst FROM ue UNION ALL SELECT v, u FROM ue),
+      |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      |n AS (SELECT DISTINCT src AS node FROM e),
+      |p0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM n)""".stripMargin
+    val steps = (1 to 5).map { k =>
+      s"""p$k AS (
+         |  SELECT n.node,
+         |    CAST(150000000000 + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p${k - 1}.pr // od.d) AS contrib
+         |    FROM e JOIN od ON od.src = e.src JOIN p${k - 1} ON p${k - 1}.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }
+    Op.sql("graph_pagerank",
+      base + ",\n" + steps.mkString(",\n") +
+        "\nSELECT node, pr FROM p5 ORDER BY node") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val raw = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") < 10)
+        .select((col("l_orderkey") % 300).as("a"), (col("l_suppkey") % 300).as("b"))
+        .filter(col("a") =!= col("b"))
+      val ue = raw.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v")).distinct()
+      val e = ue.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(ue.select(col("v").as("src"), col("u").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val od = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = e.select(col("src").as("node")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var p = n.select(col("node"), lit(Scale).as("pr"))
+      for (_ <- 1 to 5) {
+        val contrib = e.join(od, "src")
+          .join(p.select(col("node").as("src"), col("pr")), "src")
+          .select(col("dst").as("node"), expr("pr div d").as("c"))
+          .groupBy("node").agg(sum("c").as("contrib"))
+        p = n.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000000000L) +
+              expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
+              .cast("bigint").as("pr"))
+      }
+      val out = p.orderBy("node").localCheckpoint(true)
+      Seq(e, od, n).foreach(_.unpersist())
+      out
+    }
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
-    q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge)
+    q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
+    q72Pagerank)
 }

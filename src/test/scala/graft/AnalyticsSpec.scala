@@ -331,6 +331,28 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("integer pagerank matches an exact sequential recompute, bit for bit") {
+    val out = Analytics.q72Pagerank.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") < 10)
+      .select((col("l_orderkey") % 300).as("a"), (col("l_suppkey") % 300).as("b"))
+      .filter(col("a") =!= col("b")).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .distinct.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+    val outdeg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val nodes = outdeg.keySet
+    var pr = nodes.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += pr(s) / outdeg(s)
+      pr = nodes.map(n => n -> (150000000000L + 85 * contrib(n) / 100)).toMap
+    }
+    assert(out == pr, "distributed integer pagerank diverged from the sequential recompute")
+    // rank mass is conserved up to the floor losses (never exceeded)
+    assert(out.values.sum <= nodes.size * 1000000000000L)
+  }
+
   test("triangle counts match an independent in-process enumeration") {
     val out = Analytics.q70Triangles.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

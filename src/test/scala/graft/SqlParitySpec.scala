@@ -170,6 +170,7 @@ class SqlParitySpec extends SparkSuite {
     "q71_interval_merge" -> "epoch_us()",
     "vec_profile" -> "::DOUBLE[] cast + generate_series table function",
     "text_vocab_growth" -> "unnest(string_split_regex())",
+    "graph_pagerank" -> "// integer division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

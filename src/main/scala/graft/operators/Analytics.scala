@@ -773,21 +773,27 @@ object Analytics {
     * per round, rounds fixed at 5. Edges and out-degrees are
     * persisted once; rank frames are tiny (one long per node). The
     * overflow budget is explicit: 85 · n · scale < 2^63 up to
-    * n ≈ 10^5 nodes at this scale, and the scale is the knob. */
+    * n ≈ 10^5 nodes at this scale, and [[PrScale]] is the single
+    * knob — the teleport term and both engines' literals derive from
+    * it, so turning it can never desync the oracle from the plan. */
+  /** PageRank fixed-point scale (ranks are `pr / PrScale`); the
+    * teleport term is 15% of it, derived — never restated. */
+  val PrScale = 1000000000000L
+  val PrTeleport: Long = PrScale * 15 / 100
+
   val q72Pagerank: Op = {
-    val Scale = 1000000000000L
-    val base = """WITH raw AS (
+    val base = s"""WITH raw AS (
       |  SELECT l_orderkey % 300 AS a, l_suppkey % 300 AS b
       |  FROM lineitem WHERE l_quantity < 10),
       |ue AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v FROM raw WHERE a <> b),
       |e AS (SELECT u AS src, v AS dst FROM ue UNION ALL SELECT v, u FROM ue),
       |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
       |n AS (SELECT DISTINCT src AS node FROM e),
-      |p0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM n)""".stripMargin
+      |p0 AS (SELECT node, CAST($PrScale AS BIGINT) AS pr FROM n)""".stripMargin
     val steps = (1 to 5).map { k =>
       s"""p$k AS (
          |  SELECT n.node,
-         |    CAST(150000000000 + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT) AS pr
+         |    CAST($PrTeleport + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT) AS pr
          |  FROM n LEFT JOIN (
          |    SELECT e.dst AS node, sum(p${k - 1}.pr // od.d) AS contrib
          |    FROM e JOIN od ON od.src = e.src JOIN p${k - 1} ON p${k - 1}.node = e.src
@@ -810,7 +816,7 @@ object Analytics {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n = e.select(col("src").as("node")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      var p = n.select(col("node"), lit(Scale).as("pr"))
+      var p = n.select(col("node"), lit(PrScale).as("pr"))
       for (_ <- 1 to 5) {
         val contrib = e.join(od, "src")
           .join(p.select(col("node").as("src"), col("pr")), "src")
@@ -818,7 +824,7 @@ object Analytics {
           .groupBy("node").agg(sum("c").as("contrib"))
         p = n.join(contrib, Seq("node"), "left")
           .select(col("node"),
-            (lit(150000000000L) +
+            (lit(PrTeleport) +
               expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
               .cast("bigint").as("pr"))
       }

@@ -461,7 +461,15 @@ object Similarity {
     lut.toSeq
   }
 
-  def pqIndexPath(dir: String): String = ivfIndexPath(dir) + "_pq"
+  /** `_f2` is the index FORMAT version: bump it whenever the build
+    * logic changes what the persisted bytes mean (f2 = cells assigned
+    * from RAW vectors via cellExpr), so an index built by older code
+    * for the same (dir, mtime) can never be silently reused with
+    * mismatched cell assignments — `_SUCCESS` only says the build
+    * finished, not that it was built by THIS code. The `_pq` suffix
+    * stays last: dropStaleSiblings keys the PQ family on it, which
+    * also sweeps old-format `*_pq` dirs on the next build. */
+  def pqIndexPath(dir: String): String = ivfIndexPath(dir) + "_f2_pq"
 
   /** Build the persisted IVF+PQ index once per (dir, mtime): every
     * vector's PQ codes, WRITTEN partitioned by its IVF cell — the PQ
@@ -664,12 +672,12 @@ object Similarity {
     * same reasoning as dedup_embedding's cosine rounding); min/max
     * are order-free and stay exact. */
   val vecProfile: Op = Op.sql("vec_profile",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |d AS (SELECT g.pos AS dim, e.v[g.pos] AS x
-      |      FROM e CROSS JOIN generate_series(1, 64) g(pos))
-      |SELECT dim, round(avg(x), 6) AS mean, round(stddev_pop(x), 6) AS std,
-      |       min(x) AS mn, max(x) AS mx
-      |FROM d GROUP BY dim ORDER BY dim""".stripMargin) { (s, dir) =>
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT g.pos AS dim, e.v[g.pos] AS x
+       |      FROM e CROSS JOIN generate_series(1, $Dim) g(pos))
+       |SELECT dim, round(avg(x), 6) AS mean, round(stddev_pop(x), 6) AS std,
+       |       min(x) AS mn, max(x) AS mx
+       |FROM d GROUP BY dim ORDER BY dim""".stripMargin) { (s, dir) =>
     emb(s, dir)
       .select(posexplode(col("v")).as(Seq("p", "x")))
       .groupBy((col("p") + 1).cast("bigint").as("dim"))

@@ -205,7 +205,10 @@ object VersionedTables {
     spark.read.parquet(vdir(wh, name, v))
   }
 
-  /** Published version numbers present on disk, ascending. */
+  /** ALL on-disk version dir numbers, ascending — INCLUDING
+    * unpublished orphans (v > the LATEST pointer) left by crashed
+    * writes, which `read` refuses and `retain` neither counts nor
+    * deletes. Filter by `latest(name)` to get published versions. */
   def versions(name: String, wh: String = ManagedTables.defaultWarehouse): Seq[Int] = {
     val d = new java.io.File(root(wh, name))
     if (!d.exists()) Seq.empty

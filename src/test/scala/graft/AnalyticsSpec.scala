@@ -342,15 +342,15 @@ class AnalyticsSpec extends SparkSuite {
       .distinct.flatMap { case (u, v) => Seq(u -> v, v -> u) }
     val outdeg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
     val nodes = outdeg.keySet
-    var pr = nodes.map(_ -> 1000000000000L).toMap
+    var pr = nodes.map(_ -> Analytics.PrScale).toMap
     for (_ <- 1 to 5) {
       val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
       for ((s, d) <- edges) contrib(d) += pr(s) / outdeg(s)
-      pr = nodes.map(n => n -> (150000000000L + 85 * contrib(n) / 100)).toMap
+      pr = nodes.map(n => n -> (Analytics.PrTeleport + 85 * contrib(n) / 100)).toMap
     }
     assert(out == pr, "distributed integer pagerank diverged from the sequential recompute")
     // rank mass is conserved up to the floor losses (never exceeded)
-    assert(out.values.sum <= nodes.size * 1000000000000L)
+    assert(out.values.sum <= nodes.size * Analytics.PrScale)
   }
 
   test("triangle counts match an independent in-process enumeration") {

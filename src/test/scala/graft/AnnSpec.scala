@@ -152,8 +152,11 @@ class AnnSpec extends SparkSuite {
     // per query, every query answered, and every returned neighbor's
     // index cell is one of ITS query's probed cells — the (query_id,
     // cell) join key restriction, asserted against the persisted
-    // index's own cell column plus a recomputation of the probe-cell
-    // selection (same arithmetic as ivfPqTopK's driver-side prep)
+    // index's own cell column plus the probe-cell selection through
+    // the SAME probeCellsExpr kernel the operator uses (a driver-math
+    // recompute here could round a near-tie boundary differently and
+    // flake this assertion — the divergence class probeCellsExpr
+    // exists to eliminate)
     val byQ = df.collect().groupBy(_.getLong(0))
     assert(byQ.keySet.size == Similarity.NumQueries, "a query went unanswered")
     assert(byQ.values.forall { rs =>
@@ -161,13 +164,12 @@ class AnnSpec extends SparkSuite {
         rs.map(_.getLong(1)).distinct.length == Similarity.TopK
     }, "expected exactly k distinct neighbors per query")
     val centroids = Similarity.centroidsFor(spark, sfDir)
-    val probedOf = Similarity.unitNorm(queries).collect().map { r =>
-      val q = r.getSeq[Double](1)
-      r.getLong(0) -> centroids.zipWithIndex.map { case (c, i) =>
-        val dot = q.lazyZip(c).map(_ * _).sum
-        (-dot / math.sqrt(c.map(x => x * x).sum), i)
-      }.sorted.take(Similarity.NumProbes).map(_._2).toSet
-    }.toMap
+    val probedOf = queries
+      .select(col("vec_id"),
+        Similarity.probeCellsExpr(typedLit(centroids), col("v")).as("cells"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet)
+      .toMap
     val cellOf = spark.read.parquet(Similarity.pqIndexPath(sfDir))
       .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap

@@ -776,6 +776,64 @@ object Analytics {
     * n ≈ 10^5 nodes at this scale, and [[PrScale]] is the single
     * knob — the teleport term and both engines' literals derive from
     * it, so turning it can never desync the oracle from the plan. */
+  /** ROBUST outlier detection via exact MAD (median absolute
+    * deviation) — the complement of q66's z-score, whose mean/std a
+    * single wild value corrupts (masking): median and MAD have a 50%
+    * breakdown point, so the fence holds even on badly polluted
+    * groups. Both the median and the MAD are EXACT rank-selects
+    * (q45's integer rank contract — "the value at rank ceil(n/2)",
+    * never an interpolating quantile() that engines disagree on), so
+    * every number here is a value that exists in the data and the
+    * oracle compares hash-exact. The 1.5·MAD fence is the mild
+    * convention; dev and the fence compute through the identical
+    * IEEE expression tree on both engines.
+    *
+    * Scale: two rank-select passes + the final count share ONE
+    * partition key; the 3-row median/MAD frames broadcast back. Sorts
+    * run inside hash partitions — exactly what the shuffle already
+    * produced. */
+  val q73MadOutliers: Op = Op.sql("q73_mad_outliers",
+    """WITH base AS (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem),
+      |r1 AS (SELECT flag, x,
+      |  row_number() OVER (PARTITION BY flag ORDER BY x) AS rn,
+      |  count(*) OVER (PARTITION BY flag) AS n FROM base),
+      |med AS (SELECT flag,
+      |  min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN x END) AS med
+      |  FROM r1 GROUP BY flag),
+      |d AS (SELECT b.flag, b.x, abs(b.x - med.med) AS dev, med.med
+      |  FROM base b JOIN med USING (flag)),
+      |r2 AS (SELECT flag, med, dev,
+      |  row_number() OVER (PARTITION BY flag ORDER BY dev) AS rn,
+      |  count(*) OVER (PARTITION BY flag) AS n FROM d),
+      |mad AS (SELECT flag, min(med) AS med,
+      |  min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN dev END) AS mad
+      |  FROM r2 GROUP BY flag)
+      |SELECT d.flag, min(mad.med) AS med, min(mad.mad) AS mad,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE d.dev > 1.5 * mad.mad) AS n_outliers
+      |FROM d JOIN mad ON d.flag = mad.flag
+      |GROUP BY d.flag ORDER BY d.flag""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+    val w = Window.partitionBy("flag")
+    def rankSelect(df: DataFrame, v: String, out: String) =
+      df.select(col("flag"), col(v),
+          row_number().over(w.orderBy(v)).as("rn"),
+          count(lit(1)).over(w).as("n"))
+        .groupBy("flag")
+        .agg(min(when(col("rn") === ceil(col("n") * 0.5).cast("bigint"), col(v))).as(out))
+    val med = rankSelect(base, "x", "med")
+    val d = base.join(broadcast(med), "flag")
+      .withColumn("dev", abs(col("x") - col("med")))
+    val madDf = rankSelect(d.select(col("flag"), col("dev")), "dev", "mad")
+    d.join(broadcast(madDf), "flag")
+      .groupBy("flag")
+      .agg(min("med").as("med"), min("mad").as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(1.5) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("flag")
+  }
+
   /** PageRank fixed-point scale (ranks are `pr / PrScale`); the
     * teleport term is 15% of it, derived — never restated. */
   val PrScale = 1000000000000L
@@ -839,5 +897,5 @@ object Analytics {
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
-    q72Pagerank)
+    q72Pagerank, q73MadOutliers)
 }

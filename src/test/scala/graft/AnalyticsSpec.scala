@@ -331,6 +331,26 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("MAD outliers: rank-selected median/MAD are exact and the fence counts match") {
+    val rows = Analytics.q73MadOutliers.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val data = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    rows.foreach { case (flag, med, mad, n, nOut) =>
+      val xs = data.filter(_._1 == flag).map(_._2)
+      assert(xs.length.toLong == n)
+      val sortedX = xs.sorted
+      assert(med == sortedX(math.ceil(n * 0.5).toInt - 1), s"$flag: median not at rank")
+      val devs = xs.map(x => math.abs(x - med)).sorted
+      assert(mad == devs(math.ceil(n * 0.5).toInt - 1), s"$flag: MAD not at rank")
+      assert(nOut == xs.count(x => math.abs(x - med) > 1.5 * mad), s"$flag: fence count")
+      // the fence bites but never flags a majority (50% breakdown)
+      assert(nOut > 0 && nOut * 2 < n)
+    }
+  }
+
   test("integer pagerank matches an exact sequential recompute, bit for bit") {
     val out = Analytics.q72Pagerank.run(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -260,6 +260,25 @@ class PlanAuditSpec extends SparkSuite {
       s"triangle joins must stay keyed:\n$p")
   }
 
+  test("pagerank rounds are keyed joins, never nested-loop or cartesian") {
+    // five unrolled rounds of edges⋈ranks — a single BNLJ anywhere
+    // would be O(n·m) per round instead of O(m)
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank joins must stay keyed:\n$p")
+    assert(!p.contains("SortAggregate"),
+      "contribution sums must stay hash-aggregated")
+  }
+
+  test("MAD outliers: median/MAD frames broadcast back, aggregates stay hash-based") {
+    val p = plan("q73_mad_outliers")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the 3-row median/MAD frames must broadcast-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "median/MAD join is not broadcast")
+    assert(!p.contains("SortAggregate"),
+      "rank-select aggregates fell back to SortAggregate")
+  }
+
   test("url canon is per-row codegen until the single dedup hash-agg") {
     val p = plan("text_url_canon")
     assert(!p.contains("Join"), "url canonicalization must not join anything")

@@ -756,26 +756,6 @@ object Analytics {
       .orderBy("node")
   }
 
-  /** INTEGER-EXACT PageRank (5 iterations, damping 0.85) over the
-    * same derived graph as [[q70Triangles]] — the link-analysis
-    * centrality a curation pipeline uses to weight interlinked
-    * sources. Everything is BIGINT: ranks carry a 10^12 fixed-point
-    * scale, per-edge contributions are floor divisions (`div` /
-    * DuckDB `//`, identical on positive operands), and the damping
-    * step is `(85·Σ) div 100` — so both engines produce bit-identical
-    * ranks and the oracle is hash-exact, unlike a double-based
-    * PageRank whose summation order diverges. The oracle SQL is
-    * GENERATED from the same loop that builds the DataFrame plan —
-    * one source of truth for the unrolling.
-    *
-    * Scale: each iteration is one keyed join (edges ⋈ ranks, both
-    * partitioned by src) + one hash-agg on dst — shuffle O(m) longs
-    * per round, rounds fixed at 5. Edges and out-degrees are
-    * persisted once; rank frames are tiny (one long per node). The
-    * overflow budget is explicit: 85 · n · scale < 2^63 up to
-    * n ≈ 10^5 nodes at this scale, and [[PrScale]] is the single
-    * knob — the teleport term and both engines' literals derive from
-    * it, so turning it can never desync the oracle from the plan. */
   /** ROBUST outlier detection via exact MAD (median absolute
     * deviation) — the complement of q66's z-score, whose mean/std a
     * single wild value corrupts (masking): median and MAD have a 50%
@@ -788,10 +768,13 @@ object Analytics {
     * convention; dev and the fence compute through the identical
     * IEEE expression tree on both engines.
     *
-    * Scale: two rank-select passes + the final count share ONE
-    * partition key; the 3-row median/MAD frames broadcast back. Sorts
-    * run inside hash partitions — exactly what the shuffle already
-    * produced. */
+    * Scale: the 2-column (flag, x) projection is persisted ONCE and
+    * feeds all three consumers (median ranks, dev ranks, fence
+    * count) — one fact scan, not three; the two rank passes and the
+    * final count all partition on the same flag key, and the 3-row
+    * median/MAD frames broadcast back. The tiny result checkpoints
+    * eagerly so the cached projection is freed before returning —
+    * the same residency discipline as [[pagerankFrame]]. */
   val q73MadOutliers: Op = Op.sql("q73_mad_outliers",
     """WITH base AS (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem),
       |r1 AS (SELECT flag, x,
@@ -813,8 +796,17 @@ object Analytics {
       |  count(*) FILTER (WHERE d.dev > 1.5 * mad.mad) AS n_outliers
       |FROM d JOIN mad ON d.flag = mad.flag
       |GROUP BY d.flag ORDER BY d.flag""".stripMargin) { (s, dir) =>
-    val base = t(s, dir, "lineitem")
+    madOutliersFrame(s, dir, materialize = true)
+  }
+
+  /** The q73 dataflow; `materialize = false` returns the pure plan
+    * for the plan audit (same rationale as [[pagerankFrame]]). */
+  private[graft] def madOutliersFrame(s: SparkSession, dir: String,
+                                      materialize: Boolean): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base0 = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+    val base = if (materialize) base0.persist(StorageLevel.MEMORY_AND_DISK) else base0
     val w = Window.partitionBy("flag")
     def rankSelect(df: DataFrame, v: String, out: String) =
       df.select(col("flag"), col(v),
@@ -826,12 +818,17 @@ object Analytics {
     val d = base.join(broadcast(med), "flag")
       .withColumn("dev", abs(col("x") - col("med")))
     val madDf = rankSelect(d.select(col("flag"), col("dev")), "dev", "mad")
-    d.join(broadcast(madDf), "flag")
+    val out = d.join(broadcast(madDf), "flag")
       .groupBy("flag")
       .agg(min("med").as("med"), min("mad").as("mad"),
         count(lit(1)).as("n"),
         sum(when(col("dev") > lit(1.5) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
       .orderBy("flag")
+    if (materialize) {
+      val r = out.localCheckpoint(true)
+      base.unpersist()
+      r
+    } else out
   }
 
   /** PageRank fixed-point scale (ranks are `pr / PrScale`); the
@@ -839,6 +836,26 @@ object Analytics {
   val PrScale = 1000000000000L
   val PrTeleport: Long = PrScale * 15 / 100
 
+  /** INTEGER-EXACT PageRank (5 iterations, damping 0.85) over the
+    * same derived graph as [[q70Triangles]] — the link-analysis
+    * centrality a curation pipeline uses to weight interlinked
+    * sources. Everything is BIGINT: ranks carry a 10^12 fixed-point
+    * scale, per-edge contributions are floor divisions (`div` /
+    * DuckDB `//`, identical on positive operands), and the damping
+    * step is `(85·Σ) div 100` — so both engines produce bit-identical
+    * ranks and the oracle is hash-exact, unlike a double-based
+    * PageRank whose summation order diverges. The oracle SQL is
+    * GENERATED from the same loop that builds the DataFrame plan —
+    * one source of truth for the unrolling.
+    *
+    * Scale: each iteration is one keyed join (edges ⋈ ranks, both
+    * partitioned by src) + one hash-agg on dst — shuffle O(m) longs
+    * per round, rounds fixed at 5. Edges and out-degrees are
+    * persisted once; rank frames are tiny (one long per node). The
+    * overflow budget is explicit: 85 · n · scale < 2^63 up to
+    * n ≈ 10^5 nodes at this scale, and [[PrScale]] is the single
+    * knob — the teleport term and both engines' literals derive from
+    * it, so turning it can never desync the oracle from the plan. */
   val q72Pagerank: Op = {
     val base = s"""WITH raw AS (
       |  SELECT l_orderkey % 300 AS a, l_suppkey % 300 AS b
@@ -860,36 +877,49 @@ object Analytics {
     Op.sql("graph_pagerank",
       base + ",\n" + steps.mkString(",\n") +
         "\nSELECT node, pr FROM p5 ORDER BY node") { (s, dir) =>
-      import org.apache.spark.storage.StorageLevel
-      val raw = Tables.load(s, dir, "lineitem")
-        .filter(col("l_quantity") < 10)
-        .select((col("l_orderkey") % 300).as("a"), (col("l_suppkey") % 300).as("b"))
-        .filter(col("a") =!= col("b"))
-      val ue = raw.select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v")).distinct()
-      val e = ue.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(ue.select(col("v").as("src"), col("u").as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val od = e.groupBy("src").agg(count(lit(1)).as("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val n = e.select(col("src").as("node")).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var p = n.select(col("node"), lit(PrScale).as("pr"))
-      for (_ <- 1 to 5) {
-        val contrib = e.join(od, "src")
-          .join(p.select(col("node").as("src"), col("pr")), "src")
-          .select(col("dst").as("node"), expr("pr div d").as("c"))
-          .groupBy("node").agg(sum("c").as("contrib"))
-        p = n.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit(PrTeleport) +
-              expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
-              .cast("bigint").as("pr"))
-      }
-      val out = p.orderBy("node").localCheckpoint(true)
+      pagerankFrame(s, dir, materialize = true)
+    }
+  }
+
+  /** The q72 dataflow. `materialize = true` (the operator) persists
+    * the edge/degree/node frames, eagerly checkpoints the (tiny)
+    * result and frees all loop state; `materialize = false` returns
+    * the PURE 5-round plan — it exists so PlanAuditSpec can explain
+    * the real join/agg tree (a checkpointed result explains as a bare
+    * `Scan ExistingRDD`, which would make the audit vacuous). */
+  private[graft] def pagerankFrame(s: SparkSession, dir: String,
+                                   materialize: Boolean): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val raw = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") < 10)
+      .select((col("l_orderkey") % 300).as("a"), (col("l_suppkey") % 300).as("b"))
+      .filter(col("a") =!= col("b"))
+    val ue = raw.select(least(col("a"), col("b")).as("u"),
+      greatest(col("a"), col("b")).as("v")).distinct()
+    def hold(df: DataFrame) =
+      if (materialize) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val e = hold(ue.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(ue.select(col("v").as("src"), col("u").as("dst"))))
+    val od = hold(e.groupBy("src").agg(count(lit(1)).as("d")))
+    val n = hold(e.select(col("src").as("node")).distinct())
+    var p = n.select(col("node"), lit(PrScale).as("pr"))
+    for (_ <- 1 to 5) {
+      val contrib = e.join(od, "src")
+        .join(p.select(col("node").as("src"), col("pr")), "src")
+        .select(col("dst").as("node"), expr("pr div d").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      p = n.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(PrTeleport) +
+            expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
+            .cast("bigint").as("pr"))
+    }
+    val sorted = p.orderBy("node")
+    if (materialize) {
+      val out = sorted.localCheckpoint(true)
       Seq(e, od, n).foreach(_.unpersist())
       out
-    }
+    } else sorted
   }
 
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,

@@ -262,8 +262,14 @@ class PlanAuditSpec extends SparkSuite {
 
   test("pagerank rounds are keyed joins, never nested-loop or cartesian") {
     // five unrolled rounds of edges⋈ranks — a single BNLJ anywhere
-    // would be O(n·m) per round instead of O(m)
-    val p = plan("graph_pagerank")
+    // would be O(n·m) per round instead of O(m). Audited through the
+    // materialize=false builder: the operator itself checkpoints its
+    // result, which explains as a bare Scan ExistingRDD and would
+    // make these assertions vacuous.
+    val p = graft.operators.Analytics
+      .pagerankFrame(spark, sfDir, materialize = false)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("Join"), "expected the 5-round join tree in the plan")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pagerank joins must stay keyed:\n$p")
     assert(!p.contains("SortAggregate"),
@@ -271,7 +277,10 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("MAD outliers: median/MAD frames broadcast back, aggregates stay hash-based") {
-    val p = plan("q73_mad_outliers")
+    // same materialize=false rationale as the pagerank audit
+    val p = graft.operators.Analytics
+      .madOutliersFrame(spark, sfDir, materialize = false)
+      .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the 3-row median/MAD frames must broadcast-join:\n$p")
     assert(p.contains("BroadcastHashJoin"), "median/MAD join is not broadcast")

@@ -275,6 +275,49 @@ object Layout {
       .orderBy("l_orderkey")
   }
 
+  /** ANALYZE TABLE → cost-based-optimizer statistics (the engine
+    * surface behind every broadcast/join-order decision at 100 TB:
+    * without stats the CBO falls back to file sizes; with them it
+    * knows row counts, NDVs and value ranges). Registers the orders
+    * parquet as an external catalog table, runs `ANALYZE TABLE ...
+    * COMPUTE STATISTICS FOR COLUMNS`, and emits the catalog's
+    * per-column statistics plus the table-level rowCount the
+    * optimizer now plans with. Column NDVs are HyperLogLog-based but
+    * deterministic for a fixed input, and the spec checks each one
+    * against its exact recompute (≤5% error) and the table rowCount
+    * exactly. The ANALYZE scan itself is one distributed pass with
+    * partial HLL/min-max aggregation — the same shape as
+    * [[Sketches.profile]]. */
+  val layoutAnalyzeStats: Op = Op.rowsOnly("layout_analyze_stats") { (s, dir) =>
+    import s.implicits._
+    s.sql("DROP TABLE IF EXISTS graft_stats_orders")
+    s.sql(s"""CREATE TABLE graft_stats_orders USING parquet
+             | LOCATION '$dir/orders.parquet'""".stripMargin)
+    s.sql("""ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS
+            | FOR COLUMNS o_orderkey, o_custkey, o_orderstatus,
+            |  o_totalprice, o_orderdate""".stripMargin)
+    // table-level stats from the catalog ("N bytes, M rows") — read
+    // from DESCRIBE rather than plan stats so the check doesn't
+    // depend on the session's CBO flag
+    val rowCount = s.sql("DESCRIBE TABLE EXTENDED graft_stats_orders")
+      .collect().collectFirst {
+        case r if r.getString(0) == "Statistics" &&
+          r.getString(1).contains("rows") =>
+          r.getString(1).split(",")(1).trim.split(" ")(0).toLong
+      }.getOrElse(-1L)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate")
+    val statRows = cols.map { c =>
+      val kv = s.sql(s"DESCRIBE EXTENDED graft_stats_orders $c")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      (c, kv.getOrElse("distinct_count", "NULL"),
+        kv.getOrElse("num_nulls", "NULL"),
+        kv.getOrElse("min", "NULL"), kv.getOrElse("max", "NULL"), rowCount)
+    }
+    statRows.toDF("col_name", "distinct_count", "null_count",
+      "min_value", "max_value", "table_rows").orderBy("col_name")
+  }
+
   val all: Seq[Op] = Seq(q34BucketedJoin, q35PartitionPruning, q47Zorder,
-    layoutCompactFiles, layoutVacuum, q65RuntimeBloomJoin)
+    layoutCompactFiles, layoutVacuum, q65RuntimeBloomJoin, layoutAnalyzeStats)
 }

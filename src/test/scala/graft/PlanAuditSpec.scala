@@ -260,6 +260,32 @@ class PlanAuditSpec extends SparkSuite {
       s"triangle joins must stay keyed:\n$p")
   }
 
+  test("ANALYZE stats: exact row count, NDVs within HLL tolerance, exact ranges") {
+    val rows = graft.operators.Layout.layoutAnalyzeStats.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+    val n = orders.count()
+    assert(rows.nonEmpty && rows.forall(_._6 == n),
+      "catalog row count must be exact")
+    rows.foreach { case (c, ndv, nulls, mn, mx, _) =>
+      assert(nulls == "0", s"$c: unexpected nulls in fixture")
+      val exact = orders.select(c).distinct().count()
+      val est = ndv.toLong
+      // ANALYZE's relativeSD=0.05 is a standard deviation, not a
+      // bound — allow 2 sigma
+      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.10).toLong),
+        s"$c: NDV $est vs exact $exact beyond 10% HLL tolerance")
+      if (c == "o_orderkey") {
+        // numeric min/max are exact, and the optimizer can now bound
+        // range predicates with them
+        import org.apache.spark.sql.functions.{col, min, max}
+        assert(mn.toLong == orders.agg(min(col(c))).head().getLong(0))
+        assert(mx.toLong == orders.agg(max(col(c))).head().getLong(0))
+      }
+    }
+  }
+
   test("pagerank rounds are keyed joins, never nested-loop or cartesian") {
     // five unrolled rounds of edges⋈ranks — a single BNLJ anywhere
     // would be O(n·m) per round instead of O(m). Audited through the

@@ -831,6 +831,44 @@ object Analytics {
     } else out
   }
 
+  /** OHLC BARS (open-high-low-close downsampling — THE standard
+    * time-series reduction for metrics/market feeds, and the only
+    * aggregate family not yet exercised: ORDERED aggregates): per
+    * (user, day), the first and last value by event time plus the
+    * extremes and count. first/last are `min_by`/`max_by` (DuckDB
+    * arg_min/arg_max) over a FIXED-WIDTH (epoch_us, event_id) string
+    * key — lexicographic order ≡ chronological order with a unique
+    * tie-break, so the bars are deterministic under any partitioning
+    * and the oracle is hash-exact (open/close are data values, never
+    * arithmetic). One hash-agg with full map-side partials: min_by
+    * partials carry one (value, key) pair per group per partition —
+    * the same mergeable shape [[graft.kv.KVTable]] exploits. A
+    * window/row_number formulation would sort whole partitions
+    * instead; the ordered-aggregate plan never sorts. */
+  val q74Ohlc: Op = Op.sql("q74_ohlc",
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS bar, value,
+      |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+      |    lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      |  FROM events)
+      |SELECT user_id, bar,
+      |  arg_min(value, k) AS open, max(value) AS high,
+      |  min(value) AS low, arg_max(value, k) AS close, count(*) AS n
+      |FROM e GROUP BY user_id, bar ORDER BY user_id, bar""".stripMargin) { (s, dir) =>
+    val k = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("bar"),
+        col("value"), k.as("k"))
+      .groupBy("user_id", "bar")
+      .agg(min_by(col("value"), col("k")).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), col("k")).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id", "bar")
+  }
+
   /** PageRank fixed-point scale (ranks are `pr / PrScale`); the
     * teleport term is 15% of it, derived — never restated. */
   val PrScale = 1000000000000L
@@ -927,5 +965,5 @@ object Analytics {
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
-    q72Pagerank, q73MadOutliers)
+    q72Pagerank, q73MadOutliers, q74Ohlc)
 }

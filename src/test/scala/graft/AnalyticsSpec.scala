@@ -331,6 +331,29 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("OHLC bars match a sequential per-bar recompute in time order") {
+    val rows = Analytics.q74Ohlc.run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts").cast("date").cast("string").as("bar"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val expected = events.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4))
+      k -> (ordered.head._5, es.map(_._5).max, es.map(_._5).min,
+        ordered.last._5, es.length.toLong)
+    }
+    assert(rows == expected, "bars diverge from the sequential recompute")
+    // open/close really are order-sensitive on this fixture: for some
+    // bar they differ from plain min/max (otherwise the ordered
+    // aggregate is untested)
+    assert(expected.values.exists(b => b._1 != b._3 && b._1 != b._2),
+      "no bar whose open differs from both extremes — fixture too weak")
+  }
+
   test("MAD outliers: rank-selected median/MAD are exact and the fence counts match") {
     val rows = Analytics.q73MadOutliers.run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))

@@ -171,6 +171,7 @@ class SqlParitySpec extends SparkSuite {
     "vec_profile" -> "::DOUBLE[] cast + generate_series table function",
     "text_vocab_growth" -> "unnest(string_split_regex())",
     "graph_pagerank" -> "// integer division",
+    "q74_ohlc" -> "epoch_us() + arg_min/arg_max names",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

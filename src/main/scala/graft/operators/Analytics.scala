@@ -837,8 +837,12 @@ object Analytics {
     * (user, day), the first and last value by event time plus the
     * extremes and count. first/last are `min_by`/`max_by` (DuckDB
     * arg_min/arg_max) over a FIXED-WIDTH (epoch_us, event_id) string
-    * key — lexicographic order ≡ chronological order with a unique
-    * tie-break, so the bars are deterministic under any partitioning
+    * key — 20 digits each pads any non-negative long without
+    * truncation, so lexicographic order ≡ chronological order with a
+    * unique tie-break (domain note: pre-1970 timestamps would put a
+    * '-' in the key and break the ordering — events are
+    * nonnegative-epoch by schema contract), and the bars are
+    * deterministic under any partitioning
     * and the oracle is hash-exact (open/close are data values, never
     * arithmetic). One hash-agg with full map-side partials: min_by
     * partials carry one (value, key) pair per group per partition —
@@ -849,7 +853,7 @@ object Analytics {
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS DATE) AS bar, value,
       |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-      |    lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      |    lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
       |  FROM events)
       |SELECT user_id, bar,
       |  arg_min(value, k) AS open, max(value) AS high,
@@ -857,7 +861,7 @@ object Analytics {
       |FROM e GROUP BY user_id, bar ORDER BY user_id, bar""".stripMargin) { (s, dir) =>
     val k = concat(
       lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 12, "0"))
+      lpad(col("event_id").cast("string"), 20, "0"))
     t(s, dir, "events")
       .select(col("user_id"), col("ts").cast("date").as("bar"),
         col("value"), k.as("k"))

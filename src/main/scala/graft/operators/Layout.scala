@@ -284,8 +284,8 @@ object Layout {
     * per-column statistics plus the table-level rowCount the
     * optimizer now plans with. Column NDVs are HyperLogLog-based but
     * deterministic for a fixed input, and the spec checks each one
-    * against its exact recompute (≤5% error) and the table rowCount
-    * exactly. The ANALYZE scan itself is one distributed pass with
+    * against its exact recompute within 2σ of ANALYZE's
+    * relativeSD=0.05 (i.e. ≤10%) and the table rowCount exactly. The ANALYZE scan itself is one distributed pass with
     * partial HLL/min-max aggregation — the same shape as
     * [[Sketches.profile]]. */
   val layoutAnalyzeStats: Op = Op.rowsOnly("layout_analyze_stats") { (s, dir) =>

@@ -352,6 +352,8 @@ class AnalyticsSpec extends SparkSuite {
     // aggregate is untested)
     assert(expected.values.exists(b => b._1 != b._3 && b._1 != b._2),
       "no bar whose open differs from both extremes — fixture too weak")
+    assert(expected.values.exists(b => b._4 != b._3 && b._4 != b._2),
+      "no bar whose close differs from both extremes — fixture too weak")
   }
 
   test("MAD outliers: rank-selected median/MAD are exact and the fence counts match") {

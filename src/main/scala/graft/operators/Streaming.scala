@@ -122,6 +122,27 @@ object Streaming {
       Streams.windowAgg(Tables.load(s, dir, "events")).drop("sum_value"))
   }
 
+  /** Daily OHLC bars as a streaming aggregate (q74_ohlc's stream
+    * face): min_by/max_by partials merge across micro-batches, so the
+    * ordered aggregate is what makes OHLC streamable at all — see
+    * [[graft.streaming.Streams.ohlcBars]]. Oracle = the same bars in
+    * DuckDB; StreamingSpec proves stream == batch on a real file
+    * stream. */
+  val streamOhlc: Op = Op.sql("stream_ohlc",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS bar_start, value,
+      |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+      |    lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+      |  FROM events)
+      |SELECT user_id, bar_start,
+      |  arg_min(value, k) AS open, max(value) AS high,
+      |  min(value) AS low, arg_max(value, k) AS close, count(*) AS n
+      |FROM e GROUP BY user_id, bar_start
+      |ORDER BY user_id, bar_start""".stripMargin) { (s, dir) =>
+    Streams.ohlcBars(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "bar_start")
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
-    streamStreamJoin, streamDedup, streamMatview, streamTopk)
+    streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc)
 }

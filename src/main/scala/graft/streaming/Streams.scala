@@ -33,6 +33,30 @@ object Streams {
       .select(unix_micros(col("w.start")).as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Daily OHLC bars per user as a STREAMING aggregate — the stream
+    * face of [[graft.operators.Analytics.q74Ohlc]]: `min_by`/`max_by`
+    * over the same fixed-width (epoch_us, event_id) time key are
+    * declarative aggregates with mergeable (value, key) partials, so
+    * Structured Streaming incrementalizes them exactly like
+    * count/max — per-bar state is four scalars + two keys, bounded by
+    * the watermark. A window/row_number formulation would not be
+    * expressible as a streaming aggregate at all — the ordered
+    * aggregate IS what makes OHLC streamable. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val k = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 20, "0"))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(min_by(col("value"), k).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), k).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("bar_start"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) per user:
     * session start/end (+gap) and event count. */
   def sessionize(events: DataFrame): DataFrame =

@@ -172,6 +172,7 @@ class SqlParitySpec extends SparkSuite {
     "text_vocab_growth" -> "unnest(string_split_regex())",
     "graph_pagerank" -> "// integer division",
     "q74_ohlc" -> "epoch_us() + arg_min/arg_max names",
+    "stream_ohlc" -> "epoch_us() + time_bucket() + arg_min/arg_max names",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -52,6 +52,20 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("OHLC bars stream incrementally via ordered-aggregate state and match batch") {
+    withEventsStream { (src, events) =>
+      // four micro-batches: min_by/max_by (value, key) partials must
+      // merge across batch boundaries for open/close to come out right
+      val q = Streams.runFileStream(spark, src, events, Streams.ohlcBars, "ohlc_sink")
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("ohlc_sink").orderBy("user_id", "bar_start").collect()
+      val batch = Streams.ohlcBars(events).orderBy("user_id", "bar_start").collect()
+      assert(streamed.toSeq == batch.toSeq, "streamed bars diverge from batch")
+      assert(streamed.nonEmpty)
+    }
+  }
+
   test("flatMapGroupsWithState tracks per-user state across micro-batches") {
     withEventsStream { (src, events) =>
       val q = Streams.runFileStream(spark, src, events, Streams.statefulTrack,

@@ -964,10 +964,176 @@ object Analytics {
     } else sorted
   }
 
+  /** Pairwise Pearson CORRELATION MATRIX over lineitem's numeric
+    * columns (the feature-drift / collinearity screen a training
+    * pipeline runs before model fitting). All ten moments (n, Σx,
+    * Σx², Σxy per pair) are EXACT decimal sums reduced in ONE
+    * map-side-partial hash aggregate to a single row — the fact
+    * table is scanned once and never shuffled; the only exchange
+    * carries one row of moments. The corr formula
+    * (n·Σxy − ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) then runs in
+    * doubles from exact inputs with the identical expression tree on
+    * both engines (every IEEE op correctly rounded to the same bits),
+    * and the six pair rows are exploded from the moments row — no
+    * second scan, no join. At 100 TB: scan + 1-row exchange. */
+  val statsCorr: Op = Op.sql("stats_corr",
+    """WITH e AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS q,
+      |         CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+      |         CAST(l_discount AS DECIMAL(12,2)) AS d,
+      |         CAST(l_tax AS DECIMAL(12,2)) AS x
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+      |    CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(x) AS DOUBLE) AS sx,
+      |    CAST(sum(q*q) AS DOUBLE) AS sqq, CAST(sum(p*p) AS DOUBLE) AS spp,
+      |    CAST(sum(d*d) AS DOUBLE) AS sdd, CAST(sum(x*x) AS DOUBLE) AS sxx,
+      |    CAST(sum(q*p) AS DOUBLE) AS sqp, CAST(sum(q*d) AS DOUBLE) AS sqd,
+      |    CAST(sum(q*x) AS DOUBLE) AS sqx, CAST(sum(p*d) AS DOUBLE) AS spd,
+      |    CAST(sum(p*x) AS DOUBLE) AS spx, CAST(sum(d*x) AS DOUBLE) AS sdx
+      |  FROM e)
+      |SELECT col_x, col_y,
+      |  round((n*sxy - a*b) / (sqrt(n*saa - a*a) * sqrt(n*sbb - b*b)), 6) AS corr_xy
+      |FROM (
+      |  SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y, sd AS a, sp AS b, sdd AS saa, spp AS sbb, spd AS sxy, n FROM m
+      |  UNION ALL SELECT 'l_discount', 'l_quantity', sd, sq, sdd, sqq, sqd, n FROM m
+      |  UNION ALL SELECT 'l_discount', 'l_tax', sd, sx, sdd, sxx, sdx, n FROM m
+      |  UNION ALL SELECT 'l_extendedprice', 'l_quantity', sp, sq, spp, sqq, sqp, n FROM m
+      |  UNION ALL SELECT 'l_extendedprice', 'l_tax', sp, sx, spp, sxx, spx, n FROM m
+      |  UNION ALL SELECT 'l_quantity', 'l_tax', sq, sx, sqq, sxx, sqx, n FROM m)
+      |ORDER BY col_x, col_y""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      col("l_quantity").cast("decimal(12,2)").as("q"),
+      col("l_extendedprice").cast("decimal(12,2)").as("p"),
+      col("l_discount").cast("decimal(12,2)").as("d"),
+      col("l_tax").cast("decimal(12,2)").as("x"))
+    def s2(a: String, b: String) = sum(col(a) * col(b)).cast("double")
+    val m = e.agg(count(lit(1)).as("n"),
+      sum(col("q")).cast("double").as("sq"), sum(col("p")).cast("double").as("sp"),
+      sum(col("d")).cast("double").as("sd"), sum(col("x")).cast("double").as("sx"),
+      s2("q", "q").as("sqq"), s2("p", "p").as("spp"),
+      s2("d", "d").as("sdd"), s2("x", "x").as("sxx"),
+      s2("q", "p").as("sqp"), s2("q", "d").as("sqd"),
+      s2("q", "x").as("sqx"), s2("p", "d").as("spd"),
+      s2("p", "x").as("spx"), s2("d", "x").as("sdx"))
+    def corrOf(a: Column, b: Column, saa: Column, sbb: Column, sxy: Column) =
+      (col("n") * sxy - a * b) /
+        (sqrt(col("n") * saa - a * a) * sqrt(col("n") * sbb - b * b))
+    val pairs = Seq(
+      ("l_discount", "l_extendedprice", "sd", "sp", "sdd", "spp", "spd"),
+      ("l_discount", "l_quantity", "sd", "sq", "sdd", "sqq", "sqd"),
+      ("l_discount", "l_tax", "sd", "sx", "sdd", "sxx", "sdx"),
+      ("l_extendedprice", "l_quantity", "sp", "sq", "spp", "sqq", "sqp"),
+      ("l_extendedprice", "l_tax", "sp", "sx", "spp", "sxx", "spx"),
+      ("l_quantity", "l_tax", "sq", "sx", "sqq", "sxx", "sqx"))
+    m.select(explode(array(pairs.map { case (cx, cy, a, b, aa, bb, xy) =>
+        struct(lit(cx).as("col_x"), lit(cy).as("col_y"),
+          round(corrOf(col(a), col(b), col(aa), col(bb), col(xy)), 6).as("corr_xy"))
+      }: _*)).as("r"))
+      .select(col("r.col_x").as("col_x"), col("r.col_y").as("col_y"),
+        col("r.corr_xy").as("corr_xy"))
+      .orderBy("col_x", "col_y")
+  }
+
+  /** WELCH TWO-SAMPLE T-TEST per event type over an A/B split
+    * (`user_id % 2` — the deterministic assignment every experiment
+    * framework hashes users into): unequal-variance t statistic and
+    * Welch–Satterthwaite degrees of freedom. Per-group moments
+    * (n, Σv, Σv²) are exact decimal sums from ONE hash aggregate on
+    * (event_type, grp) — 10 rows out of the scan — and the t/df
+    * arithmetic runs in doubles from exact inputs with the identical
+    * expression tree on both engines. At 100 TB: one map-side-partial
+    * agg shuffle of |types|·2 rows; the A/B self-join is on 5-row
+    * frames. */
+  val statsTtest: Op = Op.sql("stats_ttest",
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS grp,
+      |    CAST("value" AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |m AS (SELECT event_type, grp, count(*) AS n,
+      |        CAST(sum(v) AS DOUBLE) AS s, CAST(sum(v*v) AS DOUBLE) AS ss
+      |      FROM e GROUP BY 1, 2),
+      |ab AS (SELECT a.event_type, a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+      |         a.ss AS ss_a, b.ss AS ss_b
+      |       FROM m a JOIN m b ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1)
+      |SELECT event_type, n_a, n_b,
+      |  round(s_a/n_a, 4) AS mean_a, round(s_b/n_b, 4) AS mean_b,
+      |  round((s_a/n_a - s_b/n_b) /
+      |        sqrt((ss_a - s_a*s_a/n_a)/(n_a-1)/n_a + (ss_b - s_b*s_b/n_b)/(n_b-1)/n_b), 4) AS t_stat,
+      |  round(
+      |    ((ss_a - s_a*s_a/n_a)/(n_a-1)/n_a + (ss_b - s_b*s_b/n_b)/(n_b-1)/n_b) *
+      |    ((ss_a - s_a*s_a/n_a)/(n_a-1)/n_a + (ss_b - s_b*s_b/n_b)/(n_b-1)/n_b) /
+      |    ( ((ss_a - s_a*s_a/n_a)/(n_a-1)/n_a)*((ss_a - s_a*s_a/n_a)/(n_a-1)/n_a)/(n_a-1)
+      |    + ((ss_b - s_b*s_b/n_b)/(n_b-1)/n_b)*((ss_b - s_b*s_b/n_b)/(n_b-1)/n_b)/(n_b-1) ), 4) AS df
+      |FROM ab ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select(col("event_type"),
+      (col("user_id") % 2).as("grp"),
+      col("value").cast("decimal(12,2)").as("v"))
+    val m = e.groupBy("event_type", "grp").agg(count(lit(1)).as("n"),
+      sum(col("v")).cast("double").as("s"),
+      sum(col("v") * col("v")).cast("double").as("ss"))
+    val a = m.filter(col("grp") === 0).select(col("event_type"),
+      col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+    val b = m.filter(col("grp") === 1).select(col("event_type"),
+      col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+    // standard errors of the two means, left-associated exactly as the oracle
+    val sea = (col("ss_a") - col("s_a") * col("s_a") / col("n_a")) /
+      (col("n_a") - 1) / col("n_a")
+    val seb = (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) /
+      (col("n_b") - 1) / col("n_b")
+    a.join(b, "event_type")
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("s_a") / col("n_a"), 4).as("mean_a"),
+        round(col("s_b") / col("n_b"), 4).as("mean_b"),
+        round((col("s_a") / col("n_a") - col("s_b") / col("n_b")) /
+          sqrt(sea + seb), 4).as("t_stat"),
+        round((sea + seb) * (sea + seb) /
+          (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 4).as("df"))
+      .orderBy("event_type")
+  }
+
+  /** First-order MARKOV TRANSITION MATRIX over per-user event
+    * sequences (the session-flow model behind next-event prediction
+    * and funnel diagnostics): count and row-normalized probability of
+    * each (prev_type → next_type) transition, consecutive events
+    * ordered by (timestamp µs, event_id). ONE user-keyed shuffle for
+    * the lag window; the transition counts re-aggregate to |types|²
+    * rows and the row-total join is on a |types|-row frame. The
+    * probability is a single IEEE division of exact longs, so the
+    * oracle is deterministic. At 100 TB this is the sessionize shape:
+    * per-user sorted scan, tiny outputs. */
+  val q75Markov: Op = Op.sql("q75_markov",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+      |p AS (SELECT event_type AS next_type,
+      |        lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+      |      FROM e),
+      |c AS (SELECT prev_type, next_type, count(*) AS n
+      |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT prev_type, next_type, n, round(CAST(n AS DOUBLE) / tot, 6) AS prob
+      |FROM c JOIN tot USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val p = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .select(col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+    val c = p.filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("prev_type").agg(sum(col("n")).cast("long").as("tot"))
+    c.join(tot, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("prob"))
+      .orderBy("prev_type", "next_type")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
-    q72Pagerank, q73MadOutliers, q74Ohlc)
+    q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov)
 }

@@ -895,9 +895,57 @@ object TextAnalysis {
       .orderBy("source", "first_doc")
   }
 
+  /** Term CO-OCCURRENCE with lift scoring (the PMI-style collocation
+    * mining a corpus-analysis pass runs to find related concepts):
+    * restrict to the top-100 terms by document frequency, count
+    * document co-occurrences for each term pair, and score
+    * lift = P(a,b)/(P(a)P(b)) = n_ab·N/(df_a·df_b) — the exponent-free
+    * PMI core, exact integers into ONE IEEE division so the oracle is
+    * hash-stable (an ln-based PMI would hinge on each engine's log
+    * rounding). Whitespace tokenization matches text_topterms.
+    *
+    * Scale: the vocabulary cap is the story — top-100 via distributed
+    * TakeOrdered (never a global window sort), broadcast to filter
+    * the (doc, term) stream, so the self-join is keyed on doc_id with
+    * ≤|vocab∩doc|² pairs per document and the aggregate output is
+    * ≤ C(100,2) rows regardless of corpus size. */
+  val textCooccur: Op = Op.sql("text_cooccur",
+    """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |df AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+      |v AS (SELECT t, df FROM df QUALIFY row_number() OVER (ORDER BY df DESC, t) <= 100),
+      |ft AS (SELECT doc_id, t, df FROM tok JOIN v USING (t)),
+      |pairs AS (SELECT a.t AS term_a, b.t AS term_b, a.df AS df_a, b.df AS df_b, count(*) AS n_ab
+      |          FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+      |          GROUP BY 1, 2, 3, 4),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT term_a, term_b, n_ab, df_a, df_b,
+      |  round(CAST(n_ab AS DOUBLE) * n / (df_a * df_b), 6) AS lift
+      |FROM pairs, n
+      |QUALIFY row_number() OVER (ORDER BY n_ab DESC, term_a, term_b) <= 50
+      |ORDER BY n_ab DESC, term_a, term_b""".stripMargin) { (s, dir) =>
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct()
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val v = dfreq.orderBy(col("df").desc, col("t")).limit(100)
+    val ft = tok.join(broadcast(v), "t")
+    val a = ft.select(col("doc_id"), col("t").as("term_a"), col("df").as("df_a"))
+    val b = ft.select(col("doc_id").as("doc_id_b"), col("t").as("term_b"),
+      col("df").as("df_b"))
+    val pairs = a.join(b,
+        col("doc_id") === col("doc_id_b") && col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b", "df_a", "df_b").agg(count(lit(1)).as("n_ab"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("df_a"), col("df_b"),
+        round(col("n_ab").cast("double") * col("n") / (col("df_a") * col("df_b")), 6)
+          .as("lift"))
+      .orderBy(col("n_ab").desc, col("term_a"), col("term_b")).limit(50)
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
-    sampleMixture, textBm25, textUrlCanon, textVocabGrowth)
+    sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur)
 }

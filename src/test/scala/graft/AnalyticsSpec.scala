@@ -418,4 +418,70 @@ class AnalyticsSpec extends SparkSuite {
     assert(out == counts.toMap, "per-node triangle counts diverge from brute enumeration")
     assert(out.values.sum % 3 == 0, "triangle incidences must be divisible by 3")
   }
+
+  test("correlation matrix agrees with Spark's builtin corr on every pair") {
+    val rows = Analytics.statsCorr.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(rows.size == 6, "expected all C(4,2) column pairs")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    rows.foreach { case ((cx, cy), c) =>
+      val ref = li.select(corr(col(cx), col(cy))).head().getDouble(0)
+      assert(!ref.isNaN && math.abs(ref) < 1.0,
+        s"$cx/$cy: degenerate fixture (constant column?)")
+      assert(math.abs(c - ref) < 2e-6, s"$cx/$cy: $c vs builtin $ref")
+    }
+  }
+
+  test("Welch t-test matches builtin moments; df inside its exact bounds") {
+    val rows = Analytics.statsTtest.run(spark, sfDir).collect()
+    val types = Tables.load(spark, sfDir, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == types,
+      "every event type must have both A/B groups populated")
+    val e = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), (col("user_id") % 2).as("grp"), col("value"))
+    rows.foreach { r =>
+      val (ty, nA, nB) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (meanA, meanB, tStat, df) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(nA >= 30 && nB >= 30, s"$ty: groups too small to exercise the test")
+      val st = e.filter(col("event_type") === ty).groupBy("grp")
+        .agg(count(lit(1)).as("n"), avg("value").as("m"), var_samp("value").as("v"))
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3)))
+        .toMap
+      val (rnA, mA, vA) = st(0); val (rnB, mB, vB) = st(1)
+      assert(rnA == nA && rnB == nB)
+      assert(math.abs(meanA - mA) < 1e-3 && math.abs(meanB - mB) < 1e-3)
+      val tRef = (mA - mB) / math.sqrt(vA / nA + vB / nB)
+      assert(math.abs(tStat - tRef) < 1e-3, s"$ty: t $tStat vs recomputed $tRef")
+      assert(math.signum(tStat) == math.signum(meanA - meanB) || tStat == 0.0)
+      // Welch–Satterthwaite df is bounded by min(n)-1 and n_a+n_b-2
+      assert(df >= math.min(nA, nB) - 1 && df <= nA + nB - 2,
+        s"$ty: df $df outside [${math.min(nA, nB) - 1}, ${nA + nB - 2}]")
+    }
+  }
+
+  test("markov transitions match an in-process sequential recompute") {
+    val rows = Analytics.q75Markov.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    // each row of the matrix is a probability distribution
+    rows.groupBy(_._1._1).foreach { case (prev, rs) =>
+      val mass = rs.map(_._2._2).sum
+      assert(math.abs(mass - 1.0) < 5e-6 * rs.size, s"$prev: row mass $mass")
+    }
+    // exact transition counts from a per-user sequential walk
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).toSeq.sliding(2)
+        .collect { case Seq(p, n) => (p._4, n._4) }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.map(r => r._1 -> r._2._1).toMap == expected,
+      "transition counts diverge from the sequential walk")
+    // every non-first event is exactly one transition
+    assert(expected.values.sum == ev.length - ev.map(_._1).distinct.length)
+    assert(expected.values.sum > 0, "fixture has no transitions")
+  }
 }

@@ -324,4 +324,34 @@ class PlanAuditSpec extends SparkSuite {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 4, s"unexpected shuffles in url canon plan:\n$p")
   }
+
+  test("correlation matrix: one fact scan, moments reduce to a single row, no join") {
+    val p = plan("stats_corr")
+    // formatted explain names each scan twice (tree line + detail
+    // header), so one physical scan == 2 matches
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"corr must compute all 15 moments from ONE lineitem scan:\n$p")
+    assert(!p.contains("Join"), "corr matrix must not join anything")
+    assert(p.contains("HashAggregate"), "moments must hash-aggregate")
+    assert(!p.contains("SortAggregate"), "moments fell back to SortAggregate")
+  }
+
+  test("markov matrix: the only data-sized shuffle is the user-keyed lag window") {
+    val p = plan("q75_markov")
+    assert(p.contains("hashpartitioning(user_id"),
+      "lag window must shuffle on user_id")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the |types|-row total join must stay keyed:\n$p")
+  }
+
+  test("co-occurrence: vocab filter broadcasts, pair join keyed on doc_id") {
+    val p = plan("text_cooccur")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 100-row vocabulary must broadcast into the token stream")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    // the single 1-row corpus-count crossJoin is the only nested-loop
+    // allowed (broadcast scalar); the doc_id pair join must be keyed
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"pair join degenerated to nested-loop:\n$p")
+  }
 }

@@ -173,6 +173,8 @@ class SqlParitySpec extends SparkSuite {
     "graph_pagerank" -> "// integer division",
     "q74_ohlc" -> "epoch_us() + arg_min/arg_max names",
     "stream_ohlc" -> "epoch_us() + time_bucket() + arg_min/arg_max names",
+    "q75_markov" -> "epoch_us()",
+    "text_cooccur" -> "unnest(string_split()) + QUALIFY",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -318,4 +318,29 @@ class TextSpec extends SparkSuite {
         s"$src: final vocab_size != distinct type count")
     }
   }
+
+  test("co-occurrence: df and pair counts match direct recount, lift exact") {
+    import graft.sources.Tables
+    val rows = TextAnalysis.textCooccur.run(spark, sfDir).collect()
+    assert(rows.length == 50, "fixture too small to fill the top-50 pairs")
+    val docSets = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getString(1).split(" ").toSet)
+    val nDocs = docSets.length.toLong
+    // ordering contract: n_ab desc, then lexicographic pair
+    val keys = rows.map(r => (-r.getLong(2), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted), "not in (n_ab desc, term_a, term_b) order")
+    rows.take(10).foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (nAb, dfA, dfB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b, "pair not canonically ordered")
+      assert(docSets.count(_.contains(a)).toLong == dfA, s"df($a)")
+      assert(docSets.count(_.contains(b)).toLong == dfB, s"df($b)")
+      assert(docSets.count(d => d.contains(a) && d.contains(b)).toLong == nAb,
+        s"co-count($a,$b)")
+      assert(math.abs(r.getDouble(5) - nAb.toDouble * nDocs / (dfA * dfB)) < 1e-6,
+        s"lift($a,$b)")
+    }
+    assert(rows.forall(_.getLong(2) > 0))
+  }
 }

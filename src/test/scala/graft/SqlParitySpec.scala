@@ -208,7 +208,7 @@ class SqlParitySpec extends SparkSuite {
       failures.map { case (n, m) => s"\n  $n: $m" }.mkString)
     // coverage floor: the denylist can only shrink this far — adding
     // an op to it without a real dialect reason fails here
-    assert(candidates.size >= 40,
+    assert(candidates.size >= 65,
       s"auto-parity covers only ${candidates.size} ops — denylist grew too far")
   }
 

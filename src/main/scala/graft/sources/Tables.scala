@@ -17,15 +17,24 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-    // type for (SPARK-40819): read nanos as long, then surface a
-    // microsecond-truncated TimestampType so every downstream operator
-    // sees a normal timestamp column.
+    // Timestamp columns arrive in whichever physical form the data
+    // generator chose; normalize them all AT THE SCAN to session-UTC
+    // TimestampType so every downstream operator sees one timestamp
+    // type and filters still push down to parquet:
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) would read as
+    //    TIMESTAMP_NTZ; with inferTimestampNTZ off the scan itself
+    //    yields TimestampType — exact under the UTC session timezone,
+    //    matching DuckDB's naive epoch_us, and no post-scan cast that
+    //    would block predicate pushdown;
+    //  - TIMESTAMP(NANOS) has no native Spark type (SPARK-40819): read
+    //    nanos as long, truncate with integer `div` (not `/`: double
+    //    division rounds at 1e18-scale nanos where DuckDB truncates).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // integer `div`, not `/`: double division loses sub-µs exactness
-      // at 1e18-scale nanos and rounds where DuckDB truncates
+    if (name == "events" && df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      // legacy nanos layout: surface a microsecond-truncated timestamp
       df.withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
     else df

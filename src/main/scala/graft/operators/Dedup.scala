@@ -513,7 +513,107 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---- substring-level (suffix-span) dedup ------------------------
+
+  /** documents ∪ planted copy whose first 25 tokens are verbatim and
+    * whose tail tokens are each 'x'-prefixed (unique filler): every
+    * planted doc shares exactly one long span with its original. */
+  def corpusSub(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val toks = split(col("text"), "\\s+")
+    d.unionAll(d.select((col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ",
+        concat_ws(" ", slice(toks, 1, 25)),
+        concat_ws(" ", transform(slice(toks, 26, 1 << 20),
+          t => concat(lit("x"), t)))).as("text")))
+  }
+
+  /** Duplicated-SUBSTRING detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": the dedup that
+    * catches boilerplate embedded inside otherwise-unique pages,
+    * which doc- and line-level hashing both miss). Suffix arrays
+    * don't distribute; the standard scalable equivalent is hashed
+    * overlapping token windows: every 15-token window (stride 1) is
+    * hashed, a window seen in ≥2 distinct docs is duplicated, and
+    * per doc the overlapping duplicated windows are merged into
+    * maximal spans with the same gaps-and-islands windowing as
+    * [[graft.operators.Analytics]]' q71_interval_merge (span start =
+    * window start, span end = start + 14; a new island opens only
+    * when a hit starts past the previous covered end).
+    *
+    * Scale (100 TB): window count = token count (linear, 1→N explode,
+    * shuffle-free); the duplicate test is one hash-aggregate keyed on
+    * the 16-byte window hash (count-distinct of doc_id is two-level,
+    * partial map-side); the hit join is keyed on the same hash —
+    * never doc×doc. The only per-doc state is the island window over
+    * that doc's HITS (duplicated positions only, usually ≪ tokens).
+    * At petabyte scale swap md5 for a 64-bit rolling hash (xxhash64
+    * recurrence) to cut the shuffle key width — the dataflow is
+    * unchanged. */
+  val dedupSubstring: Op = Op.sql("dedup_substring",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  -- coalesce: toks[26:len] is NULL (not []) in DuckDB when len < 26
+      |  SELECT doc_id + 100000,
+      |    array_to_string(toks[1:25], ' ') || ' ' ||
+      |    coalesce(array_to_string(
+      |      list_transform(toks[26:len(toks)], t -> 'x' || t), ' '), '')
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |        FROM documents)),
+      |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         md5(array_to_string(toks[(i+1):(i+15)], ' ')) AS h
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 14)) AS i FROM tok)),
+      |dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |hit AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+      |b AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > max(pos + 14) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 1 - sign(count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) END AS is_new
+      |  FROM hit),
+      |s AS (
+      |  SELECT doc_id, pos,
+      |    CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span
+      |  FROM b)
+      |SELECT doc_id, span, min(pos) AS start_tok, max(pos) + 14 AS end_tok,
+      |       count(*) AS n_windows
+      |FROM s GROUP BY doc_id, span
+      |ORDER BY doc_id, span""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), "\\s+")
+    val wins = corpusSub(s, dir)
+      .select(col("doc_id"),
+        posexplode(transform(
+          // guard: sequence(0, n) with n<0 would DESCEND in Spark
+          // where DuckDB's range(n) is empty — short docs emit no rows
+          when(size(toks) >= 15, sequence(lit(0), size(toks) - 15))
+            .otherwise(array().cast("array<int>")),
+          i => md5(concat_ws(" ", slice(toks, i + 1, lit(15))).cast("binary"))))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wins.join(dup, Seq("h")).select("doc_id", "pos")
+      .withColumn("is_new",
+        when(col("pos") > max(col("pos") + 14).over(prior), 1)
+          .otherwise(lit(1) - sign(count(lit(1)).over(prior)).cast("int")))
+      .withColumn("span", sum(col("is_new")).over(run).cast("bigint"))
+      .groupBy("doc_id", "span")
+      .agg(min("pos").as("start_tok"), (max("pos") + 14).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .orderBy("doc_id", "span")
+  }
+
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
     dedupSimhash, dedupEmbedding, dedupLines, dedupContamination,
-    dedupCluster, dedupSemantic, dedupIncremental)
+    dedupCluster, dedupSemantic, dedupIncremental, dedupSubstring)
 }

@@ -165,4 +165,37 @@ class DedupSpec extends SparkSuite {
       graft.operators.Similarity.centroidsFor(spark, sfDir), 0.4).count()
     assert(again == n, s"semantic prune not a fixpoint: $n -> $again")
   }
+
+  test("substring dedup recovers every planted prefix span and merges windows maximally") {
+    val ntoks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val spans = Dedup.dedupSubstring.run(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byDoc = spans.groupBy(_._1)
+    // the planted copy shares exactly its first min(25, n) tokens with
+    // the original: every doc with >= 15 tokens must carry a span that
+    // starts at token 0 and covers at least that prefix (natural
+    // cross-doc duplicates may extend it, never shorten it)
+    val eligible = ntoks.filter(_._2 >= 15).keys.toSeq
+    assert(eligible.size > 100, s"fixture degenerate: ${eligible.size} docs")
+    eligible.foreach { id =>
+      val prefixEnd = math.min(25, ntoks(id)) - 1
+      Seq(id, id + 100000).foreach { d =>
+        val ss = byDoc.getOrElse(d, Array.empty[(Long, Long, Long)])
+        assert(ss.exists(s => s._2 == 0 && s._3 >= prefixEnd),
+          s"doc $d missing planted span [0, $prefixEnd]")
+      }
+    }
+    // maximality: spans within a doc never overlap (overlapping
+    // duplicated windows must have been merged into one island)
+    byDoc.values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3,
+          s"unmerged overlapping spans: $a then $b")
+        case _ =>
+      }
+    }
+  }
 }

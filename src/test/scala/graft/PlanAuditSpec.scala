@@ -73,7 +73,7 @@ class PlanAuditSpec extends SparkSuite {
 
   test("near-dup candidate joins are keyed (hash/broadcast), not nested-loop") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "dedup_embedding",
-      "dedup_semantic").foreach { q =>
+      "dedup_semantic", "dedup_substring").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: candidate generation degenerated to an unkeyed join")

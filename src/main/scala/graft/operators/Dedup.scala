@@ -521,11 +521,14 @@ object Dedup {
   def corpusSub(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     val toks = split(col("text"), "\\s+")
+    // trim: docs shorter than the prefix produce an empty filler, and
+    // an untrimmed trailing space would tokenize differently across
+    // engines (DuckDB keeps trailing empty tokens, Spark drops them)
     d.unionAll(d.select((col("doc_id") + 100000).as("doc_id"),
-      concat_ws(" ",
+      trim(concat_ws(" ",
         concat_ws(" ", slice(toks, 1, 25)),
         concat_ws(" ", transform(slice(toks, 26, 1 << 20),
-          t => concat(lit("x"), t)))).as("text")))
+          t => concat(lit("x"), t))))).as("text")))
   }
 
   /** Duplicated-SUBSTRING detection (Lee et al. 2022, "Deduplicating
@@ -556,9 +559,9 @@ object Dedup {
       |  UNION ALL
       |  -- coalesce: toks[26:len] is NULL (not []) in DuckDB when len < 26
       |  SELECT doc_id + 100000,
-      |    array_to_string(toks[1:25], ' ') || ' ' ||
-      |    coalesce(array_to_string(
-      |      list_transform(toks[26:len(toks)], t -> 'x' || t), ' '), '')
+      |    trim(array_to_string(toks[1:25], ' ') || ' ' ||
+      |      coalesce(array_to_string(
+      |        list_transform(toks[26:len(toks)], t -> 'x' || t), ' '), ''))
       |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
       |        FROM documents)),
       |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
@@ -613,7 +616,94 @@ object Dedup {
       .orderBy("doc_id", "span")
   }
 
+  /** Duplicated-substring REMOVAL — the rewrite half of Lee et al.
+    * 2022 (detection is [[dedupSubstring]]): every token covered only
+    * by duplicated windows whose canonical owner is another doc is
+    * cut; the canonical owner of a window is its first occurrence
+    * (min of the packed `doc_id·2^20 + pos` long — primitive, so the
+    * ownership aggregate stays a HashAggregate, same encoding as
+    * dedup_lines). A doc keeps a covered token iff it owns at least
+    * one window covering it, so exactly one copy of every duplicated
+    * span survives corpus-wide.
+    *
+    * Scale (100 TB): coverage expansion is bounded — only HIT windows
+    * (duplicated ones) explode ×15, never the corpus; the
+    * keep/cut vote is one hash-aggregate keyed on (doc, token pos);
+    * reassembly is one per-doc sort_array over that doc's own tokens
+    * (state = one document, the same bound any per-doc op carries). */
+  val dedupSubstringRewrite: Op = Op.sql("dedup_substring_rewrite",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    trim(array_to_string(toks[1:25], ' ') || ' ' ||
+      |      coalesce(array_to_string(
+      |        list_transform(toks[26:len(toks)], t -> 'x' || t), ' '), ''))
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |        FROM documents)),
+      |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+      |word AS (
+      |  SELECT doc_id, CAST(p AS BIGINT) AS p, toks[p + 1] AS tk
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS p FROM tok)),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         md5(array_to_string(toks[(i+1):(i+15)], ' ')) AS h
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 14)) AS i FROM tok)),
+      |own AS (
+      |  SELECT h, min(doc_id * 1048576 + pos) // 1048576 AS owner
+      |  FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |cover AS (
+      |  SELECT win.doc_id, win.pos + k AS p,
+      |         bool_or(own.owner = win.doc_id) AS owned
+      |  FROM win JOIN own USING (h), unnest(range(15)) AS t(k)
+      |  GROUP BY win.doc_id, win.pos + k),
+      |keep AS (
+      |  SELECT word.doc_id, word.p, word.tk,
+      |         coalesce(cover.owned, TRUE) AS kept
+      |  FROM word LEFT JOIN cover ON word.doc_id = cover.doc_id AND word.p = cover.p)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN kept THEN tk END, ' ' ORDER BY p), '') AS text,
+      |  count(*) FILTER (WHERE kept) AS n_kept,
+      |  count(*) FILTER (WHERE NOT kept) AS n_removed
+      |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), "\\s+")
+    val corpus = corpusSub(s, dir)
+    val word = corpus.select(col("doc_id"),
+      posexplode(toks).as(Seq("p", "tk")))
+      .select(col("doc_id"), col("p").cast("bigint").as("p"), col("tk"))
+    val win = corpus.select(col("doc_id"),
+      posexplode(transform(
+        when(size(toks) >= 15, sequence(lit(0), size(toks) - 15))
+          .otherwise(array().cast("array<int>")),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(15))).cast("binary"))))
+        .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("h"))
+    val own = win.groupBy("h")
+      .agg(min(col("doc_id") * 1048576L + col("pos")).as("packed"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), expr("packed div 1048576").as("owner"))
+    val cover = win.join(own, Seq("h"))
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(14L))).as("k"),
+        col("pos"), col("owner"))
+      .groupBy(col("doc_id"), (col("pos") + col("k")).as("p"))
+      .agg(max(col("owner") === col("doc_id")).as("owned"))
+    word.join(cover, Seq("doc_id", "p"), "left")
+      .select(col("doc_id"), col("p"), col("tk"),
+        coalesce(col("owned"), lit(true)).as("kept"))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          filter(sort_array(collect_list(struct(col("p"), col("tk"), col("kept")))),
+            x => x.getField("kept")),
+          x => x.getField("tk"))).as("text"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        count(when(!col("kept"), 1)).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
     dedupSimhash, dedupEmbedding, dedupLines, dedupContamination,
-    dedupCluster, dedupSemantic, dedupIncremental, dedupSubstring)
+    dedupCluster, dedupSemantic, dedupIncremental, dedupSubstring,
+    dedupSubstringRewrite)
 }

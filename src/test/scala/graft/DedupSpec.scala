@@ -198,4 +198,36 @@ class DedupSpec extends SparkSuite {
       }
     }
   }
+
+  test("substring rewrite cuts non-owner duplicated spans, leaves unique docs byte-identical") {
+    val out = Dedup.dedupSubstringRewrite.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val ntoks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // a prefix window always has an ORIGINAL doc as first occurrence
+    // (original packed doc·2^20+pos ids sort below every planted id),
+    // so a planted doc's tokens 0..min(10, n-15) are covered only by
+    // windows it can never own and must be cut. (Tokens further in MAY
+    // legitimately survive: two originals sharing a natural tail give
+    // their planted copies matching x-prefixed tails, and the earlier
+    // planted copy owns those windows.)
+    ntoks.filter(_._2 >= 15).keys.foreach { id =>
+      val mustCut = math.min(11, ntoks(id) - 14)
+      val removed = out(id + 100000)._3
+      assert(removed >= mustCut,
+        s"planted ${id + 100000}: removed $removed < $mustCut")
+    }
+    // docs carrying no duplicated span come through byte-identical
+    val spanDocs = Dedup.dedupSubstring.run(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val orig = Dedup.corpusSub(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = out.keys.filterNot(spanDocs.contains)
+    assert(untouched.nonEmpty, "fixture degenerate: every doc carries a span")
+    untouched.foreach { d =>
+      val (txt, _, removed) = out(d)
+      assert(removed == 0 && txt == orig(d), s"unique doc $d was modified")
+    }
+  }
 }

@@ -687,6 +687,44 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Metadata-FILTERED vector search (every production vector store's
+    * table-stakes feature: "nearest neighbors WHERE label = X"). The
+    * predicate becomes part of the join key: corpus ⋈ broadcast
+    * queries ON label equality, so Spark plans a keyed
+    * BroadcastHashJoin — each corpus row is probed against only the
+    * queries of its own label, unlike the unfiltered brute scan's
+    * nested-loop over every query. Pre-filtering (here, via the join
+    * key) beats post-filtering top-k: post-filter can return < k rows
+    * when the predicate is selective.
+    *
+    * Scale (100 TB): with label as a partition/bucket column the same
+    * plan prunes the scan to matching partitions; the ranking window
+    * is per-query partial top-k, identical to ann_topk_brute's
+    * WindowGroupLimit shape. */
+  val annFiltered: Op = Op.sql("ann_filtered",
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NumQueries)
+       |SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label,
+       |       round(list_cosine_similarity(q.v, e.v), 6) AS cos
+       |FROM q JOIN e ON q.label = e.label AND q.vec_id <> e.vec_id
+       |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) <= $TopK
+       |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < NumQueries)
+    e.as("c").join(broadcast(q.as("q")),
+        col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos_raw", cosine(col("q.v"), col("c.v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("cos_raw").desc, col("c.vec_id"))))
+      .filter(col("rn") <= TopK)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("c.label").as("label"), round(col("cos_raw"), 6).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
-    annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile)
+    annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered)
 }

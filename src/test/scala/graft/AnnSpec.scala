@@ -23,6 +23,30 @@ class AnnSpec extends SparkSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("filtered search returns only same-label neighbors, each a label-restricted top-k") {
+    val out = SparkEntry.queries("ann_filtered")(spark, sfDir).collect()
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    // every neighbor carries the query's own label
+    out.foreach { r =>
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} has wrong label for query ${r.getLong(0)}")
+      assert(r.getLong(0) != r.getLong(1))
+    }
+    // and the result is exactly brute top-k over the label slice
+    val q0 = out.filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
+    val slice = emb.join(
+      spark.read.parquet(s"$sfDir/embeddings.parquet").selectExpr("vec_id", "label"),
+      "vec_id").filter(org.apache.spark.sql.functions.col("label") === labels(0L))
+    val expect = Similarity.bruteTopK(
+      slice.select("vec_id", "v"),
+      queries.filter(org.apache.spark.sql.functions.col("vec_id") === 0L),
+      Similarity.TopK).collect().map(_.getLong(1)).toSet
+    assert(q0 == expect, s"label-restricted top-k mismatch: $q0 vs $expect")
+  }
+
   test("LSH recall against brute-force ground truth beats random chance") {
     val truth = Similarity.bruteTopK(emb, queries, Similarity.TopK).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -57,6 +57,15 @@ class PlanAuditSpec extends SparkSuite {
       "rank<=k not pushed to partial per-partition limits")
   }
 
+  test("filtered ANN turns the predicate into a keyed broadcast join") {
+    val p = plan("ann_filtered")
+    assert(p.contains("BroadcastHashJoin"),
+      "label equality not planned as a keyed broadcast join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "filtered search degenerated to an unkeyed join")
+    assert(p.contains("WindowGroupLimit"), "partial top-k lost")
+  }
+
   test("bucketed join shuffles neither side (no hash Exchange)") {
     val p = plan("q34_bucketed_join")
     assert(p.contains("SortMergeJoin"), "expected SMJ over bucketed scans")

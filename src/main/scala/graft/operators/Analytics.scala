@@ -1130,10 +1130,74 @@ object Analytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Distribution DRIFT report between a reference and a current
+    * slice (the train/serve skew monitor every production pipeline
+    * runs): decile boundaries from the reference slice, both slices
+    * histogrammed against those fixed boundaries, per-bucket counts
+    * and shares. All arithmetic is exact (ntile ranks + int/int
+    * ratios) so the report is bit-identical across engines — the PSI
+    * / KL statistic is one `ln` away and deliberately left to the
+    * consumer (transcendentals differ in the last ulp across
+    * engines).
+    *
+    * Scale (100 TB): bucket ASSIGNMENT is the broadcast of ten
+    * boundary rows against each slice (bounded ≤10× row expansion,
+    * then one hash-aggregate) — linear and shuffle-light. Boundary
+    * COMPUTATION here is an exact global ntile (a total sort of the
+    * reference slice) for oracle parity; in production you'd feed the
+    * same assignment join from stats_sketch's mergeable quantile
+    * summary instead — the report side of the plan is unchanged. */
+  val statsDrift: Op = Op.sql("stats_drift",
+    """WITH ref AS (
+      |  SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |cur AS (
+      |  SELECT event_id, value FROM events WHERE event_id % 2 = 1),
+      |nt AS (SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS b FROM ref),
+      |bounds AS (SELECT b, max(value) AS ub FROM nt GROUP BY b),
+      |tagged AS (
+      |  SELECT 0 AS side, event_id, value FROM ref
+      |  UNION ALL SELECT 1, event_id, value FROM cur),
+      |assigned AS (
+      |  SELECT t.side, t.event_id,
+      |         CAST(coalesce(min(bo.b), 10) AS BIGINT) AS bucket
+      |  FROM tagged t LEFT JOIN bounds bo ON t.value <= bo.ub
+      |  GROUP BY t.side, t.event_id),
+      |c AS (
+      |  SELECT bucket,
+      |    count(*) FILTER (WHERE side = 0) AS ref_n,
+      |    count(*) FILTER (WHERE side = 1) AS cur_n
+      |  FROM assigned GROUP BY bucket)
+      |SELECT bucket, ref_n, cur_n,
+      |  CAST(ref_n AS DOUBLE) / CAST(sum(ref_n) OVER () AS DOUBLE) AS ref_share,
+      |  CAST(cur_n AS DOUBLE) / CAST(sum(cur_n) OVER () AS DOUBLE) AS cur_share
+      |FROM c ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+    val ref = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val cur = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    val bounds = ref
+      .withColumn("b", ntile(10).over(Window.orderBy("value", "event_id")))
+      .groupBy("b").agg(max("value").as("ub"))
+    val tagged = ref.withColumn("side", lit(0))
+      .unionAll(cur.withColumn("side", lit(1)))
+    val assigned = tagged
+      .join(broadcast(bounds), col("value") <= col("ub"), "left")
+      .groupBy("side", "event_id")
+      .agg(coalesce(min("b"), lit(10)).cast("bigint").as("bucket"))
+    val c = assigned.groupBy("bucket").agg(
+      count(when(col("side") === 0, 1)).as("ref_n"),
+      count(when(col("side") === 1, 1)).as("cur_n"))
+    val whole = Window.partitionBy()
+    c.select(col("bucket"), col("ref_n"), col("cur_n"),
+        (col("ref_n").cast("double") / sum("ref_n").over(whole).cast("double")).as("ref_share"),
+        (col("cur_n").cast("double") / sum("cur_n").over(whole).cast("double")).as("cur_share"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
-    q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov)
+    q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
+    statsDrift)
 }

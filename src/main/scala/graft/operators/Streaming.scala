@@ -143,6 +143,31 @@ object Streaming {
       .orderBy("user_id", "bar_start")
   }
 
+  /** Online drift monitor, the streaming face of
+    * [[graft.operators.Analytics.statsDrift]]: static decile
+    * boundaries enriched into the stream as a LITERAL (stream-static
+    * enrichment with zero join state), one watermarked window×bucket
+    * count. The oracle replays bucket assignment as the equivalent
+    * min-matching-boundary join. */
+  val streamDrift: Op = Op.sql("stream_drift",
+    """WITH nt AS (
+      |  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS b
+      |  FROM events),
+      |bounds AS (SELECT b, max(value) AS ub FROM nt GROUP BY b),
+      |assigned AS (
+      |  SELECT e.event_id, e.ts,
+      |         CAST(coalesce(min(bo.b), 10) AS BIGINT) AS bucket
+      |  FROM events e LEFT JOIN bounds bo ON e."value" <= bo.ub
+      |  GROUP BY e.event_id, e.ts)
+      |SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start,
+      |       bucket, count(*) AS n
+      |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events")
+    Streams.driftCounts(e, Streams.decileBounds(e))
+      .orderBy("win_start", "bucket")
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
-    streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc)
+    streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
+    streamDrift)
 }

@@ -159,6 +159,40 @@ object Streams {
     events.select("user_id", "event_type")
       .dropDuplicates("user_id", "event_type")
 
+  /** Exact decile upper bounds of the static reference slice — ten
+    * doubles of driver-side index metadata (the same train-once-
+    * broadcast discipline as the IVF centroids), consumed by
+    * [[driftCounts]] as a literal. */
+  def decileBounds(events: DataFrame): Seq[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    events.select(col("event_id"), col("value"))
+      .withColumn("b", ntile(10).over(Window.orderBy("value", "event_id")))
+      .groupBy("b").agg(max("value").as("ub")).orderBy("b")
+      .collect().map(_.getDouble(1)).toSeq
+  }
+
+  /** ONLINE drift monitor — the stream-STATIC enrichment pattern: the
+    * static side (decile boundaries of the historical reference) is
+    * folded into a sorted array literal, so bucket assignment is a
+    * stateless expression on the stream — no join state, no shuffle
+    * for the enrichment — and the only stateful operator is one
+    * watermarked window × bucket count. Bucket = first boundary ≥
+    * value, computed as `11 − |{ub : value ≤ ub}|` clamped to 10
+    * (equal to the min-matching-bucket rule, ties included).
+    * `bounds` must be ascending. */
+  def driftCounts(events: DataFrame, bounds: Seq[Double]): DataFrame = {
+    val ubs = array(bounds.map(lit): _*)
+    val bucket =
+      least(lit(11) - size(filter(ubs, b => col("value") <= b)), lit(10))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        bucket.cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_start"),
+        col("bucket"), col("n"))
+  }
+
   /** One micro-batch → one run DIRECTORY keyed by batchId, written
     * with overwrite: a replayed micro-batch (failure before the
     * offset commit) replaces its own previous — possibly partial —

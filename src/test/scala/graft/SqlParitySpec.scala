@@ -175,6 +175,10 @@ class SqlParitySpec extends SparkSuite {
     "stream_ohlc" -> "epoch_us() + time_bucket() + arg_min/arg_max names",
     "q75_markov" -> "epoch_us()",
     "text_cooccur" -> "unnest(string_split()) + QUALIFY",
+    "dedup_substring" -> "list slice toks[a:b] + unnest(range()) + list_transform lambda",
+    "dedup_substring_rewrite" -> "list slice toks[a:b] + unnest(range()) + count(*) FILTER",
+    "ann_filtered" -> "::DOUBLE[] + list_cosine_similarity + QUALIFY",
+    "stream_drift" -> "epoch_us() + time_bucket()",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -66,6 +66,26 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("drift monitor streams with stateless static enrichment and matches batch") {
+    withEventsStream { (src, events) =>
+      // the static side (decile bounds) is a literal in the plan —
+      // the stream carries NO join state, only the window×bucket agg
+      val bounds = Streams.decileBounds(events)
+      assert(bounds.length == 10 && bounds == bounds.sorted)
+      val q = Streams.runFileStream(spark, src, events,
+        Streams.driftCounts(_, bounds), "drift_sink")
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("drift_sink").orderBy("win_start", "bucket").collect()
+      val batch = Streams.driftCounts(events, bounds)
+        .orderBy("win_start", "bucket").collect()
+      assert(streamed.toSeq == batch.toSeq, "streamed drift diverges from batch")
+      assert(streamed.nonEmpty)
+      // every event lands in exactly one bucket
+      assert(streamed.map(_.getLong(2)).sum == events.count())
+    }
+  }
+
   test("flatMapGroupsWithState tracks per-user state across micro-batches") {
     withEventsStream { (src, events) =>
       val q = Streams.runFileStream(spark, src, events, Streams.statefulTrack,

@@ -943,9 +943,55 @@ object TextAnalysis {
       .orderBy(col("n_ab").desc, col("term_a"), col("term_b")).limit(50)
   }
 
+  /** TEMPERATURE-rebalanced source sampling (the T5/mT5 α-mixing rule
+    * every multilingual/multi-source corpus uses: sample source i
+    * with p_i ∝ n_i^α, α = 0.5, so big sources are down-weighted and
+    * small ones up-weighted relative to natural frequency). Per-source
+    * targets are computed from exact counts with IEEE-exact `sqrt`
+    * (correctly rounded in both engines, unlike pow/ln), and document
+    * selection inside each source is the same deterministic
+    * content-hash ranking as [[sampleCapped]] — stable under
+    * repartitioning and re-ingestion.
+    *
+    * Scale (100 TB): the target table is |sources| rows (broadcast);
+    * ranking is one window per source shard, no global sort; the
+    * budget constant scales the OUTPUT, not the work. */
+  val sampleTemperature: Op = Op.sql("sample_temperature",
+    """WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+      |tgt AS (
+      |  SELECT source, cnt,
+      |    CAST(ceil(sqrt(CAST(cnt AS DOUBLE))
+      |      / sum(sqrt(CAST(cnt AS DOUBLE))) OVER () * 200) AS BIGINT) AS target
+      |  FROM n),
+      |ranked AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, r.rk, t.target
+      |FROM ranked r JOIN tgt t USING (source)
+      |WHERE r.rk <= t.target ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy()
+    val tgt = docs(s, dir).groupBy("source").agg(count(lit(1)).as("cnt"))
+      .select(col("source"),
+        ceil(sqrt(col("cnt").cast("double"))
+          / sum(sqrt(col("cnt").cast("double"))).over(whole) * 200)
+          .cast("bigint").as("target"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("text").cast("binary")), col("doc_id"))).as("rk"))
+      .join(broadcast(tgt), Seq("source"))
+      .filter(col("rk") <= col("target"))
+      .select(col("doc_id"), col("source"), col("rk"), col("target"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
-    sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur)
+    sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
+    sampleTemperature)
 }

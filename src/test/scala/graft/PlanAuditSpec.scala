@@ -57,6 +57,21 @@ class PlanAuditSpec extends SparkSuite {
       "rank<=k not pushed to partial per-partition limits")
   }
 
+  test("stream drift enrichment is join-free: the static side lives in the plan") {
+    // stream-static enrichment via literal boundaries: if a join ever
+    // appears here, the stream has acquired join state it must not have
+    val p = plan("stream_drift")
+    assert(!p.contains("Join"), "drift bucket assignment regressed to a join")
+    assert(p.contains("HashAggregate"), "window x bucket count lost hash aggregation")
+  }
+
+  test("temperature sampling broadcasts the target table, ranks per source shard") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), "target join not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "target join degenerated to an unkeyed join")
+  }
+
   test("filtered ANN turns the predicate into a keyed broadcast join") {
     val p = plan("ann_filtered")
     assert(p.contains("BroadcastHashJoin"),

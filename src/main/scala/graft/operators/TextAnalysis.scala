@@ -988,10 +988,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CORPUS CARD: the per-(source, language) datasheet every dataset
+    * release publishes — document/token/char counts plus each cell's
+    * share of the corpus. Exact arithmetic throughout (counts and
+    * int/int ratios). One grouped hash-aggregate over the scan; the
+    * share windows run over |sources|×|langs| aggregated rows, not
+    * the corpus. */
+  val textCorpusCard: Op = Op.sql("text_corpus_card",
+    """WITH d AS (
+      |  SELECT source, lang,
+      |         len(string_split_regex(text, '\s+')) AS ntok, n_chars
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, lang, count(*) AS n_docs,
+      |         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM d GROUP BY source, lang)
+      |SELECT source, lang, n_docs, n_tokens, sum_chars,
+      |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
+      |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
+      |FROM g ORDER BY source, lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy()
+    docs(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("ntok"),
+        col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+        sum("n_chars").as("sum_chars"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("sum_chars"),
+        (col("n_docs").cast("double") /
+          sum("n_docs").over(whole).cast("double")).as("doc_share"),
+        (col("n_tokens").cast("double") /
+          sum("n_tokens").over(whole).cast("double")).as("token_share"))
+      .orderBy("source", "lang")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
     sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
-    sampleTemperature)
+    sampleTemperature, textCorpusCard)
 }

@@ -179,6 +179,7 @@ class SqlParitySpec extends SparkSuite {
     "dedup_substring_rewrite" -> "list slice toks[a:b] + unnest(range()) + count(*) FILTER",
     "ann_filtered" -> "::DOUBLE[] + list_cosine_similarity + QUALIFY",
     "stream_drift" -> "epoch_us() + time_bucket()",
+    "text_corpus_card" -> "len(string_split_regex())",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

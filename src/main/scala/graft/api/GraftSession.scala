@@ -30,6 +30,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // Parquet timestamp posture, pinned ONCE at session build (not
+      // per-load — a loader mutating session confs is action-at-a-
+      // distance for unrelated reads): NTZ inference off so naive
+      // micros read as TimestampType (exact under the UTC pin, no
+      // post-scan cast blocking pushdown); legacy nanos surface as
+      // long for graft.sources.Tables' integer-div truncation.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

@@ -619,10 +619,13 @@ object Dedup {
   /** Duplicated-substring REMOVAL — the rewrite half of Lee et al.
     * 2022 (detection is [[dedupSubstring]]): every token covered only
     * by duplicated windows whose canonical owner is another doc is
-    * cut; the canonical owner of a window is its first occurrence
-    * (min of the packed `doc_id·2^20 + pos` long — primitive, so the
-    * ownership aggregate stays a HashAggregate, same encoding as
-    * dedup_lines). A doc keeps a covered token iff it owns at least
+    * cut; the canonical owner of a window is its first occurrence —
+    * `min(doc_id)` per window hash (the lexicographic-(doc_id, pos)
+    * minimum's doc_id IS the minimum doc_id, so no packed composite
+    * key is needed; a packed `doc_id·2^20+pos` encoding would
+    * silently mis-attribute owners for docs with ≥2^20 tokens —
+    * plain min keeps the aggregate primitive with no position
+    * bound). A doc keeps a covered token iff it owns at least
     * one window covering it, so exactly one copy of every duplicated
     * span survives corpus-wide.
     *
@@ -650,7 +653,7 @@ object Dedup {
       |         md5(array_to_string(toks[(i+1):(i+15)], ' ')) AS h
       |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 14)) AS i FROM tok)),
       |own AS (
-      |  SELECT h, min(doc_id * 1048576 + pos) // 1048576 AS owner
+      |  SELECT h, min(doc_id) AS owner
       |  FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
       |cover AS (
       |  SELECT win.doc_id, win.pos + k AS p,
@@ -679,10 +682,10 @@ object Dedup {
         .as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("h"))
     val own = win.groupBy("h")
-      .agg(min(col("doc_id") * 1048576L + col("pos")).as("packed"),
+      .agg(min(col("doc_id")).as("owner"),
         countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("h"), expr("packed div 1048576").as("owner"))
+      .select("h", "owner")
     val cover = win.join(own, Seq("h"))
       .select(col("doc_id"), explode(sequence(lit(0L), lit(14L))).as("k"),
         col("pos"), col("owner"))

@@ -947,8 +947,17 @@ object TextAnalysis {
     * every multilingual/multi-source corpus uses: sample source i
     * with p_i ∝ n_i^α, α = 0.5, so big sources are down-weighted and
     * small ones up-weighted relative to natural frequency). Per-source
-    * targets are computed from exact counts with IEEE-exact `sqrt`
-    * (correctly rounded in both engines, unlike pow/ln), and document
+    * targets must be bit-identical across engines AND partition
+    * orders, and `ceil` is discontinuous — so the share denominator
+    * may not be a float sum (float summation order is unspecified; a
+    * one-ulp wobble at an integer boundary would flip a target by 1
+    * and change the selected row set). Instead each source's sqrt is
+    * quantized to an exact BIGINT weight, `floor(sqrt(cnt) * 1e6)` —
+    * a fixed chain of correctly-rounded IEEE ops on exact integer
+    * input, deterministic in any engine — and the denominator is a
+    * `sum` of BIGINTs: exact and commutative, so no summation order
+    * exists to disagree about. The final `ceil(200*wgt / tot)` is one
+    * deterministic IEEE division on exact operands. Document
     * selection inside each source is the same deterministic
     * content-hash ranking as [[sampleCapped]] — stable under
     * repartitioning and re-ingestion.
@@ -958,11 +967,15 @@ object TextAnalysis {
     * budget constant scales the OUTPUT, not the work. */
   val sampleTemperature: Op = Op.sql("sample_temperature",
     """WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
-      |tgt AS (
-      |  SELECT source, cnt,
-      |    CAST(ceil(sqrt(CAST(cnt AS DOUBLE))
-      |      / sum(sqrt(CAST(cnt AS DOUBLE))) OVER () * 200) AS BIGINT) AS target
+      |w AS (
+      |  SELECT source,
+      |    CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS wgt
       |  FROM n),
+      |tgt AS (
+      |  SELECT source,
+      |    CAST(ceil(CAST(200 * wgt AS DOUBLE)
+      |      / CAST(sum(wgt) OVER () AS DOUBLE)) AS BIGINT) AS target
+      |  FROM w),
       |ranked AS (
       |  SELECT doc_id, source,
       |    row_number() OVER (PARTITION BY source
@@ -975,8 +988,11 @@ object TextAnalysis {
     val whole = Window.partitionBy()
     val tgt = docs(s, dir).groupBy("source").agg(count(lit(1)).as("cnt"))
       .select(col("source"),
-        ceil(sqrt(col("cnt").cast("double"))
-          / sum(sqrt(col("cnt").cast("double"))).over(whole) * 200)
+        floor(sqrt(col("cnt").cast("double")) * 1000000).cast("bigint")
+          .as("wgt"))
+      .select(col("source"),
+        ceil((col("wgt") * 200).cast("double")
+          / sum(col("wgt")).over(whole).cast("double"))
           .cast("bigint").as("target"))
     docs(s, dir)
       .select(col("doc_id"), col("source"),

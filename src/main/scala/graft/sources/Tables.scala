@@ -22,15 +22,16 @@ object Tables {
     // TimestampType so every downstream operator sees one timestamp
     // type and filters still push down to parquet:
     //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) would read as
-    //    TIMESTAMP_NTZ; with inferTimestampNTZ off the scan itself
-    //    yields TimestampType — exact under the UTC session timezone,
+    //    TIMESTAMP_NTZ; with inferTimestampNTZ off (pinned in
+    //    GraftSession.builder / the test suite session, NOT set here —
+    //    load() is side-effect-free) the scan itself yields
+    //    TimestampType — exact under the UTC session timezone,
     //    matching DuckDB's naive epoch_us, and no post-scan cast that
     //    would block predicate pushdown;
     //  - TIMESTAMP(NANOS) has no native Spark type (SPARK-40819): read
-    //    nanos as long, truncate with integer `div` (not `/`: double
-    //    division rounds at 1e18-scale nanos where DuckDB truncates).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    //    nanos as long (legacy.parquet.nanosAsLong, same session pin),
+    //    truncate with integer `div` (not `/`: double division rounds
+    //    at 1e18-scale nanos where DuckDB truncates).
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType)

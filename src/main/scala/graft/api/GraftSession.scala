@@ -29,6 +29,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Scan-split sizing (SURVEY §6/§8: size file partitions to the
+      // data). The defaults are the right call at the 100 TB target
+      // (~128 MB splits over thousands of files); on a small-SF
+      // harness whose files are single-digit MB they leave every scan
+      // on one core, so the bench harness can right-size them per
+      // layout via env without touching cluster defaults.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", (128L << 20).toString))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("GRAFT_OPEN_COST_BYTES", (4L << 20).toString))
       .config("spark.sql.session.timeZone", "UTC")
       // Parquet timestamp posture, pinned ONCE at session build (not
       // per-load — a loader mutating session confs is action-at-a-

@@ -20,28 +20,33 @@ import graft.sources.Tables
 object Sketches {
 
   /** Per-column cardinality + quantile profile of lineitem.
-    * NOTE (measured): do NOT repartition to parallelize the partial
-    * aggregation — merging N high-accuracy QuantileSummaries costs
-    * far more than building one (2.1s → 41.7s at 32 partials,
-    * accuracy 10000). Partition count should follow the input file
-    * layout; accuracy is the knob that trades merge cost for error.
-    * Tuned round 2 (measured 2.0s → see BENCH): one summary per
-    * COLUMN (the array form answers p50+p95 from a single sketch —
-    * two scalar calls built two) and accuracy 1000 (rank error 0.1%,
-    * an order of magnitude tighter than the spec's p40..p60 bound;
-    * 10000 bought nothing but insert/compress cost). Re-measured the
-    * repartition question at accuracy 1000: 1.9s as-is vs 22s at 8
-    * partials — the merge cliff persists at any useful accuracy, so
-    * the round-1 rule stands. */
+    * NOTE (measured, round 7): cardinalities use the DataSketches
+    * HLL aggregate (`hll_sketch_agg`, lgK=14 → ~0.8% rsd), NOT
+    * `approx_count_distinct`: Spark's native HLL++ update path is
+    * pathological at high precision — 3 columns at rsd 0.01 cost
+    * 2.2 s (1-partition layout) / 3.1 s (32 partials) at sf0.1,
+    * where the DataSketches aggregate does the same work in 0.24 s /
+    * 0.18 s with TIGHTER error (≤0.3% measured vs ≤2.6% at rsd
+    * 0.05). Quantiles: one summary per COLUMN (the array form
+    * answers p50+p95 from a single sketch) at accuracy 100 (rank
+    * error 1%, still 10× inside the spec's p40..p60 bound) — the
+    * QuantileSummaries merge cliff scales with accuracy, and 1000
+    * bought nothing the spec can observe (acc sweep measured
+    * 1.78 s → 1.54 s driver layout, 3.2 s → 1.8 s at 32 partials).
+    * Both sketch families are mergeable partial aggregates: partials
+    * combine map-side, only sketch buffers move, no row shuffle. */
   def profile(df: DataFrame): DataFrame =
     df.agg(
       count(lit(1)).as("n_rows"),
-      approx_count_distinct(col("l_orderkey"), 0.01).as("acd_orderkey"),
-      approx_count_distinct(col("l_partkey"), 0.01).as("acd_partkey"),
-      approx_count_distinct(col("l_suppkey"), 0.01).as("acd_suppkey"),
+      hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(14)))
+        .as("acd_orderkey"),
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14)))
+        .as("acd_partkey"),
+      hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"), lit(14)))
+        .as("acd_suppkey"),
       approx_percentile(col("l_extendedprice"),
-        array(lit(0.5), lit(0.95)), lit(1000)).as("p_price"),
-      approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"))
+        array(lit(0.5), lit(0.95)), lit(100)).as("p_price"),
+      approx_percentile(col("l_quantity"), lit(0.5), lit(100)).as("p50_qty"))
     .select(col("n_rows"), col("acd_orderkey"), col("acd_partkey"),
       col("acd_suppkey"),
       element_at(col("p_price"), 1).as("p50_price"),

@@ -112,17 +112,42 @@ object TextHashing {
     new GenericArrayData(out)
   }
 
+  /** Per-token hash for SimHash: polynomial-31 over Unicode CODE
+    * POINTS mod 2^64, finished with murmur3's fmix64 avalanche.
+    * Chosen over xxh64 (which [[tokenHashes]] keeps for MinHash)
+    * because every step is plain 64-bit integer arithmetic a SQL
+    * engine can replay exactly — the dedup_simhash DuckDB oracle
+    * recomputes this hash with HUGEINT masking, making the whole
+    * SimHash pipeline value-checkable end to end instead of
+    * rows-only. Empty tokens are skipped (DuckDB's split keeps
+    * trailing empties where Java drops them; skipping makes both
+    * engines agree on any input). */
+  def simTokenHash(tok: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      h = h * 31L + cp // wraps mod 2^64 — same bits as the SQL replay
+      i += Character.charCount(cp)
+    }
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL
+    h ^= (h >>> 33); h *= 0xC4CEB9FE1A85EC53L
+    h ^ (h >>> 33)
+  }
+
   /** 64-bit SimHash over token hashes: ±1 vote per bit, sign→bit. */
   def simhash64(text: UTF8String): Long = {
-    val th = tokenHashes(text)
+    val toks = Ws.split(text.toString)
     val votes = new Array[Int](64)
     var t = 0
-    while (t < th.length) {
-      val h = th(t)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val h = simTokenHash(toks(t))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
       }
       t += 1
     }

@@ -201,7 +201,56 @@ object Dedup {
       .distinct()
   }
 
-  val dedupSimhash: Op = Op.rowsOnly("dedup_simhash") { (s, dir) =>
+  /** dedup_simhash is value-checked end to end (round 7; it was
+    * rows-only before): the per-token hash is poly-31/fmix64 integer
+    * arithmetic ([[graft.functions.TextHashing.simTokenHash]]) that
+    * the oracle replays exactly in DuckDB with HUGEINT mod-2^64
+    * masking, and the 56-triple-key blocking join is replayed in its
+    * closed form — a pair shares ≥1 ordered chunk-triple key iff ≥3
+    * of its 8 fingerprint chunks are clean (xor byte = 0). The
+    * oracle's all-pairs formulation is fine at oracle scale and
+    * deliberately NOT how the op runs: the op's banded join shuffles
+    * O(corpus), the oracle's nested loop would not survive 100×. */
+  val dedupSimhash: Op = Op.sql("dedup_simhash",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id,
+      |    substring(text, strpos(text, ' ') + 1) AS text FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM corpus),
+      |poly AS (
+      |  SELECT doc_id,
+      |    list_reduce([0::HUGEINT] ||
+      |        list_transform(string_split(t, ''), c -> unicode(c)::HUGEINT),
+      |      (a, b) -> (a * 31 + b) % 18446744073709551616) AS h0
+      |  FROM tok WHERE t <> ''),
+      |m1 AS (SELECT doc_id, xor(h0, h0 >> 33) AS z FROM poly),
+      |m2 AS (SELECT doc_id,
+      |    ((z % 4294967296) * 18397679294719823053
+      |     + (((z // 4294967296) * 18397679294719823053) % 4294967296) * 4294967296)
+      |    % 18446744073709551616 AS z FROM m1),
+      |m3 AS (SELECT doc_id, xor(z, z >> 33) AS z FROM m2),
+      |m4 AS (SELECT doc_id,
+      |    ((z % 4294967296) * 14181476777654086739
+      |     + (((z // 4294967296) * 14181476777654086739) % 4294967296) * 4294967296)
+      |    % 18446744073709551616 AS z FROM m3),
+      |th AS (SELECT doc_id, xor(z, z >> 33) AS h FROM m4),
+      |votes AS (
+      |  SELECT doc_id, b, 2 * sum((h >> b) & 1) - count(*) AS v
+      |  FROM th, unnest(range(64)) AS tb(b) GROUP BY doc_id, b),
+      |fp AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS f
+      |  FROM votes GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming,
+      |    len(list_filter(range(8),
+      |      i -> ((xor(a.f, b.f) >> (i * 8)) & 255) = 0)) AS clean
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, hamming FROM pairs
+      |WHERE hamming <= 7 AND clean >= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     simhashPairs(corpusNear(s, dir)).orderBy("id_a", "id_b")
   }
 

@@ -16,7 +16,9 @@ import graft.sources.Tables
   *
   * One statement per line (a trailing `;` is fine): any Spark SQL;
   * `explain <query>` renders the formatted physical plan (the q27
-  * renderer); `quit`/`exit`/EOF ends the session.
+  * renderer); `COPY t FROM 'f.csv' (DELIMITER '|', HEADER false)`
+  * and `COPY t|(query) TO 'path'` (see [[execCopy]]);
+  * `quit`/`exit`/EOF ends the session.
   *
   * `sbt "runMain graft.Shell [sfDir]"`
   */
@@ -52,6 +54,8 @@ object Shell {
           if (lower.startsWith("explain ")) {
             out.println(spark.sql(stmt.substring("explain ".length))
               .queryExecution.explainString(FormattedMode))
+          } else if (lower.startsWith("copy ")) {
+            out.println(execCopy(spark, stmt))
           } else {
             val df = spark.sql(stmt)
             val rows = df.take(MaxRows + 1)
@@ -72,5 +76,65 @@ object Shell {
       out.print("graft> ")
       out.flush()
     }
+  }
+
+  private val CopyRe =
+    """(?is)copy\s+(\(.+\)|[\w.]+)\s*(?:\(([\w\s,]+)\))?\s+(from|to)\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+
+  /** `COPY` statement — the reference desugars `COPY t FROM 'f.csv'
+    * (DELIMITER '|', HEADER false)` into
+    * `INSERT INTO t SELECT * FROM read_csv('f.csv', ...)`
+    * (`query_engine/src/planner/binder/statement/bind_copy.rs:10-64`)
+    * and rejects `COPY ... TO`. graft does the same desugar — the CSV
+    * is read through the distributed [[graft.sources.CsvSource]]
+    * scan, parsed directly into the TARGET table's declared schema
+    * (the reference's read path does the same via the bound insert
+    * cast), and inserted via Spark SQL — and additionally supports
+    * the export direction: `COPY t TO 'dir'` / `COPY (query) TO
+    * 'dir'` as a distributed csv/parquet directory write (format by
+    * extension or `FORMAT x` option; a driver-side single-file write
+    * would not survive a large result). */
+  def execCopy(spark: SparkSession, stmt: String): String = stmt.trim
+    .stripSuffix(";") match {
+    case CopyRe(src, cols, dirn, path, opts) =>
+      val o = Option(opts).getOrElse("").split(",").map(_.trim)
+        .filter(_.nonEmpty).map { t =>
+          val kv = t.split("\\s+", 2)
+          kv(0).toUpperCase -> (if (kv.length > 1) kv(1).trim else "")
+        }.toMap
+      val delim = o.get("DELIMITER").map(_.stripPrefix("'").stripSuffix("'"))
+        .getOrElse(",")
+      val header = o.get("HEADER").forall(v => v.isEmpty || v.toBoolean)
+      if (dirn.equalsIgnoreCase("from")) {
+        val colList = Option(cols).map(_.split(",").map(_.trim).toSeq)
+        val src0 = spark.read
+          .option("header", header.toString).option("sep", delim)
+          .schema(colList match {
+            case None => spark.table(src).schema
+            case Some(cs) =>
+              org.apache.spark.sql.types.StructType(
+                spark.table(src).schema.filter(f => cs.contains(f.name)))
+          })
+          .csv(path)
+        src0.createOrReplaceTempView("graft_copy_src")
+        val n = src0.count()
+        spark.sql(s"INSERT INTO $src" +
+          colList.map(_.mkString("(", ",", ")")).getOrElse("") +
+          " SELECT * FROM graft_copy_src")
+        s"COPY $n"
+      } else {
+        val df = if (src.startsWith("("))
+          spark.sql(src.stripPrefix("(").stripSuffix(")"))
+        else spark.table(src)
+        val fmt = o.get("FORMAT").map(_.toLowerCase).getOrElse(
+          if (path.endsWith(".parquet")) "parquet" else "csv")
+        val w = df.write.mode("overwrite")
+        (if (fmt == "csv")
+          w.option("header", header.toString).option("sep", delim)
+        else w).format(fmt).save(path)
+        s"COPY ${df.count()}"
+      }
+    case _ => "error: cannot parse COPY statement (expected " +
+      "COPY t [(cols)] FROM 'file' [(opts)] | COPY t|(query) TO 'path' [(opts)])"
   }
 }

@@ -49,4 +49,37 @@ class ShellSpec extends SparkSuite {
     val outText = run(s"SELECT * FROM lineitem LIMIT ${Shell.MaxRows + 50}\n")
     assert(outText.contains(s"truncated at ${Shell.MaxRows} rows"))
   }
+
+  test("COPY FROM desugars to insert-from-csv-scan (reference bind_copy) and COPY TO exports") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    // pipe-delimited headerless fixture — the reference csv.slt shape
+    // (COPY state FROM 'state1.csv' (DELIMITER '|', HEADER false))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/state1.csv"),
+      "1|CA|California\n2|CO|Colorado\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/state2.csv"),
+      "id|state_code|state_name\n3|WA|Washington\n4|OR|Oregon\n")
+    val outText = run(
+      s"""DROP TABLE IF EXISTS graft_copy_state;
+         |CREATE TABLE graft_copy_state(id STRING, state_code STRING, state_name STRING) USING parquet;
+         |COPY graft_copy_state FROM '$tmp/state1.csv' (DELIMITER '|', HEADER false);
+         |COPY graft_copy_state FROM '$tmp/state2.csv' (DELIMITER '|');
+         |SELECT count(*) AS n FROM graft_copy_state;
+         |SELECT id FROM graft_copy_state ORDER BY id;
+         |COPY (SELECT id, state_code FROM graft_copy_state ORDER BY id) TO '$tmp/export.csv' (HEADER true);
+         |COPY graft_copy_state TO '$tmp/export.parquet';
+         |DROP TABLE graft_copy_state""".stripMargin)
+    assert(outText.contains("COPY 2"), s"copy row counts missing:\n$outText")
+    assert(outText.linesIterator.exists(_.trim == "4"), s"expected 4 rows:\n$outText")
+    Seq("1", "2", "3", "4").foreach(id =>
+      assert(outText.linesIterator.exists(_.trim == id), s"id $id missing"))
+    // both exports read back complete
+    val csvBack = spark.read.option("header", "true").csv(s"$tmp/export.csv")
+    assert(csvBack.count() == 4 && csvBack.columns.toSeq == Seq("id", "state_code"))
+    assert(spark.read.parquet(s"$tmp/export.parquet").count() == 4)
+    // a COPY the grammar can't bind reports and the loop survives
+    val bad = run("COPY nonsense;\nSELECT 'alive' AS ok\n")
+    assert(bad.contains("error:") && bad.contains("alive"))
+  }
 }

@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_pq_encode"),
       graft.functions.VectorKernels.buildPqEncode _))
     ext.injectFunction((
+      FunctionIdentifier("graft_sum_scaled"),
+      new ExpressionInfo(classOf[graft.functions.SumScaledExact].getName,
+        "graft_sum_scaled"),
+      graft.functions.SumScaledExact.build _))
+    ext.injectFunction((
       FunctionIdentifier("graft_adc_dot"),
       new ExpressionInfo(graft.functions.VectorKernels.AdcDot.getClass.getName,
         "graft_adc_dot"),

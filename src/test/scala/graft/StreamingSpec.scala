@@ -72,6 +72,19 @@ class StreamingSpec extends SparkSuite {
       // the stream carries NO join state, only the window×bucket agg
       val bounds = Streams.decileBounds(events)
       assert(bounds.length == 10 && bounds == bounds.sorted)
+      // the distributed rank-selection must reproduce the global
+      // ntile window EXACTLY (test code may use the single-partition
+      // window it replaced — production code may not)
+      val viaNtile = {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        events.select(col("event_id"), col("value"))
+          .withColumn("b", ntile(10).over(Window.orderBy("value", "event_id")))
+          .groupBy("b").agg(max("value").as("ub")).orderBy("b")
+          .collect().map(_.getDouble(1)).toSeq
+      }
+      assert(bounds == viaNtile,
+        s"distributed decile selection diverges from ntile: $bounds vs $viaNtile")
       val q = Streams.runFileStream(spark, src, events,
         Streams.driftCounts(_, bounds), "drift_sink")
       q.processAllAvailable()

@@ -1174,9 +1174,11 @@ object Analytics {
     val ev = t(s, dir, "events").select(col("event_id"), col("value"))
     val ref = ev.filter(pmod(col("event_id"), lit(2)) === 0)
     val cur = ev.filter(pmod(col("event_id"), lit(2)) === 1)
-    val bounds = ref
-      .withColumn("b", ntile(10).over(Window.orderBy("value", "event_id")))
-      .groupBy("b").agg(max("value").as("ub"))
+    // distributed exact rank-selection, NOT the single-partition
+    // ntile window the oracle text uses — bit-identical bounds
+    // ([[RankSelect]]; StreamingSpec pins the equality) with a plan
+    // that survives scale
+    val bounds = RankSelect.decileBoundsDF(ref, "value", "event_id")
     val tagged = ref.withColumn("side", lit(0))
       .unionAll(cur.withColumn("side", lit(1)))
     val assigned = tagged

@@ -162,44 +162,12 @@ object Streams {
   /** Exact decile upper bounds of the static reference slice — ten
     * doubles of driver-side index metadata (the same train-once-
     * broadcast discipline as the IVF centroids), consumed by
-    * [[driftCounts]] as a literal.
-    *
-    * Computed by DISTRIBUTED exact rank-selection, not a global
-    * window: `ntile(10) OVER (ORDER BY ...)` would collapse the whole
-    * slice into one partition (the one shape that cannot survive a
-    * 100× scale-up). Instead: range-repartition by the sort key (the
-    * TeraSort partitioner — globally ordered across partitions, each
-    * partition sorted locally by its own row_number), turn the
-    * per-partition counts into cumulative offsets (driver metadata,
-    * |partitions| longs), broadcast them back, and global rank =
-    * offset + local rank. The decile bound b is the value at
-    * cumulative ntile-bucket rank `b·(n div 10) + min(b, n mod 10)`
-    * — exactly ntile's bucket-size rule, so the ten doubles are
-    * bit-identical to the single-window formulation the DuckDB
-    * oracle replays. */
-  def decileBounds(events: DataFrame): Seq[Double] = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = events.sparkSession
-    import spark.implicits._
-    val part = events.select(col("event_id"), col("value"))
-      .repartitionByRange(col("value"), col("event_id"))
-      .withColumn("pid", spark_partition_id())
-    val counts = part.groupBy("pid").agg(count(lit(1)).as("c"))
-      .orderBy("pid").as[(Int, Long)].collect()
-    val n = counts.map(_._2).sum
-    val offsets = counts.map(_._1).zip(
-      counts.map(_._2).scanLeft(0L)(_ + _)) // (pid, rows before pid)
-    val targets = (1 to 10).map(b => b * (n / 10) + math.min(b, n % 10))
-    val offs = spark.createDataset(offsets.toSeq).toDF("pid", "off")
-    part
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("pid").orderBy("value", "event_id")))
-      .join(broadcast(offs), Seq("pid"))
-      .withColumn("rank", col("rn") + col("off"))
-      .filter(col("rank").isin(targets: _*))
-      .orderBy("rank")
-      .select("value").as[Double].collect().toSeq
-  }
+    * [[driftCounts]] as a literal. Computed by the distributed exact
+    * rank-selection in [[graft.operators.RankSelect]] (bit-identical
+    * to the ntile window it replaces — StreamingSpec pins it), never
+    * a single-partition global window. */
+  def decileBounds(events: DataFrame): Seq[Double] =
+    graft.operators.RankSelect.decileBounds(events, "value", "event_id")
 
   /** ONLINE drift monitor — the stream-STATIC enrichment pattern: the
     * static side (decile boundaries of the historical reference) is

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -11,9 +10,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Replaces the interpreted higher-order-function formulation of the
   * MinHash/SimHash signatures, which evaluated one lambda per
   * shingle×seed (~60×64 interpreted expression trees per row) and
-  * dominated the benchmark. One pass here: hash each token once,
-  * derive shingle hashes by chaining token hashes, derive the k
-  * seeded minhash functions by double hashing g_i = a + i·b.
+  * dominated the benchmark. One pass here: hash each shingle once,
+  * derive the k seeded minhash functions by double hashing
+  * g_i = a + i·b. Every hash is SQL-replayable integer arithmetic
+  * (poly-31 + fmix64) so the DuckDB oracles can recompute full
+  * signatures — see dedup_simhash / dedup_minhash_lsh.
   */
 object TextHashing {
 
@@ -21,34 +22,44 @@ object TextHashing {
   private val Mix = 0x9E3779B97F4A7C15L // golden-ratio odd constant
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  /** xxh64 of each whitespace token. */
-  def tokenHashes(text: UTF8String): Array[Long] = {
-    val toks = Ws.split(text.toString)
-    val out = new Array[Long](toks.length)
-    var i = 0
-    while (i < toks.length) {
-      out(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), Seed)
-      i += 1
-    }
-    out
+  /** Position salt for the band fold — any odd 64-bit constant. */
+  val BandSalt = 0xD1B54A32D192ED03L
+
+  /** murmur3's fmix64 avalanche — the shared finisher of every
+    * SQL-replayable hash here (each step is plain mod-2^64 integer
+    * arithmetic a DuckDB oracle replays with HUGEINT masking). */
+  @inline def mix64(h0: Long): Long = {
+    var h = h0
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL
+    h ^= (h >>> 33); h *= 0xC4CEB9FE1A85EC53L
+    h ^ (h >>> 33)
   }
 
-  /** 3-token shingle hashes (whole-text hash if < 3 tokens). */
+  /** 3-token shingle hashes (whole-text hash if < 3 tokens): the
+    * shingle STRING is hashed directly with [[simTokenHash]] — the
+    * same poly-31/fmix64 chain the dedup_simhash oracle replays, so
+    * MinHash signatures are SQL-replayable end to end (round 7; the
+    * previous xxh64 token-hash chain had no SQL analog). */
   def shingleHashes(text: UTF8String): Array[Long] = {
-    val th = tokenHashes(text)
-    if (th.length < 3) return Array(XXH64.hashUTF8String(text, Seed))
-    val out = new Array[Long](th.length - 2)
+    val toks = Ws.split(text.toString)
+    if (toks.length < 3) return Array(simTokenHash(text.toString))
+    val out = new Array[Long](toks.length - 2)
     var i = 0
     while (i < out.length) {
-      out(i) = XXH64.hashLong(th(i), XXH64.hashLong(th(i + 1), XXH64.hashLong(th(i + 2), Seed)))
+      out(i) = simTokenHash(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
       i += 1
     }
     out
   }
 
   /** MinHash-LSH band hashes: k seeded minhashes over the shingle
-    * set (double hashing), folded into `bands` band hashes of
-    * k/bands rows each. Output index = band id. */
+    * set (double hashing g_i = a + i·b, b = mix64(a)|1 odd), folded
+    * into `bands` band hashes of k/bands rows each; output index =
+    * band id. The fold is an ORDER-FREE sum of position-salted mixes
+    * — `mix64(Σ_i mix64(min_i + (i+1)·BandSalt))` — deliberately:
+    * exact mod-2^64 addition is commutative, so the DuckDB oracle
+    * reproduces it with a plain SUM + the staged-mix pipeline instead
+    * of an order-pinned fold chain. */
   def minhashBands(text: UTF8String, numHashes: Int, bands: Int): ArrayData = {
     val sh = shingleHashes(text)
     val mins = new Array[Long](numHashes)
@@ -56,7 +67,7 @@ object TextHashing {
     var s = 0
     while (s < sh.length) {
       val a = sh(s)
-      val b = XXH64.hashLong(a, Mix) | 1L // odd → all k functions distinct
+      val b = mix64(a) | 1L // odd → all k functions distinct
       var i = 0
       var g = a
       while (i < numHashes) {
@@ -70,13 +81,13 @@ object TextHashing {
     val out = new Array[Long](bands)
     var j = 0
     while (j < bands) {
-      var h = XXH64.hashLong(j.toLong, Seed)
+      var acc = 0L
       var i = j * r
       while (i < (j + 1) * r) {
-        h = XXH64.hashLong(mins(i), h)
+        acc += mix64(mins(i) + (i + 1) * BandSalt)
         i += 1
       }
-      out(j) = h
+      out(j) = mix64(acc)
       j += 1
     }
     new GenericArrayData(out)
@@ -114,12 +125,11 @@ object TextHashing {
 
   /** Per-token hash for SimHash: polynomial-31 over Unicode CODE
     * POINTS mod 2^64, finished with murmur3's fmix64 avalanche.
-    * Chosen over xxh64 (which [[tokenHashes]] keeps for MinHash)
-    * because every step is plain 64-bit integer arithmetic a SQL
-    * engine can replay exactly — the dedup_simhash DuckDB oracle
-    * recomputes this hash with HUGEINT masking, making the whole
-    * SimHash pipeline value-checkable end to end instead of
-    * rows-only. Empty tokens are skipped (DuckDB's split keeps
+    * Chosen over xxh64 because every step is plain 64-bit integer
+    * arithmetic a SQL engine can replay exactly — the dedup_simhash
+    * and dedup_minhash_lsh DuckDB oracles recompute this hash with
+    * HUGEINT masking, making both near-dup pipelines value-checkable
+    * end to end instead of rows-only. Empty tokens are skipped (DuckDB's split keeps
     * trailing empties where Java drops them; skipping makes both
     * engines agree on any input). */
   def simTokenHash(tok: String): Long = {

@@ -98,8 +98,81 @@ object Dedup {
       .distinct()
   }
 
-  val dedupMinhashLsh: Op = Op.rowsOnly("dedup_minhash_lsh") { (s, dir) =>
-    minhashCandidates(corpusNear(s, dir)).orderBy("id_a", "id_b")
+  // ---- SQL replay of the MinHash signature (the oracle) -----------
+  //
+  // Every hash in the round-7 kernel (TextHashing: poly-31/fmix64
+  // shingle hash, b = mix64(a)|1, order-free position-salted band
+  // fold) is plain mod-2^64 integer arithmetic, so DuckDB recomputes
+  // FULL signatures with HUGEINT masking and the oracle checks the
+  // banding itself — not just a rows count. The staged-column
+  // generator below mirrors one fmix64 application per SELECT layer
+  // (inline expansion would duplicate subexpressions exponentially).
+
+  private val M64 = "18446744073709551616"
+  private val MixC1 = "18397679294719823053" // 0xFF51AFD7ED558CCD
+  private val MixC2 = "14181476777654086739" // 0xC4CEB9FE1A85EC53
+  private val BandSaltU = java.lang.Long.toUnsignedString(
+    graft.functions.TextHashing.BandSalt)
+
+  /** (a * c) mod 2^64 for HUGEINT column `a`, constant `c`. */
+  private def mulmod(a: String, c: String): String =
+    s"((($a % 4294967296) * $c + (((($a // 4294967296) * $c) % 4294967296) * 4294967296)) % $M64)"
+
+  /** fmix64 staged over column `in` → column `out`. */
+  private def mixStages(in: String, out: String): Seq[(String, String)] = Seq(
+    s"${out}_a" -> s"xor($in, $in >> 33)",
+    s"${out}_b" -> mulmod(s"${out}_a", MixC1),
+    s"${out}_c" -> s"xor(${out}_b, ${out}_b >> 33)",
+    s"${out}_d" -> mulmod(s"${out}_c", MixC2),
+    out -> s"xor(${out}_d, ${out}_d >> 33)")
+
+  private def stagedSql(base: String, stages: Seq[(String, String)]): String =
+    stages.foldLeft(base) { case (inner, (c, e)) =>
+      s"SELECT *, $e AS $c FROM ($inner)" }
+
+  /** The generated DuckDB SQL computing [[minhashCandidates]] over
+    * the near-dup corpus, signature-exact. Java's `g < mins(i)` is a
+    * SIGNED 64-bit compare, so the min runs over signed-converted
+    * values and converts back before the band fold. */
+  private def minhashOracleSql: String = {
+    val shingles =
+      """SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [text]
+        |  ELSE [array_to_string(toks[i:i+2], ' ')
+        |        for i in range(1, len(toks) - 1)] END) AS s
+        |FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+        |      FROM (SELECT doc_id, text FROM documents
+        |            UNION ALL SELECT doc_id + 100000,
+        |              substring(text, strpos(text, ' ') + 1) FROM documents))"""
+        .stripMargin
+    val poly = stagedSql(shingles,
+      ("h0" -> ("list_reduce([0::HUGEINT] || list_transform(string_split(s, ''), " +
+        s"c -> unicode(c)::HUGEINT), (x, y) -> (x * 31 + y) % $M64)"))
+        +: mixStages("h0", "a"))
+    val withB = stagedSql(s"SELECT doc_id, a FROM ($poly)",
+      mixStages("a", "b0") :+ ("b" -> "b0 - (b0 % 2) + 1"))
+    val mins =
+      s"""SELECT doc_id, i,
+         |  min(CASE WHEN g >= 9223372036854775808 THEN g - $M64 ELSE g END) AS m
+         |FROM (SELECT doc_id, tb.i AS i, (a + tb.i * b) % $M64 AS g
+         |      FROM ($withB), unnest(range(${NumHashes})) AS tb(i))
+         |GROUP BY doc_id, i""".stripMargin
+    val contrib = stagedSql(
+      s"SELECT doc_id, i, ((CASE WHEN m < 0 THEN m + $M64 ELSE m END)" +
+        s" + (i + 1) * $BandSaltU) % $M64 AS cm FROM ($mins)",
+      mixStages("cm", "c"))
+    val bandSum = s"SELECT doc_id, i // $RowsPerBand AS band_id, " +
+      s"sum(c) % $M64 AS bs FROM ($contrib) GROUP BY doc_id, i // $RowsPerBand"
+    val sig = s"SELECT doc_id, band_id, h FROM (" +
+      stagedSql(s"SELECT doc_id, band_id, bs FROM ($bandSum)",
+        mixStages("bs", "h")) + ")"
+    s"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM ($sig) a JOIN ($sig) b
+       |  ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val dedupMinhashLsh: Op = Op.sql("dedup_minhash_lsh", minhashOracleSql) {
+    (s, dir) => minhashCandidates(corpusNear(s, dir)).orderBy("id_a", "id_b")
   }
 
   // ---- n-gram Jaccard verification --------------------------------

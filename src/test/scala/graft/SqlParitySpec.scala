@@ -122,6 +122,7 @@ class SqlParitySpec extends SparkSuite {
     "q52_read_jsonl" -> "read_json_auto() table function",
     "dedup_ngram_jaccard" -> "DuckDB [..] list literals/slicing",
     "dedup_simhash" -> "HUGEINT mod-2^64 hash replay + list_reduce lambda",
+    "dedup_minhash_lsh" -> "HUGEINT mod-2^64 signature replay + list comprehension",
     "dedup_embedding" -> "::DOUBLE[] array cast",
     "dedup_lines" -> "list_* lambda functions",
     "dedup_contamination" -> "unnest()",

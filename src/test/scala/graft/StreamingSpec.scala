@@ -85,6 +85,23 @@ class StreamingSpec extends SparkSuite {
       }
       assert(bounds == viaNtile,
         s"distributed decile selection diverges from ntile: $bounds vs $viaNtile")
+      // n < 10 edge: ntile emits one bucket per row and no rows for
+      // empty buckets — the rank-selection's strictly-increasing
+      // target filter must reproduce exactly that
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val tiny = Seq((1L, 5.0), (2L, 1.0), (3L, 3.0)).toDF("event_id", "value")
+        val viaSelect = graft.operators.RankSelect
+          .decileBounds(tiny, "value", "event_id")
+        val viaWin = tiny
+          .withColumn("b", ntile(10).over(Window.orderBy("value", "event_id")))
+          .groupBy("b").agg(max("value").as("ub")).orderBy("b")
+          .collect().map(_.getDouble(1)).toSeq
+        assert(viaSelect == viaWin,
+          s"n<10 decile selection diverges: $viaSelect vs $viaWin")
+      }
       val q = Streams.runFileStream(spark, src, events,
         Streams.driftCounts(_, bounds), "drift_sink")
       q.processAllAvailable()

@@ -46,6 +46,19 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  case class Fingerprint64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_fingerprint64"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHashing.fingerprint64(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.fingerprint64($c)")
+    override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+      copy(child = newChild)
+  }
+
   case class SimHashChunks(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(LongType)
@@ -78,6 +91,11 @@ object TextExpressions {
     case _ => throw new IllegalArgumentException("graft_simhash_chunks(simhash)")
   }
 
+  def buildFingerprint64(args: Seq[Expression]): Expression = args match {
+    case Seq(t) => Fingerprint64(t)
+    case _ => throw new IllegalArgumentException("graft_fingerprint64(text)")
+  }
+
   /** Column API (requires the graft extensions on the session). */
   def minhash_bands(text: Column, numHashes: Int = 64, bands: Int = 16): Column =
     call_function("graft_minhash_bands", text, lit(numHashes), lit(bands))
@@ -87,4 +105,7 @@ object TextExpressions {
 
   def simhash_chunks(simhash: Column): Column =
     call_function("graft_simhash_chunks", simhash)
+
+  def fingerprint64(text: Column): Column =
+    call_function("graft_fingerprint64", text)
 }

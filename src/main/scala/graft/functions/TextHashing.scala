@@ -145,6 +145,27 @@ object TextHashing {
     h ^ (h >>> 33)
   }
 
+  /** 64-bit order-sensitive document fingerprint: whitespace-
+    * normalized tokens, each hashed with [[simTokenHash]] and salted
+    * by its 1-based position, combined with exact mod-2^64 addition
+    * (commutative — the DuckDB oracle reproduces it with SUM) and a
+    * final avalanche. Order sensitivity comes from the position salt,
+    * not fold order, which is what makes the chain SQL-replayable. */
+  def fingerprint64(text: UTF8String): Long = {
+    val toks = Ws.split(text.toString)
+    var acc = 0L
+    var q = 0 // 1-based index among NON-empty tokens: immune to the
+    var p = 0 // engines' differing trim/empty-token edge behavior
+    while (p < toks.length) {
+      if (toks(p).nonEmpty) {
+        q += 1
+        acc += mix64(simTokenHash(toks(p)) + q * BandSalt)
+      }
+      p += 1
+    }
+    mix64(acc)
+  }
+
   /** 64-bit SimHash over token hashes: ±1 vote per bit, sign→bit. */
   def simhash64(text: UTF8String): Long = {
     val toks = Ws.split(text.toString)

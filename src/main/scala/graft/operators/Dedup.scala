@@ -108,27 +108,7 @@ object Dedup {
   // generator below mirrors one fmix64 application per SELECT layer
   // (inline expansion would duplicate subexpressions exponentially).
 
-  private val M64 = "18446744073709551616"
-  private val MixC1 = "18397679294719823053" // 0xFF51AFD7ED558CCD
-  private val MixC2 = "14181476777654086739" // 0xC4CEB9FE1A85EC53
-  private val BandSaltU = java.lang.Long.toUnsignedString(
-    graft.functions.TextHashing.BandSalt)
-
-  /** (a * c) mod 2^64 for HUGEINT column `a`, constant `c`. */
-  private def mulmod(a: String, c: String): String =
-    s"((($a % 4294967296) * $c + (((($a // 4294967296) * $c) % 4294967296) * 4294967296)) % $M64)"
-
-  /** fmix64 staged over column `in` → column `out`. */
-  private def mixStages(in: String, out: String): Seq[(String, String)] = Seq(
-    s"${out}_a" -> s"xor($in, $in >> 33)",
-    s"${out}_b" -> mulmod(s"${out}_a", MixC1),
-    s"${out}_c" -> s"xor(${out}_b, ${out}_b >> 33)",
-    s"${out}_d" -> mulmod(s"${out}_c", MixC2),
-    out -> s"xor(${out}_d, ${out}_d >> 33)")
-
-  private def stagedSql(base: String, stages: Seq[(String, String)]): String =
-    stages.foldLeft(base) { case (inner, (c, e)) =>
-      s"SELECT *, $e AS $c FROM ($inner)" }
+  import SqlReplay.{M64, BandSaltU, mixStages, stagedSql, tokenHashStages}
 
   /** The generated DuckDB SQL computing [[minhashCandidates]] over
     * the near-dup corpus, signature-exact. Java's `g < mins(i)` is a
@@ -144,10 +124,7 @@ object Dedup {
         |            UNION ALL SELECT doc_id + 100000,
         |              substring(text, strpos(text, ' ') + 1) FROM documents))"""
         .stripMargin
-    val poly = stagedSql(shingles,
-      ("h0" -> ("list_reduce([0::HUGEINT] || list_transform(string_split(s, ''), " +
-        s"c -> unicode(c)::HUGEINT), (x, y) -> (x * 31 + y) % $M64)"))
-        +: mixStages("h0", "a"))
+    val poly = stagedSql(shingles, tokenHashStages("s", "a"))
     val withB = stagedSql(s"SELECT doc_id, a FROM ($poly)",
       mixStages("a", "b0") :+ ("b" -> "b0 - (b0 % 2) + 1"))
     val mins =

@@ -61,6 +61,38 @@ object Sketches {
   private val CmsD = 4
   private val CmsW = 2048
 
+  /** The generated DuckDB oracle: rebuild the ENTIRE d×w count-min
+    * matrix in SQL by replaying Spark's `XXH64.hashLong` chain
+    * (`hashLong(i, hashLong(key, 42)) mod w` — pure 8-byte integer
+    * arithmetic, staged via [[SqlReplay]]), then probe the same top
+    * keys. w = 2048 is a power of two, so Java's signed `floorMod`
+    * equals the unsigned `% w` (identical low 11 bits). Estimates
+    * replay VALUE-exactly — the sketch itself is oracle-checked, not
+    * just its error bound. */
+  private def countminOracleSql: String = {
+    import SqlReplay._
+    val s1 = stagedSql(
+      "SELECT user_id, CAST(user_id AS HUGEINT) AS key FROM events",
+      hashLongStages("key", "42::HUGEINT", "s1"))
+    val cellsOf = (src: String) => stagedSql(
+      s"SELECT *, CAST(ti.i AS HUGEINT) AS ii FROM ($src), unnest(range($CmsD)) AS ti(i)",
+      hashLongStages("ii", "s1", "h"))
+    val matrix =
+      s"""SELECT i, h % $CmsW AS idx, count(*) AS n
+         |FROM (${cellsOf(s1)}) GROUP BY i, h % $CmsW""".stripMargin
+    val top =
+      s"""SELECT user_id, count(*) AS n_exact FROM events
+         |GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin
+    val probe = cellsOf(stagedSql(
+      s"SELECT user_id, n_exact, CAST(user_id AS HUGEINT) AS key FROM ($top)",
+      hashLongStages("key", "42::HUGEINT", "s1")))
+    s"""SELECT p.user_id, p.n_exact, min(m.n) AS n_est
+       |FROM ($probe) p JOIN ($matrix) m
+       |  ON m.i = p.i AND m.idx = p.h % $CmsW
+       |GROUP BY p.user_id, p.n_exact
+       |ORDER BY p.n_exact DESC, p.user_id""".stripMargin
+  }
+
   /** Heavy hitters via count-min sketch ([[graft.functions.CountMin]]):
     * ONE d×w matrix summarizes the whole key stream (partials merge
     * as flat adds — parallelism is free, unlike quantile summaries
@@ -68,8 +100,9 @@ object Sketches {
     * exact side exists to expose the estimator's guarantee in the
     * output (`n_est ≥ n_exact`, bounded over-count) — in production
     * only the sketch pass runs. Probe is codegen'd builtins over the
-    * broadcast sketch. */
-  val statsCountmin: Op = Op.rowsOnly("stats_countmin") { (s, dir) =>
+    * broadcast sketch. Oracle-checked value-exactly since round 7
+    * ([[countminOracleSql]] rebuilds the matrix in SQL). */
+  val statsCountmin: Op = Op.sql("stats_countmin", countminOracleSql) { (s, dir) =>
     val ev = Tables.load(s, dir, "events").select(col("user_id"))
     val sk = ev.agg(CountMin.sketchCol(col("user_id"), CmsD, CmsW).as("sk"))
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))

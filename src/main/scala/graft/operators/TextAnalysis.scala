@@ -117,20 +117,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** 64-bit rolling-hash fingerprint over the token sequence
-    * (order-sensitive, whitespace-normalized): fp = fold tokens with
-    * fp' = xxhash64(fp, token) — a hash chain, so no wrapping
-    * arithmetic (ANSI mode would reject an overflowing multiply).
-    * Identical texts (mod whitespace) always collide; distinct texts
-    * virtually never do. */
+  /** 64-bit fingerprint over the token sequence (order-sensitive,
+    * whitespace-normalized) via the codegen'd
+    * [[graft.functions.TextExpressions.fingerprint64]] kernel:
+    * position-salted token hashes combined with exact mod-2^64
+    * addition and a final avalanche. Replaces the interpreted
+    * `aggregate` HOF xxhash64 fold (round 7) — faster, and every
+    * step is SQL-replayable integer arithmetic, so the DuckDB oracle
+    * recomputes fingerprints VALUE-exactly instead of rows-only. */
   def fingerprintCol(text: Column): Column =
-    aggregate(split(trim(text), "\\s+"), lit(0L),
-      (acc, w) => xxhash64(acc, w))
+    graft.functions.TextExpressions.fingerprint64(text)
 
-  val textFingerprint: Op = Op.rowsOnly("text_fingerprint") { (s, dir) =>
-    docs(s, dir)
-      .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
+  private def fingerprintOracleSql: String = {
+    import SqlReplay._
+    // q = 1-based rank among non-empty tokens (matches the kernel's
+    // counter, immune to trim/empty-token edge differences)
+    val toks =
+      """SELECT doc_id, t,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p)
+        |       AS HUGEINT) AS q
+        |FROM (SELECT doc_id, p, toks[p + 1] AS t
+        |      FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS p
+        |            FROM (SELECT doc_id,
+        |                    string_split_regex(text, '\s+') AS toks
+        |                  FROM documents)))
+        |WHERE t <> ''""".stripMargin
+    val th = stagedSql(toks, tokenHashStages("t", "th"))
+    val contrib = stagedSql(
+      s"SELECT doc_id, (th + q * $BandSaltU) % $M64 AS cm FROM ($th)",
+      mixStages("cm", "c"))
+    val fp = stagedSql(
+      s"SELECT doc_id, sum(c) % $M64 AS acc FROM ($contrib) GROUP BY doc_id",
+      mixStages("acc", "h"))
+    // left join back: an empty/whitespace-only doc has no token rows
+    // but the kernel still emits mix64(0) = 0 for it
+    s"""SELECT d.doc_id, coalesce(${toSignedBigint("f.h")}, 0) AS fingerprint
+       |FROM documents d LEFT JOIN ($fp) f ON d.doc_id = f.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val textFingerprint: Op = Op.sql("text_fingerprint", fingerprintOracleSql) {
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
   }
 
   /** Canonical text normalization (the pipeline stage before any

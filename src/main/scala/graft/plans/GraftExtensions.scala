@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_pq_encode"),
       graft.functions.VectorKernels.buildPqEncode _))
     ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint64"),
+      new ExpressionInfo(TextExpressions.Fingerprint64.getClass.getName,
+        "graft_fingerprint64"),
+      TextExpressions.buildFingerprint64 _))
+    ext.injectFunction((
       FunctionIdentifier("graft_sum_scaled"),
       new ExpressionInfo(classOf[graft.functions.SumScaledExact].getName,
         "graft_sum_scaled"),

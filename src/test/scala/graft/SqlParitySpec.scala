@@ -123,6 +123,8 @@ class SqlParitySpec extends SparkSuite {
     "dedup_ngram_jaccard" -> "DuckDB [..] list literals/slicing",
     "dedup_simhash" -> "HUGEINT mod-2^64 hash replay + list_reduce lambda",
     "dedup_minhash_lsh" -> "HUGEINT mod-2^64 signature replay + list comprehension",
+    "text_fingerprint" -> "HUGEINT mod-2^64 hash replay + list_reduce lambda",
+    "stats_countmin" -> "HUGEINT xxh64-hashLong replay (xor/shift/HUGEINT casts)",
     "dedup_embedding" -> "::DOUBLE[] array cast",
     "dedup_lines" -> "list_* lambda functions",
     "dedup_contamination" -> "unnest()",

@@ -182,7 +182,42 @@ object Multimodal {
       }).toDF()
   }
 
-  val mmAudioFeatures: Op = Op.rowsOnly("mm_audio_features") { (s, dir) =>
+  /** Value-checked end to end (round 7): sample i is a pure integer
+    * function of doc byte (i mod L), so the oracle recomputes the
+    * PCM16 stream and every feature. The RMS replay is exact by
+    * construction, not luck: each (v/32768)² is a dyadic rational
+    * with denominator 2³⁰ and the partial sums' numerators stay
+    * under 2⁵³, so the op's sequential double accumulation equals
+    * Σv²/2³⁰ EXACTLY — the oracle computes the integer Σv² and
+    * applies the same two final IEEE ops (÷n, √), making a float
+    * reduction hash-comparable across engines with no summation-
+    * order hazard. */
+  val mmAudioFeatures: Op = Op.sql("mm_audio_features",
+    """WITH a AS (
+      |  SELECT doc_id, text, CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+      |    CAST(n_chars % 2000 + 100 AS INT) AS n, CAST(length(text) AS BIGINT) AS L
+      |  FROM documents),
+      |v AS (
+      |  SELECT a.doc_id, t.i,
+      |    (ascii(substr(a.text, CAST(t.i % a.L AS INT) + 1, 1)) - 128) * 200
+      |      + (t.i % 7) * 11 AS val
+      |  FROM a, unnest(range(a.n)) AS t(i)),
+      |vz AS (
+      |  SELECT doc_id, i, val,
+      |    lag(val) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM v),
+      |agg AS (
+      |  SELECT doc_id, sum(CAST(val AS BIGINT) * val) AS ssq,
+      |    sum(CASE WHEN pv IS NOT NULL AND ((val >= 0) <> (pv >= 0))
+      |        THEN 1 ELSE 0 END) AS zc
+      |  FROM vz GROUP BY doc_id)
+      |SELECT a.doc_id, 'audio/wav' AS mime,
+      |  CAST(44 + 2 * a.n AS BIGINT) AS n_bytes,
+      |  a.rate AS parsed_rate, a.n AS parsed_samples,
+      |  CAST(a.n AS BIGINT) * 1000000 // a.rate AS duration_us,
+      |  sqrt((CAST(agg.ssq AS DOUBLE) / 1073741824) / a.n) AS rms,
+      |  CAST(agg.zc AS BIGINT) AS zero_crossings
+      |FROM a JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
     decodeAudio(audioTable(s, dir)).orderBy("doc_id")
   }
 
@@ -270,11 +305,86 @@ object Multimodal {
     phashPairs(phash(imageCorpusNear(s, dir))).orderBy("id_a", "id_b")
   }
 
-  val mmMetadata: Op = Op.rowsOnly("mm_metadata") { (s, dir) =>
-    decodeMedia(mediaTable(s, dir)).orderBy("doc_id")
+  /** The synthesis → encode → decode → feature cycle is value-checked
+    * end to end (round 7; rows-only before): because the corpus is
+    * synthesized deterministically from `documents` bytes, every
+    * parsed feature has a CLOSED FORM the oracle can compute without
+    * touching binary — pixel i of frame f is doc byte (i+7f) mod L,
+    * so a frame's intensity sum is q·S_total plus a cyclic window
+    * sum over the doc's byte values (O(L) per doc, no N-point
+    * unnest), and `rint`'s round-half-even is replayed exactly with
+    * floor + a tie-to-even flag (DuckDB's round() is half-away —
+    * using it would diverge on exact .00005 ties). A decode bug
+    * anywhere in the header/pixel path lands the Spark side off the
+    * closed form and fails the hash compare. batch_size is decode
+    * plumbing, not a data value (it varies with partitioning), so
+    * the op projects it away; MultimodalSpec pins the batch contract
+    * on [[decodeMedia]] directly. */
+  val mmMetadata: Op = Op.sql("mm_metadata",
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(n_chars % 64 + 1 AS INT) AS w, CAST(n_chars % 48 + 1 AS INT) AS h,
+      |    CAST(length(text) AS BIGINT) AS L
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, w, h, L, CAST(w AS BIGINT) * h * 3 AS N,
+      |    9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) AS hdr
+      |  FROM d),
+      |s AS (
+      |  SELECT m.doc_id, m.w, m.h, m.N, m.hdr,
+      |    (m.N // m.L) * sum(ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)))
+      |      + sum(CASE WHEN t.j < m.N % m.L
+      |            THEN ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) ELSE 0 END) AS tot
+      |  FROM m JOIN d USING (doc_id), unnest(range(m.L)) AS t(j)
+      |  GROUP BY m.doc_id, m.w, m.h, m.N, m.L, m.hdr),
+      |y AS (
+      |  SELECT *, (CAST(tot AS DOUBLE) / N) * 10000 AS yv FROM s),
+      |r AS (
+      |  SELECT *, floor(yv) AS fl, yv - floor(yv) AS dd FROM y)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'video/x-graft-seq'
+      |       ELSE 'image/x-portable-pixmap' END AS mime,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 8 + 3 * (4 + hdr + N) ELSE hdr + N END AS BIGINT) AS n_bytes,
+      |  w AS parsed_w, h AS parsed_h,
+      |  (fl + CASE WHEN dd > 0.5 OR (dd = 0.5 AND CAST(fl AS BIGINT) % 2 <> 0)
+      |        THEN 1 ELSE 0 END) / 10000 AS mean_intensity
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    decodeMedia(mediaTable(s, dir))
+      .select("doc_id", "mime", "n_bytes", "parsed_w", "parsed_h", "mean_intensity")
+      .orderBy("doc_id")
   }
 
-  val mmFrameSample: Op = Op.rowsOnly("mm_frame_sample") { (s, dir) =>
+  /** Frame f's pixels start 7f bytes into the doc's cyclic byte
+    * stream, so the oracle shifts the same cyclic window sum by
+    * ((j − 7f) mod L) — every sampled frame's intensity is
+    * value-checked, proving the GSEQ container framing AND the
+    * per-frame P6 decode (a wrong length prefix would surface as a
+    * shifted window). */
+  val mmFrameSample: Op = Op.sql("mm_frame_sample",
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(n_chars % 64 + 1 AS INT) AS w, CAST(n_chars % 48 + 1 AS INT) AS h,
+      |    CAST(length(text) AS BIGINT) AS L
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |m AS (
+      |  SELECT doc_id, w, h, L, CAST(w AS BIGINT) * h * 3 AS N, f.f AS fno
+      |  FROM d, unnest(range(3)) AS f(f)),
+      |s AS (
+      |  SELECT m.doc_id, m.fno, m.w, m.h, m.N,
+      |    (m.N // m.L) * sum(ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)))
+      |      + sum(CASE WHEN ((t.j - 7 * m.fno) % m.L + m.L) % m.L < m.N % m.L
+      |            THEN ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) ELSE 0 END) AS tot
+      |  FROM m JOIN d USING (doc_id), unnest(range(m.L)) AS t(j)
+      |  GROUP BY m.doc_id, m.fno, m.w, m.h, m.N, m.L),
+      |r AS (
+      |  SELECT *, floor((CAST(tot AS DOUBLE) / N) * 10000) AS fl,
+      |    (CAST(tot AS DOUBLE) / N) * 10000
+      |      - floor((CAST(tot AS DOUBLE) / N) * 10000) AS dd FROM s)
+      |SELECT doc_id, CAST(fno AS INT) AS frame_no, CAST(3 AS INT) AS n_frames,
+      |  w AS frame_w, h AS frame_h,
+      |  (fl + CASE WHEN dd > 0.5 OR (dd = 0.5 AND CAST(fl AS BIGINT) % 2 <> 0)
+      |        THEN 1 ELSE 0 END) / 10000 AS mean_intensity
+      |FROM r ORDER BY doc_id, frame_no""".stripMargin) { (s, dir) =>
     frameSample(mediaTable(s, dir)).orderBy("doc_id", "frame_no")
   }
 
@@ -333,7 +443,38 @@ object Multimodal {
     * frames of the same doc differ with MAD well above 0 but far
     * below a content change; the spec plants a true two-scene video
     * and pins that exactly the scene boundary trips. */
-  val mmSceneDetect: Op = Op.rowsOnly("mm_scene_detect") { (s, dir) =>
+  /** Value-checked end to end (round 7): the absolute pixel
+    * difference between frames f and f+1 at pixel i is
+    * g((i+7f) mod L) where g(j) = |byte(j) − byte((j+7) mod L)| —
+    * itself L-periodic — so each transition's MAD is the same
+    * q·G_total + cyclic-window form as the intensity sums. MAD and
+    * is_cut are one integer sum + one IEEE division away, both
+    * hash-exact. */
+  val mmSceneDetect: Op = Op.sql("mm_scene_detect",
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(n_chars % 64 + 1 AS INT) AS w, CAST(n_chars % 48 + 1 AS INT) AS h,
+      |    CAST(length(text) AS BIGINT) AS L
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |g AS (
+      |  SELECT d.doc_id, t.j,
+      |    abs(ascii(substr(d.text, CAST(t.j + 1 AS INT), 1))
+      |      - ascii(substr(d.text, CAST((t.j + 7) % d.L + 1 AS INT), 1))) AS gv
+      |  FROM d, unnest(range(d.L)) AS t(j)),
+      |m AS (
+      |  SELECT doc_id, w, h, L, CAST(w AS BIGINT) * h * 3 AS N, s.s AS step
+      |  FROM d, unnest(range(2)) AS s(s)),
+      |s AS (
+      |  SELECT m.doc_id, m.step, m.N,
+      |    (m.N // m.L) * sum(g.gv)
+      |      + sum(CASE WHEN ((g.j - 7 * m.step) % m.L + m.L) % m.L < m.N % m.L
+      |            THEN g.gv ELSE 0 END) AS tot
+      |  FROM m JOIN g USING (doc_id)
+      |  GROUP BY m.doc_id, m.step, m.N, m.L)
+      |SELECT doc_id, CAST(step + 1 AS INT) AS frame_no, CAST(3 AS INT) AS n_frames,
+      |  CAST(tot AS DOUBLE) / N AS mad,
+      |  CAST(tot AS DOUBLE) / N > 60.0 AS is_cut
+      |FROM s ORDER BY doc_id, frame_no""".stripMargin) { (s, dir) =>
     sceneDetect(mediaTable(s, dir), threshold = 60.0)
       .orderBy("doc_id", "frame_no")
   }
@@ -402,7 +543,42 @@ object Multimodal {
     * above true zero — muted frames read exactly 0. Spec plants a
     * known silence/tone layout and pins frame, segment and ratio
     * counts. */
-  val mmAudioVad: Op = Op.rowsOnly("mm_audio_vad") { (s, dir) =>
+  /** Value-checked end to end (round 7): the mute pass zeroes whole
+    * 20 ms frames ((i/flen + doc_id) mod 3 — constant within a
+    * frame), and the voiced test rms > 50 is EXACTLY the integer
+    * predicate Σv² > 2500·cnt (the op's per-frame double Σ(v²) is
+    * exact — integer terms, total < 2⁵³ — and √ is monotone with the
+    * tie falling the same way), so frame counts, segment runs and
+    * the final ratio replay in pure integer SQL plus one division. */
+  val mmAudioVad: Op = Op.sql("mm_audio_vad",
+    """WITH a AS (
+      |  SELECT doc_id, text, CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+      |    CAST(n_chars % 2000 + 100 AS INT) AS n, CAST(length(text) AS BIGINT) AS L,
+      |    greatest(1, CAST(8000 + (doc_id % 3) * 4000 AS INT) // 50) AS flen
+      |  FROM documents),
+      |v AS (
+      |  SELECT a.doc_id, t.i // a.flen AS k,
+      |    CASE WHEN (t.i // a.flen + a.doc_id) % 3 = 0 THEN 0
+      |         ELSE (ascii(substr(a.text, CAST(t.i % a.L AS INT) + 1, 1)) - 128) * 200
+      |           + (t.i % 7) * 11 END AS val
+      |  FROM a, unnest(range(a.n)) AS t(i)),
+      |fr AS (
+      |  SELECT doc_id, k, count(*) AS cnt,
+      |    sum(CAST(val AS BIGINT) * val) AS ssq
+      |  FROM v GROUP BY doc_id, k),
+      |cl AS (
+      |  SELECT doc_id, k, (ssq > 2500 * cnt) AS voiced,
+      |    lag(ssq > 2500 * cnt) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+      |  FROM fr),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+      |    CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS INT) AS voiced_frames,
+      |    CAST(sum(CASE WHEN voiced AND (pv IS NULL OR NOT pv) THEN 1 ELSE 0 END) AS INT) AS n_segments
+      |  FROM cl GROUP BY doc_id)
+      |SELECT doc_id, n_frames, voiced_frames, n_segments,
+      |  CASE WHEN n_frames = 0 THEN 0.0
+      |       ELSE CAST(voiced_frames AS DOUBLE) / n_frames END AS voiced_ratio
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
     vad(vadCorpus(s, dir), threshold = 50.0).orderBy("doc_id")
   }
 

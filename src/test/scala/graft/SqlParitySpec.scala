@@ -184,6 +184,11 @@ class SqlParitySpec extends SparkSuite {
     "ann_filtered" -> "::DOUBLE[] + list_cosine_similarity + QUALIFY",
     "stream_drift" -> "epoch_us() + time_bucket()",
     "text_corpus_card" -> "len(string_split_regex())",
+    "mm_metadata" -> "unnest(range()) lateral + // division",
+    "mm_frame_sample" -> "unnest(range()) lateral + // division",
+    "mm_audio_features" -> "unnest(range()) lateral + // division",
+    "mm_scene_detect" -> "unnest(range()) lateral + // division",
+    "mm_audio_vad" -> "unnest(range()) lateral + // division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

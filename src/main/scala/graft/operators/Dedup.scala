@@ -89,7 +89,12 @@ object Dedup {
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
     * Join keyed on (band_id, band_hash) — shuffle O(n), never O(n²). */
   def minhashCandidates(corpus: DataFrame): DataFrame = {
-    val b = bandTable(corpus)
+    // shuffle_hash on both sides: the band table is CORPUS-sized, so
+    // letting the planner broadcast it (it fits at test SF) is the
+    // wrong shape — a driver-built corpus-sized hashed relation that
+    // cannot exist at 100 TB. The keyed shuffle join is also measured
+    // 2× faster here (no single-threaded broadcast build).
+    val b = bandTable(corpus).hint("shuffle_hash")
     b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -230,8 +235,13 @@ object Dedup {
     // join key (the chunk_id high bits enforce same-position
     // matching). Replaces a nested interpreted transform^3 that built
     // 56 structs per row and dominated this operator's bench time.
+    // shuffle_hash: the chunk table is corpus-sized — broadcasting it
+    // (the planner's pick at test SF) builds a corpus-sized hashed
+    // relation on the driver, impossible at 100 TB and measured 2×
+    // slower than the keyed shuffle join even at sf0.1.
     val chunked = sim.select(col("doc_id"), col("simhash"),
       explode(graft.functions.TextExpressions.simhash_chunks(col("simhash"))).as("ck"))
+      .hint("shuffle_hash")
     chunked.as("a").join(chunked.as("b"),
         col("a.ck") === col("b.ck") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -325,8 +335,11 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // shuffle_hash: corpus-sized banded side must never broadcast
+    // (see minhashCandidates) — keyed shuffle is the 100 TB shape
     val b = e.select(col("vec_id"), col("v"),
       posexplode(Similarity.hyperplaneBands(col("v"))).as(Seq("band_id", "band_bits")))
+      .hint("shuffle_hash")
     b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_bits") === col("b.band_bits") &&
@@ -520,6 +533,7 @@ object Dedup {
       |FROM corpus ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val corpus = corpusExact(s, dir)
     val hashed = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .hint("shuffle_hash") // corpus-sized side: keyed shuffle, never broadcast
     val edges = hashed.as("l").join(hashed.as("r"), col("l.h") === col("r.h"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
@@ -552,7 +566,11 @@ object Dedup {
     val cLit = typedLit(centroids)
     val assigned = corpus
       .withColumn("cell", Similarity.cellExpr(cLit, col("v")).cast("int"))
-    val drops = assigned.as("a").join(assigned.as("b"),
+    // corpus-sized side: keyed shuffle, never broadcast (see
+    // minhashCandidates) — the hint only affects the self-join; the
+    // final anti-join's drops side stays small and broadcastable
+    val hinted = assigned.hint("shuffle_hash")
+    val drops = hinted.as("a").join(hinted.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       // verify in the join output stream (codegen'd cosine), so only
       // (vec_id) scalars reach the distinct shuffle — never the vectors

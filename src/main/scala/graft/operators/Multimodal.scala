@@ -293,6 +293,7 @@ object Multimodal {
     }: _*)
     val banded = hashes.select(col("doc_id"), col("phash"),
       explode(keys).as("bucket"))
+      .hint("shuffle_hash") // corpus-sized side: keyed shuffle, never broadcast
     banded.as("l").join(banded.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),

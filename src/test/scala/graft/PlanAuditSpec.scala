@@ -104,6 +104,21 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("banded self-joins shuffle on the band key — the corpus-sized side never broadcasts") {
+    // at test SF the banded table fits under the broadcast threshold,
+    // so without the shuffle_hash hint the planner would build a
+    // CORPUS-sized hashed relation on the driver — a shape that cannot
+    // exist at 100 TB (and is measured 2× slower even at sf0.1: the
+    // broadcast build is single-threaded). These plans must keep the
+    // keyed shuffle join regardless of the side's estimated size.
+    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+      "dedup_semantic").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q: banded self-join is not a shuffled hash join")
+    }
+  }
+
   test("LM score: vocab joins broadcast, every aggregate stays hash-based") {
     val p = plan("text_lm_score")
     assert(p.contains("BroadcastHashJoin"),

@@ -302,7 +302,83 @@ object Multimodal {
       .distinct()
   }
 
-  val mmPhashDedup: Op = Op.rowsOnly("mm_phash_dedup") { (s, dir) =>
+  /** Shared oracle CTE: recompute every perceptual hash in closed
+    * form from the deterministic synthesis (round 7; rows-only
+    * before). The pixel stream is the doc's ASCII bytes cycled
+    * (`repeat` + `substr` — byte = code point on this corpus, which
+    * the gate's own DuckDB read confirms), the noise pass flips bit 0
+    * of payload positions 13+97m (pixel byte k = 13−hdr+97m), and the
+    * float cell averaging is replayed EXACTLY: per-cell lumas are
+    * accumulated in pixel order via ordered list_reduce — the same
+    * IEEE adds in the same order as the Scala loop — then one
+    * division per cell, one ordered 64-cell sum, one exact ÷64.
+    * `noise` toggles the +100000 perturbed copies (mm_phash_dedup
+    * pairs originals against noised copies; pipeline_mm's image leg
+    * hashes originals only). */
+  private def phashHashCte(noise: Boolean): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CAST(n_chars % 64 + 1 AS INT) AS w, CAST(n_chars % 48 + 1 AS INT) AS h,
+       |    CAST(length(text) AS BIGINT) AS L,
+       |    9 + length(CAST(n_chars % 64 + 1 AS VARCHAR))
+       |      + length(CAST(n_chars % 48 + 1 AS VARCHAR)) AS hdr
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |img AS (
+       |  SELECT doc_id, w, h, L, hdr, FALSE AS noised,
+       |    CAST(w AS BIGINT) * h * 3 AS N,
+       |    substr(repeat(text, CAST((CAST(w AS BIGINT) * h * 3 + L - 1) // L AS INT)),
+       |           1, CAST(CAST(w AS BIGINT) * h * 3 AS INT)) AS strm
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, w, h, L, hdr, TRUE AS noised,
+       |    CAST(w AS BIGINT) * h * 3 AS N,
+       |    substr(repeat(text, CAST((CAST(w AS BIGINT) * h * 3 + L - 1) // L AS INT)),
+       |           1, CAST(CAST(w AS BIGINT) * h * 3 AS INT)) AS strm
+       |  FROM d WHERE ${if (noise) "TRUE" else "FALSE"}),
+       |pxv AS (
+       |  SELECT i.doc_id, t.k // 3 AS p, i.w, i.h,
+       |    CASE WHEN i.noised AND (t.k - (13 - i.hdr)) % 97 = 0
+       |         THEN xor(ascii(substr(i.strm, CAST(t.k AS INT) + 1, 1)), 1)
+       |         ELSE ascii(substr(i.strm, CAST(t.k AS INT) + 1, 1)) END AS bv
+       |  FROM img i, unnest(range(i.N)) AS t(k)),
+       |lum AS (
+       |  SELECT doc_id, p,
+       |    sum(bv) / 3.0 AS luma,
+       |    ((any_value(CAST(p AS BIGINT)) // any_value(w)) * 8 // any_value(h)) * 8
+       |      + ((any_value(CAST(p AS BIGINT)) % any_value(w)) * 8 // any_value(w)) AS cell
+       |  FROM pxv GROUP BY doc_id, p),
+       |cells AS (
+       |  SELECT doc_id, cell,
+       |    list_reduce(list(luma ORDER BY p), (a, b) -> a + b) / count(*) AS cv
+       |  FROM lum GROUP BY doc_id, cell),
+       |means AS (
+       |  SELECT doc_id,
+       |    list_reduce(list(cv ORDER BY cell), (a, b) -> a + b) / 64 AS mean
+       |  FROM cells GROUP BY doc_id),
+       |hashes AS (
+       |  SELECT c.doc_id,
+       |    coalesce(sum(CASE WHEN c.cv > m.mean
+       |      THEN (1::HUGEINT << CAST(c.cell AS INT)) ELSE 0::HUGEINT END),
+       |      0::HUGEINT) AS hu
+       |  FROM cells c JOIN means m USING (doc_id)
+       |  GROUP BY c.doc_id)""".stripMargin
+
+  /** Pair output in closed form: with 8 byte-chunks and threshold 6,
+    * pigeonhole guarantees ≥2 clean chunks for every qualifying pair,
+    * so the chunk-pair blocking is recall-complete and the output is
+    * exactly the hamming ≤ 6 pair set (the clean ≥ 2 predicate
+    * replays the blocking and is provably implied). All-pairs is fine
+    * at oracle scale and deliberately NOT how the op runs. */
+  val mmPhashDedup: Op = Op.sql("mm_phash_dedup",
+    phashHashCte(noise = true) +
+    """
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.hu, b.hu)) AS INT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.hu, b.hu)) <= 6
+      |  AND len(list_filter(range(8),
+      |        i -> ((xor(a.hu, b.hu) >> (i * 8)) & 255) = 0)) >= 2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     phashPairs(phash(imageCorpusNear(s, dir))).orderBy("id_a", "id_b")
   }
 
@@ -592,7 +668,61 @@ object Multimodal {
     * broadcast scalars — the manifest costs three codec passes and
     * shuffles only counters. The per-stage ops stay independently
     * spec'd; this proves they compose. */
-  val pipelineMm: Op = Op.rowsOnly("pipeline_mm") { (s, dir) =>
+  val pipelineMm: Op = Op.sql("pipeline_mm",
+    phashHashCte(noise = false) +
+    """,
+      |sd_d AS (
+      |  SELECT doc_id, text,
+      |    CAST(n_chars % 64 + 1 AS INT) AS w, CAST(n_chars % 48 + 1 AS INT) AS h,
+      |    CAST(length(text) AS BIGINT) AS L
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |sd_g AS (
+      |  SELECT sd_d.doc_id, t.j,
+      |    abs(ascii(substr(sd_d.text, CAST(t.j + 1 AS INT), 1))
+      |      - ascii(substr(sd_d.text, CAST((t.j + 7) % sd_d.L + 1 AS INT), 1))) AS gv
+      |  FROM sd_d, unnest(range(sd_d.L)) AS t(j)),
+      |sd_m AS (
+      |  SELECT doc_id, L, CAST(w AS BIGINT) * h * 3 AS N, s.s AS step
+      |  FROM sd_d, unnest(range(2)) AS s(s)),
+      |sd_s AS (
+      |  SELECT m.doc_id, m.step, m.N,
+      |    (m.N // m.L) * sum(g.gv)
+      |      + sum(CASE WHEN ((g.j - 7 * m.step) % m.L + m.L) % m.L < m.N % m.L
+      |            THEN g.gv ELSE 0 END) AS tot
+      |  FROM sd_m m JOIN sd_g g USING (doc_id)
+      |  GROUP BY m.doc_id, m.step, m.N, m.L),
+      |vad_a AS (
+      |  SELECT doc_id, text, CAST(n_chars % 2000 + 100 AS INT) AS n,
+      |    CAST(length(text) AS BIGINT) AS L,
+      |    greatest(1, CAST(8000 + (doc_id % 3) * 4000 AS INT) // 50) AS flen
+      |  FROM documents),
+      |vad_v AS (
+      |  SELECT a.doc_id, t.i // a.flen AS k,
+      |    CASE WHEN (t.i // a.flen + a.doc_id) % 3 = 0 THEN 0
+      |         ELSE (ascii(substr(a.text, CAST(t.i % a.L AS INT) + 1, 1)) - 128) * 200
+      |           + (t.i % 7) * 11 END AS val
+      |  FROM vad_a a, unnest(range(a.n)) AS t(i)),
+      |vad_fr AS (
+      |  SELECT doc_id, k, count(*) AS cnt, sum(CAST(val AS BIGINT) * val) AS ssq
+      |  FROM vad_v GROUP BY doc_id, k),
+      |vad_cl AS (
+      |  SELECT doc_id, k, (ssq > 2500 * cnt) AS voiced,
+      |    lag(ssq > 2500 * cnt) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+      |  FROM vad_fr)
+      |SELECT 'audio' AS modality,
+      |  (SELECT count(*) FROM documents) AS n_docs,
+      |  CAST((SELECT sum(CASE WHEN voiced AND (pv IS NULL OR NOT pv)
+      |        THEN 1 ELSE 0 END) FROM vad_cl) AS BIGINT) AS n_flagged
+      |UNION ALL
+      |SELECT 'image',
+      |  (SELECT count(*) FROM d),
+      |  (SELECT count(*) FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      |   WHERE bit_count(xor(a.hu, b.hu)) <= 6)
+      |UNION ALL
+      |SELECT 'video',
+      |  (SELECT count(*) FROM documents WHERE doc_id % 5 = 0),
+      |  (SELECT count(*) FROM sd_s WHERE CAST(tot AS DOUBLE) / N > 60.0)
+      |ORDER BY modality""".stripMargin) { (s, dir) =>
     val media = mediaTable(s, dir)
     val img = media.filter(col("mime") === lit(ImageMime))
     val imgRow = img.agg(count(lit(1)).as("n_docs"))

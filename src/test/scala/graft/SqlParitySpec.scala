@@ -189,6 +189,8 @@ class SqlParitySpec extends SparkSuite {
     "mm_audio_features" -> "unnest(range()) lateral + // division",
     "mm_scene_detect" -> "unnest(range()) lateral + // division",
     "mm_audio_vad" -> "unnest(range()) lateral + // division",
+    "mm_phash_dedup" -> "HUGEINT bit ops + list_reduce/list_filter lambda + unnest(range())",
+    "pipeline_mm" -> "HUGEINT bit ops + list_reduce lambda + unnest(range())",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -562,12 +562,52 @@ object TextAnalysis {
       BpeRounds))
   }
 
-  /** The learned merge table for [[BpeRounds]] rounds over the
-    * documents corpus — the vocab artifact a tokenizer ships.
-    * Iterative (each merge depends on the last), so no SQL oracle;
-    * TextSpec recomputes the full merge sequence with an independent
-    * in-process BPE and asserts equality. */
-  val textBpeTrain: Op = Op.rowsOnly("text_bpe_train") { (s, dir) =>
+  /** The BPE training loop replayed INSIDE the oracle (round 7; it
+    * was rows-only on the "iterative, so no SQL oracle" argument —
+    * wrong: the loop has a fixed round count, so it UNROLLS). The
+    * oracle is generated by the same Scala loop that sized the op,
+    * one CTE triple per round: p_k = adjacent-pair counts over the
+    * word-type dict, b_k = the argmax merge (count desc, l asc,
+    * r asc — binary string order both engines), w_k = the merge
+    * applied. The greedy left-to-right fold ([[bpeMergePair]]) is
+    * replayed EXACTLY by string replace over a space-delimited
+    * segmentation (" t1  t2  t3 "): replace's scan-and-restart-after-
+    * match semantics are the fold's no-cascade rule, the double-space
+    * boundary keeps adjacent matches from consuming each other's
+    * delimiter, and tokens can never contain the delimiter (they come
+    * from a \\s+ split). AS MATERIALIZED pins each round to evaluate
+    * once — inlined, the 12-deep chain re-expands the scan 2^12
+    * times. */
+  private def bpeTrainCte(rounds: Int): String = {
+    val w0 = """w0 AS MATERIALIZED (
+      |  SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seg,
+      |         cnt
+      |  FROM (SELECT word, count(*) AS cnt FROM (
+      |          SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+      |          FROM documents) GROUP BY word))""".stripMargin
+    val per = (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT t.toks[i.i + 1] AS l, t.toks[i.i + 2] AS r, sum(t.cnt) AS pc
+         |  FROM (SELECT string_split(seg[2:-2], '  ') AS toks, cnt FROM w${k - 1}) t,
+         |       unnest(range(len(t.toks) - 1)) AS i(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT $k AS rank, l, r, pc FROM p$k
+         |  ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT replace(seg,
+         |    ' ' || (SELECT l FROM b$k) || '  ' || (SELECT r FROM b$k) || ' ',
+         |    ' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ') AS seg, cnt
+         |  FROM w${k - 1})""".stripMargin
+    }
+    "WITH " + (w0 +: per).mkString(",\n")
+  }
+
+  val textBpeTrain: Op = Op.sql("text_bpe_train",
+    bpeTrainCte(BpeRounds) +
+      "\nSELECT rank, l AS \"left\", r AS \"right\", CAST(pc AS BIGINT) AS pair_count FROM (\n" +
+      (1 to BpeRounds).map(k => s"SELECT * FROM b$k").mkString("\nUNION ALL\n") +
+      ") ORDER BY rank") { (s, dir) =>
     val spark = s
     import spark.implicits._
     bpeMergesFor(s, dir).toDF("rank", "left", "right", "pair_count")
@@ -582,7 +622,37 @@ object TextAnalysis {
     * broadcast-an-artifact shape as the ANN codebooks. Reports the
     * per-doc BPE token count next to the char count: the
     * chars-per-token compression a tokenizer is judged by. */
-  val textBpeEncode: Op = Op.rowsOnly("text_bpe_encode") { (s, dir) =>
+  /** Encode oracle (round 7): re-derives the merge table with the
+    * SAME unrolled training CTE, then encodes each DISTINCT word type
+    * through the 12 chained replaces (scalar-subquery patterns — the
+    * merges are data, not literals) and joins counts back onto the
+    * per-doc word stream. The word stream is plain
+    * `unnest(string_split_regex(...))`, which matches Spark's
+    * `split` (limit −1) empty-token behavior exactly — both engines
+    * keep leading AND trailing empties, and an empty word encodes to
+    * 1 token in both (split('','') = [''] in each). */
+  val textBpeEncode: Op = Op.sql("text_bpe_encode", {
+    val repChain = (1 to BpeRounds).foldLeft("seg") { (acc, k) =>
+      s"replace($acc, ' ' || (SELECT l FROM b$k) || '  ' || (SELECT r FROM b$k) || ' ', " +
+        s"' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ')"
+    }
+    bpeTrainCte(BpeRounds) +
+      s""",
+         |dw AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |  FROM documents),
+         |wt AS MATERIALIZED (
+         |  SELECT word,
+         |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seg
+         |  FROM (SELECT DISTINCT word FROM dw)),
+         |enc AS MATERIALIZED (
+         |  SELECT word, len(string_split(($repChain)[2:-2], '  ')) AS ntok FROM wt)
+         |SELECT d.doc_id, CAST(length(any_value(doc.text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(e.ntok) AS BIGINT) AS n_bpe_tokens
+         |FROM dw d JOIN enc e USING (word) JOIN documents doc ON doc.doc_id = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }) { (s, dir) =>
     val merges = bpeMergesFor(s, dir).map(m => (m._2, m._3))
     val tokensOf = (w: Column) =>
       merges.foldLeft(split(w, "")) { case (syms, (l, r)) =>

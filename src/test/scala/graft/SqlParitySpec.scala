@@ -191,6 +191,8 @@ class SqlParitySpec extends SparkSuite {
     "mm_audio_vad" -> "unnest(range()) lateral + // division",
     "mm_phash_dedup" -> "HUGEINT bit ops + list_reduce/list_filter lambda + unnest(range())",
     "pipeline_mm" -> "HUGEINT bit ops + list_reduce lambda + unnest(range())",
+    "text_bpe_train" -> "AS MATERIALIZED CTEs + string_split_regex + list slicing",
+    "text_bpe_encode" -> "AS MATERIALIZED CTEs + string_split_regex + list slicing",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -587,7 +587,23 @@ object Dedup {
     * near-dup threshold. Cell ids come from trained centroids, so no
     * SQL oracle can recompute them — correctness is DedupSpec's
     * planted-cluster tests plus the driver's rows-only check. */
-  val dedupSemantic: Op = Op.rowsOnly("dedup_semantic") { (s, dir) =>
+  /** Value-checked end to end (round 7; rows-only before): the
+    * k-means blocking cells became oracle-replayable when the
+    * centroid means moved to fixed-point sums — the oracle re-trains
+    * the IVF index inside [[Similarity.ivfCentroidCteSql]] and
+    * replays the within-cell keep-lowest-id prune verbatim. */
+  val dedupSemantic: Op = Op.sql("dedup_semantic",
+    Similarity.ivfCentroidCteSql +
+    """,
+      |drops AS MATERIALIZED (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM cells a JOIN cells b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+      |SELECT c.vec_id, CAST(c.cell AS INT) AS cell
+      |FROM cells c LEFT JOIN drops d ON c.vec_id = d.vec_id
+      |WHERE d.vec_id IS NULL
+      |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     semanticPrune(e, Similarity.centroidsFor(s, dir), 0.4)

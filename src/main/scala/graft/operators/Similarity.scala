@@ -167,9 +167,22 @@ object Similarity {
       array_position(
         transform(seeds, c => cosine(col("v"), c)),
         array_max(transform(seeds, c => cosine(col("v"), c)))) - 1)
+    // FIXED-POINT means (round 7; was avg(double)): each element is
+    // integerized as floor(x·2²⁰ + 0.5) — the power-of-two multiply
+    // is EXACT, so the integerization is bit-identical on every
+    // engine and the per-cluster sum is an order-free long sum. A
+    // float avg's result depends on partition merge order, which
+    // made retrains nondeterministic at scale and the centroids
+    // unreplayable by the DuckDB oracle; the 2⁻²⁰ quantization
+    // (≈1e-6) is far below any clustering-relevant signal. Mean =
+    // two IEEE divisions from exact inputs — the repo's standard
+    // exact-ints-into-one-float-op pattern (graph_pagerank, q66).
     val means = assigned
       .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cluster", "pos").agg(avg("x").as("m"))
+      .groupBy("cluster", "pos")
+      .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("s").cast("double") / lit(1048576.0) / col("n"))
       .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cluster"), transform(col("pm"), e => e.getField("m")).as("centroid"))
       .orderBy("cluster")
@@ -223,6 +236,42 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"))
   }
 
+  /** The WHOLE IVF training pass replayed in the oracle (round 7;
+    * rows-only before): seeds = the K lowest-id vectors, assignment =
+    * cosine argmax with the first-match tie rule (`array_position`'s
+    * rule ≡ ORDER BY cos DESC, c ASC LIMIT 1), means = the op's
+    * fixed-point sums (floor(x·2²⁰+0.5) integerization is exact on
+    * both engines, long sums are order-free), clusters renumbered
+    * densely exactly as the op's `orderBy(cluster).collect` does.
+    * `cells` assigns every corpus vector under the REFINED centroids
+    * through the same argmax. Shared by ann_ivf and dedup_semantic
+    * (which blocks on these cells). */
+  def ivfCentroidCteSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+       |  FROM e ORDER BY vec_id LIMIT $NumCentroids),
+       |asg AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v,
+       |    (SELECT s.c FROM seeds s
+       |     ORDER BY list_cosine_similarity(e.v, s.v) DESC, s.c ASC LIMIT 1) AS cluster
+       |  FROM e),
+       |msum AS MATERIALIZED (
+       |  SELECT cluster, pos,
+       |    sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS s, count(*) AS n
+       |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+       |        FROM asg)
+       |  GROUP BY 1, 2),
+       |cent2 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY cluster) - 1 AS cell, cv
+       |  FROM (SELECT cluster, list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY pos) AS cv
+       |        FROM msum GROUP BY cluster)),
+       |cells AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v,
+       |    (SELECT c2.cell FROM cent2 c2
+       |     ORDER BY list_cosine_similarity(e.v, c2.cv) DESC, c2.cell ASC LIMIT 1) AS cell
+       |  FROM e)""".stripMargin
+
   /** Centroids per dataset, trained once and reused — what a real
     * IVF index does (train at build time, broadcast at query time);
     * retraining per query would double every lookup's cost with two
@@ -230,7 +279,25 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Seq[Double]]]()
 
-  val annIvf: Op = Op.rowsOnly("ann_ivf") { (s, dir) =>
+  val annIvf: Op = Op.sql("ann_ivf",
+    ivfCentroidCteSql +
+    s""",
+       |probes AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, p.cell
+       |  FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q,
+       |    LATERAL (SELECT c2.cell FROM cent2 c2
+       |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
+       |             LIMIT $NumProbes) p)
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos
+       |FROM (
+       |  SELECT p.query_id, c.vec_id,
+       |    list_cosine_similarity(p.qv, c.v) AS cos,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(p.qv, c.v) DESC, c.vec_id) AS rn
+       |  FROM probes p JOIN cells c USING (cell)
+       |  WHERE c.vec_id <> p.query_id)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
     // cache key includes the parquet mtime so a regenerated dataset at
     // the same path retrains instead of probing stale cells
     ivfTopK(emb(s, dir), emb(s, dir).filter(col("vec_id") < NumQueries),

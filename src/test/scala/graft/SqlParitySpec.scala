@@ -193,6 +193,8 @@ class SqlParitySpec extends SparkSuite {
     "pipeline_mm" -> "HUGEINT bit ops + list_reduce lambda + unnest(range())",
     "text_bpe_train" -> "AS MATERIALIZED CTEs + string_split_regex + list slicing",
     "text_bpe_encode" -> "AS MATERIALIZED CTEs + string_split_regex + list slicing",
+    "ann_ivf" -> "::DOUBLE[] cast + LATERAL correlated limit + list_cosine_similarity",
+    "dedup_semantic" -> "::DOUBLE[] cast + MATERIALIZED CTEs + list_cosine_similarity",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

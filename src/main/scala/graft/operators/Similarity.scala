@@ -322,11 +322,19 @@ object Similarity {
     * carries a full MD5 of the raw path — collision-free in practice,
     * never truncated — while the sanitized prefix keeps the dir
     * human-debuggable. */
+  /** Index FORMAT generation, folded into the path digest: bump
+    * whenever build logic changes what persisted cells/codes mean
+    * (f3 = fixed-point centroid/codebook means, round 7 — an index
+    * built by avg-means code must never be probed by this code, and
+    * the digest change guarantees it without disturbing the
+    * stale-mtime sweep's name shape). */
+  private val IndexFormat = "f3"
+
   def ivfIndexPath(dir: String): String = {
     val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$dir\n$IndexFormat".getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"/root/repo/target/graft_ivf_index/${tag}_${digest}_$mtime"
   }
 
@@ -341,7 +349,23 @@ object Similarity {
     * rest. AnnSpec asserts the pruning predicate inside
     * PartitionFilters and that the result equals the in-memory IVF
     * path. */
-  val annIvfPersist: Op = Op.rowsOnly("ann_ivf_persist") { (s, dir) =>
+  /** The persisted-index point lookup replayed logically (round 7):
+    * the oracle recomputes the refined cells (= the index's partition
+    * layout) and query 0's probe set, then ranks within probed cells
+    * — exactly what the PartitionFilters scan reads. A build bug
+    * (stale index, wrong cell assignment, torn write) lands rows
+    * outside the replayed cell set and fails the compare. */
+  val annIvfPersist: Op = Op.sql("ann_ivf_persist",
+    ivfCentroidCteSql +
+      s""",
+         |pc0 AS MATERIALIZED (
+         |  SELECT c2.cell FROM cent2 c2, (SELECT v FROM e WHERE vec_id = 0) q
+         |  ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC LIMIT $NumProbes)
+         |SELECT CAST(0 AS BIGINT) AS query_id, c.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+         |FROM cells c, (SELECT v FROM e WHERE vec_id = 0) q
+         |WHERE c.cell IN (SELECT cell FROM pc0) AND c.vec_id <> 0
+         |ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id LIMIT $TopK""".stripMargin) { (s, dir) =>
     val e = emb(s, dir)
     val centroids = centroidsFor(s, dir)
     val path = ivfIndexPath(dir)
@@ -414,12 +438,19 @@ object Similarity {
     val coded = corpus.select(col("vec_id"), col("v"),
       posexplode(call_function("graft_pq_encode", col("v"), seedLit,
         lit(PqM), lit(PqK))).as(Seq("m", "code")))
-    // per (m, code, d) mean of the assigned subvector components
+    // per (m, code, d) mean of the assigned subvector components —
+    // FIXED-POINT sums like ivfCentroids (round 7): exact
+    // integerization, order-free accumulation, deterministic
+    // distributed retrains, and the oracle replays it verbatim
     val means = coded
       .select(col("m"), col("code"),
         posexplode(slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)))
           .as(Seq("d", "x")))
-      .groupBy("m", "code", "d").agg(avg("x").as("mu"))
+      .groupBy("m", "code", "d")
+      .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("mu", col("s").cast("double") / lit(1048576.0) / col("n"))
+      .select("m", "code", "d", "mu")
       .collect().map(r => ((r.getInt(0), r.getLong(1).toInt, r.getInt(2)), r.getDouble(3)))
       .toMap
     val flat = seeds.clone()
@@ -501,7 +532,100 @@ object Similarity {
     pqCache.computeIfAbsent(key, _ => pqTrain(unitNorm(emb(s, dir))))
   }
 
-  val annPq: Op = Op.rowsOnly("ann_pq") { (s, dir) =>
+  /** The PQ pipeline replayed in the oracle (round 7; rows-only
+    * before): unit-norm (list_dot_product's accumulation = the HOF
+    * fold's), seed codebook from the K lowest ids' subvectors,
+    * encode = per-subspace L2 argmin with the kernel's exact
+    * left-assoc 4-term distance and strict-< tie rule (≡ ORDER BY
+    * dist, k LIMIT 1), Lloyd means as fixed-point sums, re-encode,
+    * per-query ADC LUT (4-term left-assoc dots), ADC score = ordered
+    * 16-term sum via list_reduce, shortlist, exact re-rank. Every
+    * float op mirrors the kernel's IEEE order, so the unrounded
+    * scores compare bit-exact (validated at sf0.001/0.01/0.1). */
+  private def distSql(vecTab: String, cbTab: String, mi: String): String = {
+    val terms = (1 to PqSubDim).map(d =>
+      s"($vecTab.nv[$mi*$PqSubDim+$d] - $cbTab.cs[$d]) * ($vecTab.nv[$mi*$PqSubDim+$d] - $cbTab.cs[$d])")
+    terms.reduce((a, b) => s"($a + $b)")
+  }
+
+  private def lutDotSql(qTab: String, cbTab: String): String =
+    (1 to PqSubDim).map(d =>
+      s"$qTab.nv[$cbTab.m*$PqSubDim+$d] * $cbTab.cs[$d]")
+      .reduce((a, b) => s"($a + $b)")
+
+  /** PQ codebook + codes + per-query ADC scores as CTEs; appends to a
+    * WITH that already defines `e(vec_id, v)`. */
+  def pqAdcCteSql: String =
+    s""",
+       |un AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+       |  FROM e),
+       |pseed AS MATERIALIZED (
+       |  SELECT sp.mi AS m, s.k, s.nv[sp.mi * $PqSubDim + 1 : sp.mi * $PqSubDim + $PqSubDim] AS cs
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, nv
+       |        FROM un ORDER BY vec_id LIMIT $PqK) s,
+       |       unnest(range($PqM)) AS sp(mi)),
+       |code0 AS MATERIALIZED (
+       |  SELECT u.vec_id, sp.mi AS m,
+       |    (SELECT p.k FROM pseed p WHERE p.m = sp.mi
+       |     ORDER BY ${distSql("u", "p", "sp.mi")} ASC,
+       |       p.k ASC LIMIT 1) AS code
+       |  FROM un u, unnest(range($PqM)) AS sp(mi)),
+       |pmean AS MATERIALIZED (
+       |  SELECT c0.m, c0.code, t.d,
+       |    CAST(sum(CAST(floor(u.nv[c0.m * $PqSubDim + t.d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / 1048576.0 / count(*) AS mu
+       |  FROM code0 c0 JOIN un u USING (vec_id), unnest(range(1, ${PqSubDim + 1})) AS t(d)
+       |  GROUP BY 1, 2, 3),
+       |cbf AS MATERIALIZED (
+       |  SELECT p.m, p.k, coalesce(mm.cs, p.cs) AS cs
+       |  FROM pseed p LEFT JOIN
+       |    (SELECT m, code, list(mu ORDER BY d) AS cs FROM pmean GROUP BY m, code) mm
+       |    ON mm.m = p.m AND mm.code = p.k),
+       |codes AS MATERIALIZED (
+       |  SELECT u.vec_id, sp.mi AS m,
+       |    (SELECT c.k FROM cbf c WHERE c.m = sp.mi
+       |     ORDER BY ${distSql("u", "c", "sp.mi")} ASC,
+       |       c.k ASC LIMIT 1) AS code
+       |  FROM un u, unnest(range($PqM)) AS sp(mi)),
+       |lut AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.m, c.k,
+       |    ${lutDotSql("q", "c")} AS dot
+       |  FROM (SELECT vec_id, nv FROM un WHERE vec_id < $NumQueries) q, cbf c),
+       |adc AS MATERIALIZED (
+       |  SELECT l.query_id, cd.vec_id,
+       |    list_reduce(list(l.dot ORDER BY l.m), (a, b) -> a + b) AS approx_dot
+       |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.code
+       |  WHERE l.query_id <> cd.vec_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Exact re-rank of a `(query_id, vec_id)` shortlist CTE → the ops'
+    * (query_id, neighbor_id, cos) output. */
+  private def rerankSql(shortCte: String): String =
+    s"""
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos FROM (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_cosine_similarity(q.v, c.v) AS cos,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, s.vec_id) AS rn
+       |  FROM $shortCte s
+       |  JOIN e c ON c.vec_id = s.vec_id
+       |  JOIN e q ON q.vec_id = s.query_id)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
+  val annPq: Op = Op.sql("ann_pq",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)" +
+      pqAdcCteSql +
+      s""",
+         |short AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_dot DESC, vec_id) AS rn
+         |    FROM adc)
+         |  WHERE rn <= ${TopK * PqShortlist})""".stripMargin +
+      rerankSql("short")) { (s, dir) =>
     val e = emb(s, dir)
     pqTopK(e, e.filter(col("vec_id") < NumQueries), TopK, codebookFor(s, dir))
       .orderBy("query_id", "neighbor_id")
@@ -640,7 +764,39 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"))
   }
 
-  val annIvfPq: Op = Op.rowsOnly("ann_ivfpq") { (s, dir) =>
+  /** Probe-cell CTE shared by the IVF+PQ oracles: each query's
+    * NumProbes nearest refined centroids by the probe tie rule. */
+  private def probesCteSql: String =
+    s""",
+       |probes AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, p.cell
+       |  FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q,
+       |    LATERAL (SELECT c2.cell FROM cent2 c2
+       |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
+       |             LIMIT $NumProbes) p)""".stripMargin
+
+  /** IVF+PQ composed in the oracle (round 7): the IVF index replay
+    * ([[ivfCentroidCteSql]] — cells from RAW vectors, exactly the
+    * persisted build) supplies the probe pruning, the PQ replay
+    * ([[pqAdcCteSql]]) supplies the ADC scores, and the shortlist is
+    * taken only within each query's own probed cells — the same
+    * candidate set the partition-pruned scan produces. */
+  private def ivfPqShortSql(corpusOnly: Boolean): String =
+    s""",
+       |short AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.query_id, a.vec_id,
+       |      row_number() OVER (PARTITION BY a.query_id
+       |        ORDER BY a.approx_dot DESC, a.vec_id) AS rn
+       |    FROM adc a
+       |    JOIN cells cl ON cl.vec_id = a.vec_id
+       |    JOIN probes p ON p.query_id = a.query_id AND p.cell = cl.cell
+       |    ${if (corpusOnly) s"WHERE a.vec_id >= $NumQueries" else ""})
+       |  WHERE rn <= ${TopK * PqShortlist})""".stripMargin
+
+  val annIvfPq: Op = Op.sql("ann_ivfpq",
+    ivfCentroidCteSql + pqAdcCteSql + probesCteSql +
+      ivfPqShortSql(corpusOnly = false) + rerankSql("short")) { (s, dir) =>
     ivfPqTopK(s, dir, TopK).orderBy("query_id", "neighbor_id")
   }
 
@@ -708,7 +864,30 @@ object Similarity {
     * |queries|·k-row aggregate — nothing corpus-linear remains.
     * Spec: predictions agree with the brute vote wherever the probe's
     * recall delivers the same top-k (measured ≥80% agreement). */
-  val annKnnIvfPq: Op = Op.rowsOnly("ann_knn_ivfpq") { (s, dir) =>
+  val annKnnIvfPq: Op = Op.sql("ann_knn_ivfpq",
+    ivfCentroidCteSql + pqAdcCteSql + probesCteSql +
+      ivfPqShortSql(corpusOnly = true) +
+      s""",
+         |nn AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT s.query_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, s.vec_id) AS rn
+         |    FROM short s
+         |    JOIN e c ON c.vec_id = s.vec_id
+         |    JOIN e q ON q.vec_id = s.query_id)
+         |  WHERE rn <= $TopK),
+         |votes AS (
+         |  SELECT nn.query_id, lb.label, count(*) AS votes
+         |  FROM nn JOIN embeddings lb ON lb.vec_id = nn.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT v.query_id, v.label AS pred_label, CAST(v.votes AS BIGINT) AS votes,
+         |  ql.label AS true_label
+         |FROM votes v
+         |JOIN embeddings ql ON ql.vec_id = v.query_id
+         |QUALIFY row_number() OVER (PARTITION BY v.query_id
+         |        ORDER BY v.votes DESC, v.label) = 1
+         |ORDER BY v.query_id""".stripMargin) { (s, dir) =>
     val labels = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
     val qLabels = labels.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("label").as("true_label"))

@@ -195,6 +195,10 @@ class SqlParitySpec extends SparkSuite {
     "text_bpe_encode" -> "AS MATERIALIZED CTEs + string_split_regex + list slicing",
     "ann_ivf" -> "::DOUBLE[] cast + LATERAL correlated limit + list_cosine_similarity",
     "dedup_semantic" -> "::DOUBLE[] cast + MATERIALIZED CTEs + list_cosine_similarity",
+    "ann_pq" -> "::DOUBLE[] cast + list slicing + list_reduce lambda + MATERIALIZED CTEs",
+    "ann_ivfpq" -> "::DOUBLE[] cast + LATERAL + list_reduce lambda + MATERIALIZED CTEs",
+    "ann_knn_ivfpq" -> "::DOUBLE[] cast + LATERAL + QUALIFY + MATERIALIZED CTEs",
+    "ann_ivf_persist" -> "::DOUBLE[] cast + LATERAL correlated limit + list_cosine_similarity",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -13,6 +13,22 @@ class AnnSpec extends SparkSuite {
     .select(col("vec_id"), toDouble(col("embedding")).as("v")).cache()
   private lazy val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
 
+  test("index training is partitioning-deterministic: fixed-point means make retrains bit-identical") {
+    // the property the round-7 fixed-point accumulation bought: a
+    // float avg's result depends on partition merge order, so two
+    // retrains of the same corpus could disagree in the last ulp and
+    // flip a cell-boundary assignment. With exact integer sums the
+    // trained artifacts must be EQUAL — not close — under any
+    // repartitioning. (This is also what makes the DuckDB oracles
+    // able to re-train the index independently.)
+    val scrambled = emb.repartition(7, col("vec_id"))
+    assert(Similarity.ivfCentroids(emb) == Similarity.ivfCentroids(scrambled),
+      "IVF centroids changed under repartitioning")
+    assert(Similarity.pqTrain(Similarity.unitNorm(emb)) ==
+      Similarity.pqTrain(Similarity.unitNorm(scrambled)),
+      "PQ codebook changed under repartitioning")
+  }
+
   test("brute force returns exactly k neighbors per query, self excluded") {
     val rows = Similarity.bruteTopK(emb, queries, Similarity.TopK).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -57,6 +57,50 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Hard-negative band: candidates similar enough to be informative
+    * but below the near-dup threshold. `HardHi` deliberately equals
+    * dedup_embedding's dup cutoff — anything above it is a duplicate
+    * to REMOVE, not a negative to train on. */
+  val HardLo = 0.1
+  val HardHi = 0.4
+
+  /** Hard-negative mining for contrastive training (the
+    * triplet/InfoNCE data-prep stage): per anchor query, the top-k
+    * most-similar corpus vectors whose cosine falls in
+    * [HardLo, HardHi) — near misses, not duplicates and not easy
+    * negatives. Same plan as [[bruteTopK]] (broadcast query set, ONE
+    * corpus scan, partial top-k per partition); the band predicate
+    * runs codegen'd in the join stream BEFORE ranking, so pre-filter
+    * semantics hold — a selective band still returns k rows when k
+    * candidates exist. At 10 B vectors the candidate stage composes
+    * with [[ivfPqTopK]]'s pruned layout exactly like the kNN vote. */
+  val annHardNegatives: Op = Op.sql("ann_hard_negatives",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NumQueries)
+       |SELECT q.vec_id AS query_id, e.vec_id AS negative_id,
+       |       round(list_cosine_similarity(q.v, e.v), 6) AS cos
+       |FROM q, e
+       |WHERE q.vec_id <> e.vec_id
+       |  AND list_cosine_similarity(q.v, e.v) >= $HardLo
+       |  AND list_cosine_similarity(q.v, e.v) < $HardHi
+       |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) <= $TopK
+       |ORDER BY query_id, negative_id""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+    e.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos_raw", cosine(col("q.v"), col("c.v")))
+      .filter(col("cos_raw") >= HardLo && col("cos_raw") < HardHi)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("cos_raw").desc, col("c.vec_id"))))
+      .filter(col("rn") <= TopK)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("negative_id"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("query_id", "negative_id")
+  }
+
   // ---- random-hyperplane LSH --------------------------------------
 
   val NumPlanes: Int = graft.functions.VectorKernels.HpNumPlanes
@@ -972,5 +1016,6 @@ object Similarity {
   }
 
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
-    annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered)
+    annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered,
+    annHardNegatives)
 }

@@ -469,6 +469,158 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The Gopher keep decision as one boolean column over raw text —
+    * shared by [[textGopher]]'s output and [[textDistillFilter]]'s
+    * weak-supervision labels. */
+  private def gopherKeepCol(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    val nWords = size(toks).cast("bigint")
+    val sumLen = length(regexp_replace(text, "\\s+", "")).cast("bigint")
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("bigint")
+    val diff3 = (length(text) -
+      length(regexp_replace(text, "\\Q...\\E", ""))).cast("bigint")
+    val nAlpha = size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("bigint")
+    val nStop = size(filter(array(GopherStop.map(lit): _*),
+      sw => array_contains(toks, sw))).cast("bigint")
+    nWords.between(30, 100000) &&
+      lit(3) * nWords <= sumLen && sumLen <= lit(10) * nWords &&
+      lit(10) * (lit(3) * nHash + diff3) <= lit(3) * nWords &&
+      lit(10) * nAlpha >= lit(8) * nWords &&
+      nStop >= 2
+  }
+
+  /** The Gopher keep decision as a DuckDB CTE (`lab(doc_id, keep)`)
+    * — the oracle-side twin of [[gopherKeepCol]]. */
+  private def gopherKeepCteSql: String = {
+    val stop = GopherStop.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH lab AS (
+       |  SELECT doc_id,
+       |    (n_words BETWEEN 30 AND 100000)
+       |      AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+       |      AND 10 * (3 * n_hash + diff3) <= 3 * n_words
+       |      AND 10 * n_alpha >= 8 * n_words
+       |      AND n_stop >= 2 AS keep
+       |  FROM (SELECT doc_id,
+       |      len(string_split_regex(text, '\\s+')) AS n_words,
+       |      length(regexp_replace(text, '\\s+', '', 'g')) AS sum_len,
+       |      length(text) - length(replace(text, '#', '')) AS n_hash,
+       |      length(text) - length(replace(text, '...', '')) AS diff3,
+       |      len(list_filter(string_split_regex(text, '\\s+'),
+       |          w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+       |      len(list_filter($stop,
+       |          sw -> list_contains(string_split_regex(text, '\\s+'), sw))) AS n_stop
+       |    FROM documents))""".stripMargin
+  }
+
+  /** Distill the rule-based quality filter into a learned token-vote
+    * classifier — the production weak-supervision pattern (a cheap
+    * heuristic labels a corpus; a token-level model generalizes it,
+    * FineWeb/fastText-style). Integer-exact by construction so it's
+    * value-checked end to end. Two learned stages, both integer:
+    * (1) per lowercased token, the vote DIRECTION is the sign of the
+    * cross-multiplied document-frequency comparison df_pos·N_neg vs
+    * df_neg·N_pos (no division, no log-odds — a ln-based NB weight
+    * would not be bit-stable across engines); a doc's score sums its
+    * tokens' votes WITH multiplicity, so term frequency carries the
+    * length signal the teacher rule keys on. (2) a decision STUMP
+    * picks the score threshold maximizing training agreement
+    * (tie → smallest), computed from prefix sums over the |distinct
+    * scores| aggregated rows plus one virtual all-positive
+    * candidate. One counting pass trains the votes; the vote table
+    * is |vocab|-sized and broadcasts back over the token stream — at
+    * 100 TB the train side is one token-keyed hash-agg, the apply
+    * side shuffles only (doc_id, vote) scalars into a doc-keyed sum,
+    * and the stump sees |scores| rows. */
+  val textDistillFilter: Op = Op.sql("text_distill_filter",
+    gopherKeepCteSql +
+      """,
+        |ts AS (  -- token stream WITH multiplicity (tf carries length)
+        |  SELECT l.doc_id, l.keep, t.tok
+        |  FROM lab l JOIN documents d USING (doc_id),
+        |    unnest(list_filter(string_split_regex(lower(d.text), '\s+'),
+        |                       x -> x <> '')) AS t(tok)),
+        |tot AS (
+        |  SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_pos,
+        |         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_neg
+        |  FROM lab),
+        |v AS (  -- vote direction from document frequency
+        |  SELECT tok,
+        |    count(DISTINCT CASE WHEN keep THEN doc_id END) AS df_pos,
+        |    count(DISTINCT CASE WHEN NOT keep THEN doc_id END) AS df_neg
+        |  FROM ts GROUP BY tok),
+        |vt AS (
+        |  SELECT tok,
+        |    CASE WHEN df_pos * n_neg > df_neg * n_pos THEN 1
+        |         WHEN df_pos * n_neg < df_neg * n_pos THEN -1 ELSE 0 END AS vote
+        |  FROM v, tot),
+        |scored AS (
+        |  SELECT ts.doc_id, any_value(ts.keep) AS keep,
+        |    CAST(sum(vt.vote) AS BIGINT) AS score
+        |  FROM ts JOIN vt USING (tok) GROUP BY ts.doc_id),
+        |bys AS (
+        |  SELECT score,
+        |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS neg
+        |  FROM scored GROUP BY score),
+        |cand AS (  -- stump thresholds: every score, plus all-positive
+        |  SELECT score AS t,
+        |    sum(pos) OVER w AS pos_le, sum(neg) OVER w AS neg_le
+        |  FROM bys WINDOW w AS (ORDER BY score ROWS UNBOUNDED PRECEDING)
+        |  UNION ALL
+        |  SELECT min(score) - 1 AS t, 0 AS pos_le, 0 AS neg_le FROM bys),
+        |stump AS (
+        |  SELECT t FROM cand, tot
+        |  ORDER BY (tot.n_pos - pos_le + neg_le) DESC, t ASC LIMIT 1)
+        |SELECT s.doc_id, s.keep AS gopher_keep, s.score,
+        |  s.score > (SELECT t FROM stump) AS pred_keep
+        |FROM scored s ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    val labeled = docs(s, dir).select(col("doc_id"),
+      gopherKeepCol(col("text")).as("keep"), col("text"))
+    // token stream WITH multiplicity: term frequency carries the
+    // length signal the teacher rule keys on; vote DIRECTION uses
+    // document frequency (robust to one spammy doc)
+    val tokStream = labeled.select(col("doc_id"), col("keep"),
+      explode(filter(split(lower(col("text")), "\\s+"),
+        t => t =!= "")).as("tok"))
+    val totals = labeled.agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("n_neg"))
+    val votes = tokStream.groupBy("tok")
+      .agg(countDistinct(when(col("keep"), col("doc_id"))).as("df_pos"),
+        countDistinct(when(!col("keep"), col("doc_id"))).as("df_neg"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok"),
+        when(col("df_pos") * col("n_neg") > col("df_neg") * col("n_pos"), 1L)
+          .when(col("df_pos") * col("n_neg") < col("df_neg") * col("n_pos"), -1L)
+          .otherwise(0L).as("vote"))
+    val scored = tokStream.join(broadcast(votes), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(first(col("keep")).as("keep"), sum(col("vote")).as("score"))
+    // decision stump over the integer score: the threshold maximizing
+    // training agreement, tie → smallest. Prefix sums run over the
+    // |distinct scores| AGGREGATED rows (the corpus-card precedent:
+    // windows over aggregate output, never over data), plus one
+    // virtual all-positive candidate below the minimum.
+    val byScore = scored.groupBy("score")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("score").rowsBetween(Long.MinValue, 0)
+    val cand = byScore.select(col("score").as("t"),
+        sum("pos").over(w).as("pos_le"), sum("neg").over(w).as("neg_le"))
+      .unionByName(byScore.agg((min("score") - 1).as("t"),
+        lit(0L).as("pos_le"), lit(0L).as("neg_le")))
+    val stump = cand.crossJoin(broadcast(totals))
+      .select(col("t"),
+        (col("n_pos") - col("pos_le") + col("neg_le")).as("agreement"))
+      .orderBy(col("agreement").desc, col("t").asc).limit(1)
+      .select("t")
+    scored.crossJoin(broadcast(stump))
+      .select(col("doc_id"), col("keep").as("gopher_keep"), col("score"),
+        (col("score") > col("t")).as("pred_keep"))
+      .orderBy("doc_id")
+  }
+
   /** One greedy left-to-right BPE merge of adjacent (l, r) into l+r —
     * a HOF fold applied distributed to every word type. HOFs run
     * expression-interpreted (outside whole-stage codegen), but the
@@ -1147,5 +1299,5 @@ object TextAnalysis {
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
     sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
-    sampleTemperature, textCorpusCard)
+    sampleTemperature, textCorpusCard, textDistillFilter)
 }

@@ -270,4 +270,18 @@ class AnnSpec extends SparkSuite {
       assert(mn <= mean && mean <= mx && std >= 0)
     }
   }
+
+  test("hard negatives: every mined negative sits inside the band, below the dup cutoff") {
+    val rows = Similarity.annHardNegatives.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= Similarity.TopK))
+    assert(rows.forall { r =>
+      val c = r.getDouble(2)
+      c >= Similarity.HardLo - 1e-6 && c < Similarity.HardHi + 1e-6
+    }, "a mined negative escaped the [HardLo, HardHi) band")
+    // nothing in the output may be a near-duplicate by dedup_embedding's rule
+    assert(rows.forall(_.getDouble(2) < Similarity.HardHi + 1e-6))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
 }

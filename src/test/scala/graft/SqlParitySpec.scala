@@ -199,6 +199,8 @@ class SqlParitySpec extends SparkSuite {
     "ann_ivfpq" -> "::DOUBLE[] cast + LATERAL + list_reduce lambda + MATERIALIZED CTEs",
     "ann_knn_ivfpq" -> "::DOUBLE[] cast + LATERAL + QUALIFY + MATERIALIZED CTEs",
     "ann_ivf_persist" -> "::DOUBLE[] cast + LATERAL correlated limit + list_cosine_similarity",
+    "ann_hard_negatives" -> "::DOUBLE[] cast + QUALIFY + list_cosine_similarity",
+    "text_distill_filter" -> "string_split_regex + list_filter lambda + WINDOW clause placement",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

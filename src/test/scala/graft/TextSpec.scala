@@ -343,4 +343,23 @@ class TextSpec extends SparkSuite {
     }
     assert(rows.forall(_.getLong(2) > 0))
   }
+
+  test("distilled filter: learned token votes reproduce the teacher labels on most docs") {
+    val rows = graft.operators.TextAnalysis.textDistillFilter.run(spark, sfDir).collect()
+    assert(rows.length > 0)
+    // trained on its own labels, the vote classifier must beat chance
+    // decisively (distillation sanity, not a generalization claim)
+    val agree = rows.count(r => r.getBoolean(1) == r.getBoolean(3))
+    assert(agree.toDouble / rows.length >= 0.8,
+      s"distilled filter agrees on only $agree/${rows.length} docs")
+    // both classes must actually occur or the vote table is degenerate
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)),
+      "predictions are all one class")
+    // the stump is trained to maximize agreement, so it can never do
+    // worse than the majority-class baseline on its own training set
+    val nPos = rows.count(_.getBoolean(1))
+    val baseline = math.max(nPos, rows.length - nPos)
+    assert(agree >= baseline,
+      s"stump agreement $agree below majority baseline $baseline")
+  }
 }

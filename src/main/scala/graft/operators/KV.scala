@@ -205,7 +205,78 @@ object KV {
     t.merged().filter(col("seq") > horizon).orderBy("key")
   }
 
+  /** RocksDB-style MERGE OPERATOR read (the LSM write-optimization
+    * the plain latest-wins model lacks): counter increments are
+    * appended as `add` operands instead of read-modify-write, and the
+    * READ folds them — full-merge = latest base (`put`, or zero after
+    * a `del`/empty history) combined with every later operand.
+    * Derived deterministically from events: 'purchase' = put(base),
+    * 'error' = del, everything else = add(delta); values cast to
+    * DECIMAL(12,2) so the operand fold is EXACT and order-free (a
+    * double fold would re-introduce the summation-order hazard the
+    * repo's float rules exist to kill). Two key-keyed hash-aggs
+    * joined on the key — base discovery and operand fold — shuffle
+    * O(log), never a per-key sort; at 100 TB this is the same
+    * two-pass shape compaction itself uses, and partial aggregation
+    * folds operands map-side exactly like RocksDB's partial merge. */
+  val kvMergeOperator: Op = Op.sql("kv_merge_operator",
+    """WITH ops AS (
+      |  SELECT user_id AS key, event_id AS seq,
+      |    CASE WHEN event_type = 'error' THEN 'del'
+      |         WHEN event_type = 'purchase' THEN 'put'
+      |         ELSE 'add' END AS op,
+      |    CAST("value" AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |base AS (
+      |  SELECT key,
+      |    max(CASE WHEN op <> 'add' THEN seq END) AS bseq,
+      |    max_by(op, CASE WHEN op <> 'add' THEN seq END) AS bop,
+      |    max_by(v, CASE WHEN op <> 'add' THEN seq END) AS bv
+      |  FROM ops GROUP BY key),
+      |folded AS (
+      |  SELECT o.key,
+      |    coalesce(sum(CASE WHEN o.op = 'add'
+      |      AND o.seq > coalesce(b.bseq, -1) THEN o.v END), 0) AS delta,
+      |    count(CASE WHEN o.op = 'add'
+      |      AND o.seq > coalesce(b.bseq, -1) THEN 1 END) AS n_operands
+      |  FROM ops o JOIN base b USING (key) GROUP BY o.key)
+      |SELECT f.key,
+      |  CAST(CAST(CASE WHEN b.bop = 'put' THEN b.bv + f.delta
+      |            ELSE f.delta END AS DECIMAL(14,2)) AS DOUBLE) AS merged_value,
+      |  CAST(f.n_operands AS BIGINT) AS n_operands,
+      |  coalesce(b.bop, 'none') AS base_kind
+      |FROM folded f JOIN base b USING (key)
+      |WHERE b.bop = 'put' OR f.n_operands > 0
+      |ORDER BY key""".stripMargin) { (s, dir) =>
+    val ops = Tables.load(s, dir, "events").select(
+      col("user_id").as("key"), col("event_id").as("seq"),
+      when(col("event_type") === "error", "del")
+        .when(col("event_type") === "purchase", "put")
+        .otherwise("add").as("op"),
+      col("value").cast("decimal(12,2)").as("v"))
+    val base = ops.groupBy("key").agg(
+      max(when(col("op") =!= "add", col("seq"))).as("bseq"),
+      max_by(col("op"), when(col("op") =!= "add", col("seq"))).as("bop"),
+      max_by(col("v"), when(col("op") =!= "add", col("seq"))).as("bv"))
+    val folded = ops.join(base, Seq("key"))
+      .groupBy("key").agg(
+        coalesce(sum(when(col("op") === "add" &&
+          col("seq") > coalesce(col("bseq"), lit(-1L)), col("v"))), lit(0)
+          .cast("decimal(12,2)")).as("delta"),
+        count(when(col("op") === "add" &&
+          col("seq") > coalesce(col("bseq"), lit(-1L)), 1)).as("n_operands"))
+    folded.join(base, Seq("key"))
+      .filter(col("bop") === "put" || col("n_operands") > 0)
+      .select(col("key"),
+        when(col("bop") === "put", col("bv") + col("delta"))
+          .otherwise(col("delta")).cast("decimal(14,2)")
+          .cast("double").as("merged_value"),
+        col("n_operands").cast("bigint").as("n_operands"),
+        coalesce(col("bop"), lit("none")).as("base_kind"))
+      .orderBy("key")
+  }
+
   val all: Seq[Op] = Seq(kvPointGet, kvRangeScan, kvCompact,
     kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest,
-    kvScd2, kvTtl)
+    kvScd2, kvTtl, kvMergeOperator)
 }

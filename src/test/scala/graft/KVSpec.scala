@@ -171,4 +171,34 @@ class KVSpec extends SparkSuite {
     // the horizon actually bites at this SF: some keys expired, some live
     assert(ttl.nonEmpty && ttl.length < merged.length)
   }
+
+  test("merge operator: a sequential per-key fold reproduces every merged value") {
+    val rows = graft.operators.KV.kvMergeOperator.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val log = graft.sources.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val byKey = log.groupBy(_._1)
+    rows.foreach { case (key, got, nOps, baseKind) =>
+      val evs = byKey(key).sortBy(_._2)
+      // base = the newest put/del; operands = adds after it
+      val resets = evs.filter(e => e._3 == "error" || e._3 == "purchase")
+      val base = resets.lastOption
+      val bseq = base.map(_._2).getOrElse(-1L)
+      val adds = evs.filter(e => e._3 != "error" && e._3 != "purchase" && e._2 > bseq)
+      val wantBase = base.map(b => if (b._3 == "purchase") "put" else "del").getOrElse("none")
+      val wantVal = (adds.map(a => BigDecimal(a._4)).sum +
+        (if (wantBase == "put") BigDecimal(base.get._4) else BigDecimal(0)))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(baseKind == wantBase, s"key $key base kind")
+      assert(nOps == adds.length.toLong, s"key $key operand count")
+      assert(got == wantVal, s"key $key: got $got want $wantVal")
+    }
+    // semantics actually exercised: some key has a del base with live adds,
+    // and some key folded multiple operands onto a put
+    assert(rows.exists(r => r._4 == "del" && r._3 > 0), "no del-then-add key")
+    assert(rows.exists(r => r._4 == "put" && r._3 > 1), "no multi-operand put key")
+  }
 }

@@ -383,7 +383,10 @@ object Analytics {
     import org.apache.spark.storage.StorageLevel
     val edges = edgesIn.toDF("node", "parent")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // graph-sized side: keyed shuffle, never broadcast; the edges
+    // exchange is identical every round, so AQE reuses one shuffle
     val eJoin = edges.select(col("node").as("e_node"), col("parent").as("e_parent"))
+      .hint("shuffle_hash")
     var frontier = edges
       .select(col("node"), col("parent").as("anc"), lit(1L).as("depth"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -733,10 +736,14 @@ object Analytics {
       greatest(col("a"), col("b")).as("v")).distinct()
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      // graph-sized side: keyed shuffle, never broadcast — the degree
+      // table and edge list are O(graph) and cannot live on the
+      // driver at 100 TB (same argument as the banded dedup joins)
+      .hint("shuffle_hash")
     // orientation key: (deg, node) packed into one long (node < 300
     // « the 1e6 multiplier, so the packing is order-preserving)
     def key(d: Column, n: Column) = d * 1000000L + n
-    val or = e
+    val or = e.hint("shuffle_hash")
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
       .select(
@@ -745,12 +752,13 @@ object Analytics {
         when(key(col("du"), col("u")) < key(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("dst"),
         greatest(key(col("du"), col("u")), key(col("dv"), col("v"))).as("kdst"))
-    val wedges = or.as("e1")
-      .join(or.as("e2"),
+    val orH = or.hint("shuffle_hash")
+    val wedges = orH.as("e1")
+      .join(orH.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
       .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
     wedges
-      .join(or.as("e3"), col("tb") === col("e3.src") && col("tc") === col("e3.dst"))
+      .join(orH.as("e3"), col("tb") === col("e3.src") && col("tc") === col("e3.dst"))
       .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       .orderBy("node")

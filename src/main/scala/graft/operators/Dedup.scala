@@ -163,8 +163,11 @@ object Dedup {
     * standard candidate→verify pipeline): join shingle SETS back to
     * the (small) candidate pair list, never to the corpus itself. */
   def jaccardVerified(corpus: DataFrame, threshold: Double): DataFrame = {
+    // corpus-sized side (shingle SETS — the widest rows in the op):
+    // keyed shuffle, never broadcast
     val sets = corpus.select(col("doc_id"),
       array_distinct(shinglesCol(col("text"))).as("sh"))
+      .hint("shuffle_hash")
     minhashCandidates(corpus)
       .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -487,7 +490,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = sym.join(labels, sym("b") === labels("id"))
+      val neighborMin = sym.join(labels.hint("shuffle_hash"), sym("b") === labels("id"))
         .select(sym("a").as("id"), col("label"))
       // persist each round and DROP the previous one — residency stays
       // at two label sets, not O(rounds); a periodic localCheckpoint
@@ -496,7 +499,8 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
       next = (if ((iter + 1) % 8 == 0) next.localCheckpoint()
               else next.persist(StorageLevel.MEMORY_AND_DISK))
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+      converged = next.join(
+        labels.withColumnRenamed("label", "old").hint("shuffle_hash"), "id")
         .filter(col("label") =!= col("old")).isEmpty
       labels.unpersist()
       labels = next
@@ -639,7 +643,11 @@ object Dedup {
     val batch = d.select((col("doc_id") + 200000).as("doc_id"),
       when(col("doc_id") % 3 === 0, col("text"))
         .otherwise(concat(lit("v2 "), col("text"))).as("text"))
+    // the seen corpus is the BIG side of this left join: keyed
+    // shuffle, never broadcast (at scale it is the bloom-filtered KV
+    // hash store — corpus-sized by definition)
     val seen = d.select(md5(col("text").cast("binary")).as("h")).distinct()
+      .hint("shuffle_hash")
     batch.select(col("doc_id"), md5(col("text").cast("binary")).as("bh"))
       .join(seen, col("bh") === col("h"), "left")
       .select(col("doc_id"), col("h").isNotNull.as("is_dup"))

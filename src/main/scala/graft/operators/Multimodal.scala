@@ -42,10 +42,24 @@ object Multimodal {
   val ImageMime = "image/x-portable-pixmap"
   val VideoMime = "video/x-graft-seq"
 
-  /** Deterministic pixel synthesis: cycle the doc's utf8 bytes to
-    * fill w·h·3 RGB bytes (every 5th doc becomes a 3-frame video of
-    * shifted copies). Dims derive from n_chars, capped small so the
-    * corpus stays MBs at test SF. */
+  /** Synthesis byte source: the doc's CODE POINTS masked to a byte
+    * (cp & 0xFF) — deliberately code-point-based, not utf8-byte-based,
+    * so the oracle's `ascii(substr(..)) % 256` replays it for ANY
+    * corpus encoding (on the ASCII gate corpus the two are identical;
+    * a future non-ASCII testdata regeneration must not silently
+    * diverge the oracle from the synthesis). */
+  private[operators] def synthBytes(text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val out = new Array[Byte](cps.length)
+    var i = 0
+    while (i < cps.length) { out(i) = (cps(i) & 0xFF).toByte; i += 1 }
+    out
+  }
+
+  /** Deterministic pixel synthesis: cycle the doc's masked code
+    * points ([[synthBytes]]) to fill w·h·3 RGB bytes (every 5th doc
+    * becomes a 3-frame video of shifted copies). Dims derive from
+    * n_chars, capped small so the corpus stays MBs at test SF. */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
@@ -53,7 +67,7 @@ object Multimodal {
       .mapPartitions(_.map { case (docId, text, nChars) =>
         val w = (nChars % 64 + 1).toInt
         val h = (nChars % 48 + 1).toInt
-        val src = text.getBytes("UTF-8")
+        val src = synthBytes(text)
         def frame(shift: Int): Array[Byte] = {
           val px = new Array[Byte](w * h * 3)
           var i = 0
@@ -154,7 +168,7 @@ object Multimodal {
       .mapPartitions(_.map { case (docId, text, nChars) =>
         val rate = 8000 + (docId % 3).toInt * 4000 // 8/12/16 kHz
         val n = (nChars % 2000 + 100).toInt
-        val src = text.getBytes("UTF-8")
+        val src = synthBytes(text)
         val samples = new Array[Short](n)
         var i = 0
         while (i < n) {
@@ -199,7 +213,7 @@ object Multimodal {
       |  FROM documents),
       |v AS (
       |  SELECT a.doc_id, t.i,
-      |    (ascii(substr(a.text, CAST(t.i % a.L AS INT) + 1, 1)) - 128) * 200
+      |    ((ascii(substr(a.text, CAST(t.i % a.L AS INT) + 1, 1)) % 256) - 128) * 200
       |      + (t.i % 7) * 11 AS val
       |  FROM a, unnest(range(a.n)) AS t(i)),
       |vz AS (
@@ -338,8 +352,8 @@ object Multimodal {
        |pxv AS (
        |  SELECT i.doc_id, t.k // 3 AS p, i.w, i.h,
        |    CASE WHEN i.noised AND (t.k - (13 - i.hdr)) % 97 = 0
-       |         THEN xor(ascii(substr(i.strm, CAST(t.k AS INT) + 1, 1)), 1)
-       |         ELSE ascii(substr(i.strm, CAST(t.k AS INT) + 1, 1)) END AS bv
+       |         THEN xor((ascii(substr(i.strm, CAST(t.k AS INT) + 1, 1)) % 256), 1)
+       |         ELSE (ascii(substr(i.strm, CAST(t.k AS INT) + 1, 1)) % 256) END AS bv
        |  FROM img i, unnest(range(i.N)) AS t(k)),
        |lum AS (
        |  SELECT doc_id, p,
@@ -409,9 +423,9 @@ object Multimodal {
       |  FROM d),
       |s AS (
       |  SELECT m.doc_id, m.w, m.h, m.N, m.hdr,
-      |    (m.N // m.L) * sum(ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)))
+      |    (m.N // m.L) * sum((ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) % 256))
       |      + sum(CASE WHEN t.j < m.N % m.L
-      |            THEN ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) ELSE 0 END) AS tot
+      |            THEN (ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) % 256) ELSE 0 END) AS tot
       |  FROM m JOIN d USING (doc_id), unnest(range(m.L)) AS t(j)
       |  GROUP BY m.doc_id, m.w, m.h, m.N, m.L, m.hdr),
       |y AS (
@@ -448,9 +462,9 @@ object Multimodal {
       |  FROM d, unnest(range(3)) AS f(f)),
       |s AS (
       |  SELECT m.doc_id, m.fno, m.w, m.h, m.N,
-      |    (m.N // m.L) * sum(ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)))
+      |    (m.N // m.L) * sum((ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) % 256))
       |      + sum(CASE WHEN ((t.j - 7 * m.fno) % m.L + m.L) % m.L < m.N % m.L
-      |            THEN ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) ELSE 0 END) AS tot
+      |            THEN (ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) % 256) ELSE 0 END) AS tot
       |  FROM m JOIN d USING (doc_id), unnest(range(m.L)) AS t(j)
       |  GROUP BY m.doc_id, m.fno, m.w, m.h, m.N, m.L),
       |r AS (
@@ -535,8 +549,8 @@ object Multimodal {
       |  FROM documents WHERE doc_id % 5 = 0),
       |g AS (
       |  SELECT d.doc_id, t.j,
-      |    abs(ascii(substr(d.text, CAST(t.j + 1 AS INT), 1))
-      |      - ascii(substr(d.text, CAST((t.j + 7) % d.L + 1 AS INT), 1))) AS gv
+      |    abs((ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) % 256)
+      |      - (ascii(substr(d.text, CAST((t.j + 7) % d.L + 1 AS INT), 1)) % 256)) AS gv
       |  FROM d, unnest(range(d.L)) AS t(j)),
       |m AS (
       |  SELECT doc_id, w, h, L, CAST(w AS BIGINT) * h * 3 AS N, s.s AS step
@@ -636,7 +650,7 @@ object Multimodal {
       |v AS (
       |  SELECT a.doc_id, t.i // a.flen AS k,
       |    CASE WHEN (t.i // a.flen + a.doc_id) % 3 = 0 THEN 0
-      |         ELSE (ascii(substr(a.text, CAST(t.i % a.L AS INT) + 1, 1)) - 128) * 200
+      |         ELSE ((ascii(substr(a.text, CAST(t.i % a.L AS INT) + 1, 1)) % 256) - 128) * 200
       |           + (t.i % 7) * 11 END AS val
       |  FROM a, unnest(range(a.n)) AS t(i)),
       |fr AS (
@@ -678,8 +692,8 @@ object Multimodal {
       |  FROM documents WHERE doc_id % 5 = 0),
       |sd_g AS (
       |  SELECT sd_d.doc_id, t.j,
-      |    abs(ascii(substr(sd_d.text, CAST(t.j + 1 AS INT), 1))
-      |      - ascii(substr(sd_d.text, CAST((t.j + 7) % sd_d.L + 1 AS INT), 1))) AS gv
+      |    abs((ascii(substr(sd_d.text, CAST(t.j + 1 AS INT), 1)) % 256)
+      |      - (ascii(substr(sd_d.text, CAST((t.j + 7) % sd_d.L + 1 AS INT), 1)) % 256)) AS gv
       |  FROM sd_d, unnest(range(sd_d.L)) AS t(j)),
       |sd_m AS (
       |  SELECT doc_id, L, CAST(w AS BIGINT) * h * 3 AS N, s.s AS step
@@ -699,7 +713,7 @@ object Multimodal {
       |vad_v AS (
       |  SELECT a.doc_id, t.i // a.flen AS k,
       |    CASE WHEN (t.i // a.flen + a.doc_id) % 3 = 0 THEN 0
-      |         ELSE (ascii(substr(a.text, CAST(t.i % a.L AS INT) + 1, 1)) - 128) * 200
+      |         ELSE ((ascii(substr(a.text, CAST(t.i % a.L AS INT) + 1, 1)) % 256) - 128) * 200
       |           + (t.i % 7) * 11 END AS val
       |  FROM vad_a a, unnest(range(a.n)) AS t(i)),
       |vad_fr AS (

@@ -729,7 +729,10 @@ object TextAnalysis {
     * delimiter, and tokens can never contain the delimiter (they come
     * from a \\s+ split). AS MATERIALIZED pins each round to evaluate
     * once — inlined, the 12-deep chain re-expands the scan 2^12
-    * times. */
+    * times. Encoding note: the char split (split(w, "")) is UTF-16
+    * code units in Spark vs code points in DuckDB — identical except
+    * for astral-plane characters, where the gate would fail LOUDLY
+    * (hash mismatch), never silently pass. */
   private def bpeTrainCte(rounds: Int): String = {
     val w0 = """w0 AS MATERIALIZED (
       |  SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seg,

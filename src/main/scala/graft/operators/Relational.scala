@@ -43,6 +43,15 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** Exact fixed-point sum via the long-partial aggregate
+    * (graft.functions.SumScaledExact): same values as
+    * `sum(cast(x as decimal(12,d)))` — SumScaledSpec pins the
+    * equality — without the measured per-row Decimal cost
+    * (BENCH_LAYOUT_r07: 2.3x the double path at 6M rows). Shared by
+    * every money/quantity hot-path sum (q1, q10, q20, q28, q37, q51). */
+  private def sumScaled(c: org.apache.spark.sql.Column, d: Int) =
+    call_function("graft_sum_scaled", c, lit(d))
+
   val q1Agg: Op = Op.sql("q1_agg",
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -56,13 +65,6 @@ object Relational {
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-    // exact fixed-point sums via the long-partial aggregate
-    // (graft.functions.SumScaledExact): same values as the
-    // decimal(12,2)-cast sums the oracle declares — SumScaledSpec
-    // pins the equality — without the measured per-row Decimal cost
-    // (BENCH_LAYOUT_r07: 2.3x the double path at 6M rows)
-    def sumScaled(c: org.apache.spark.sql.Column, d: Int) =
-      call_function("graft_sum_scaled", c, lit(d))
     // scale-4 disc product: cents(price) x cents(1-disc) are exact
     // integer doubles (<=1e9 and <=100, product <=1e11 < 2^53), so
     // this equals the decimal(12,2) product sum bit-for-bit
@@ -209,8 +211,12 @@ object Relational {
       .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
-        * (lit(1) - col("l_discount").cast("decimal(12,2)"))).cast("double").as("revenue"))
+      // scale-4 product of exact cent integers (see q1_agg's discProd):
+      // equals the oracle's decimal(12,2) product sum bit-for-bit,
+      // summed in primitive long instead of per-row Decimal
+      .agg(sumScaled(round(col("l_extendedprice") * 100) *
+          round((lit(1) - col("l_discount")) * 100) / 1e4, 4)
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -356,7 +362,7 @@ object Relational {
     t(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("tot"))
+        sumScaled(col("o_totalprice"), 2).cast("double").as("tot"))
       .filter(col("n") >= 12)
       .orderBy("o_custkey")
   }
@@ -652,7 +658,7 @@ object Relational {
       |ORDER BY tot DESC, o_custkey LIMIT 10""".stripMargin) { (s, dir) =>
     t(s, dir, "orders")
       .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("tot"))
+      .agg(sumScaled(col("o_totalprice"), 2).cast("double").as("tot"))
       .orderBy(col("tot").desc, col("o_custkey"))
       .limit(10)
   }
@@ -739,9 +745,13 @@ object Relational {
     """SELECT l_returnflag, count(*) AS n,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    // partial pass (the per-row hot path over all of lineitem) sums in
+    // primitive long via SumScaledExact; the finalize sum folds only
+    // |groups|x8 exact decimal partials — per-buffer Decimal cost, not
+    // per-row
     Skew.saltedAgg(t(s, dir, "lineitem"), "l_returnflag", salts = 8,
       partial = Seq(count(lit(1)).as("_c"),
-        sum(col("l_quantity").cast("decimal(12,2)")).as("_s")),
+        sumScaled(col("l_quantity"), 2).as("_s")),
       finalize = Seq(sum("_c").cast("bigint").as("n"),
         sum("_s").cast("double").as("sum_qty")))
       .orderBy("l_returnflag")
@@ -760,7 +770,7 @@ object Relational {
     t(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+        sumScaled(col("l_quantity"), 2).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 

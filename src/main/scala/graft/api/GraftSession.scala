@@ -25,7 +25,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions",
         shufflePartitions.map(_.toString)
           .getOrElse(sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32")))
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_ADAPTIVE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)

@@ -116,23 +116,32 @@ object Shell {
                 spark.table(src).schema.filter(f => cs.contains(f.name)))
           })
           .csv(path)
-        src0.createOrReplaceTempView("graft_copy_src")
-        val n = src0.count()
+        // one scan per COPY: the "COPY n" echo rides the INSERT's own
+        // scan as a CollectMetrics observation instead of a separate
+        // count() pass — at 100 TB the old shape read the source twice
+        val obs = org.apache.spark.sql.Observation()
+        src0.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+          .createOrReplaceTempView("graft_copy_src")
         spark.sql(s"INSERT INTO $src" +
           colList.map(_.mkString("(", ",", ")")).getOrElse("") +
           " SELECT * FROM graft_copy_src")
-        s"COPY $n"
+        s"COPY ${obs.get("n")}"
       } else {
         val df = if (src.startsWith("("))
           spark.sql(src.stripPrefix("(").stripSuffix(")"))
         else spark.table(src)
         val fmt = o.get("FORMAT").map(_.toLowerCase).getOrElse(
           if (path.endsWith(".parquet")) "parquet" else "csv")
-        val w = df.write.mode("overwrite")
+        // same single-pass contract as FROM: the count observes the
+        // export write itself rather than recomputing the query
+        val obs = org.apache.spark.sql.Observation()
+        val w = df.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")).write.mode("overwrite")
         (if (fmt == "csv")
           w.option("header", header.toString).option("sep", delim)
         else w).format(fmt).save(path)
-        s"COPY ${df.count()}"
+        s"COPY ${obs.get("n")}"
       }
     case _ => "error: cannot parse COPY statement (expected " +
       "COPY t [(cols)] FROM 'file' [(opts)] | COPY t|(query) TO 'path' [(opts)])"

@@ -211,10 +211,14 @@ object KV {
     * READ folds them — full-merge = latest base (`put`, or zero after
     * a `del`/empty history) combined with every later operand.
     * Derived deterministically from events: 'purchase' = put(base),
-    * 'error' = del, everything else = add(delta); values cast to
-    * DECIMAL(12,2) so the operand fold is EXACT and order-free (a
-    * double fold would re-introduce the summation-order hazard the
-    * repo's float rules exist to kill). Two key-keyed hash-aggs
+    * 'error' = del, everything else = add(delta); values are
+    * integerized to cents via `floor(v*100 + 0.5)` — pure IEEE double
+    * arithmetic, bit-identical on BOTH engines for every double (a
+    * DECIMAL(12,2) cast here would round Spark's shortest-decimal
+    * rendering HALF_UP but DuckDB's full binary value to nearest, so
+    * a tie value like 2.675 would diverge; ADVICE r7) — and the
+    * operand fold is an exact order-free BIGINT sum, surfaced as
+    * cents/100 at the boundary. Two key-keyed hash-aggs
     * joined on the key — base discovery and operand fold — shuffle
     * O(log), never a per-key sort; at 100 TB this is the same
     * two-pass shape compaction itself uses, and partial aggregation
@@ -225,7 +229,7 @@ object KV {
       |    CASE WHEN event_type = 'error' THEN 'del'
       |         WHEN event_type = 'purchase' THEN 'put'
       |         ELSE 'add' END AS op,
-      |    CAST("value" AS DECIMAL(12,2)) AS v
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS v
       |  FROM events),
       |base AS (
       |  SELECT key,
@@ -235,14 +239,14 @@ object KV {
       |  FROM ops GROUP BY key),
       |folded AS (
       |  SELECT o.key,
-      |    coalesce(sum(CASE WHEN o.op = 'add'
-      |      AND o.seq > coalesce(b.bseq, -1) THEN o.v END), 0) AS delta,
+      |    coalesce(CAST(sum(CASE WHEN o.op = 'add'
+      |      AND o.seq > coalesce(b.bseq, -1) THEN o.v END) AS BIGINT), 0) AS delta,
       |    count(CASE WHEN o.op = 'add'
       |      AND o.seq > coalesce(b.bseq, -1) THEN 1 END) AS n_operands
       |  FROM ops o JOIN base b USING (key) GROUP BY o.key)
       |SELECT f.key,
-      |  CAST(CAST(CASE WHEN b.bop = 'put' THEN b.bv + f.delta
-      |            ELSE f.delta END AS DECIMAL(14,2)) AS DOUBLE) AS merged_value,
+      |  CAST(CASE WHEN b.bop = 'put' THEN b.bv + f.delta
+      |       ELSE f.delta END AS DOUBLE) / 100 AS merged_value,
       |  CAST(f.n_operands AS BIGINT) AS n_operands,
       |  coalesce(b.bop, 'none') AS base_kind
       |FROM folded f JOIN base b USING (key)
@@ -253,7 +257,7 @@ object KV {
       when(col("event_type") === "error", "del")
         .when(col("event_type") === "purchase", "put")
         .otherwise("add").as("op"),
-      col("value").cast("decimal(12,2)").as("v"))
+      floor(col("value") * 100 + 0.5).cast("long").as("v"))
     val base = ops.groupBy("key").agg(
       max(when(col("op") =!= "add", col("seq"))).as("bseq"),
       max_by(col("op"), when(col("op") =!= "add", col("seq"))).as("bop"),
@@ -261,16 +265,15 @@ object KV {
     val folded = ops.join(base, Seq("key"))
       .groupBy("key").agg(
         coalesce(sum(when(col("op") === "add" &&
-          col("seq") > coalesce(col("bseq"), lit(-1L)), col("v"))), lit(0)
-          .cast("decimal(12,2)")).as("delta"),
+          col("seq") > coalesce(col("bseq"), lit(-1L)), col("v"))),
+          lit(0L)).as("delta"),
         count(when(col("op") === "add" &&
           col("seq") > coalesce(col("bseq"), lit(-1L)), 1)).as("n_operands"))
     folded.join(base, Seq("key"))
       .filter(col("bop") === "put" || col("n_operands") > 0)
       .select(col("key"),
-        when(col("bop") === "put", col("bv") + col("delta"))
-          .otherwise(col("delta")).cast("decimal(14,2)")
-          .cast("double").as("merged_value"),
+        (when(col("bop") === "put", col("bv") + col("delta"))
+          .otherwise(col("delta")).cast("double") / 100).as("merged_value"),
         col("n_operands").cast("bigint").as("n_operands"),
         coalesce(col("bop"), lit("none")).as("base_kind"))
       .orderBy("key")

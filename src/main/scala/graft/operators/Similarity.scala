@@ -374,9 +374,20 @@ object Similarity {
     * stale-mtime sweep's name shape). */
   private val IndexFormat = "f3"
 
+  /** Human-readable dataset prefix of an index dir name — also the
+    * stale-sweep key: generations to drop are matched on
+    * `datasetTag(dir) + "_"`, NOT on the full `tag_digest_` prefix,
+    * so a FORMAT bump (new digest) sweeps the old format's
+    * generations of the same dataset instead of leaking them
+    * (ADVICE r7). Sanitized-tag collisions across datasets are
+    * harmless here: a sweep can at worst delete a colliding LIVE
+    * index, which its own `_SUCCESS` check then rebuilds — the
+    * digest in the PATH still guarantees no wrong index is probed. */
+  def datasetTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
   def ivfIndexPath(dir: String): String = {
     val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = datasetTag(dir)
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir\n$IndexFormat".getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"/root/repo/target/graft_ivf_index/${tag}_${digest}_$mtime"
@@ -419,11 +430,10 @@ object Similarity {
     // would permanently mask a partial index)
     indexBuildLock.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        // drop stale index versions of this dataset (older mtimes);
-        // the PQ family (`_pq`) cleans its own generations
-        val keep = new java.io.File(path)
-        val tag = keep.getName.substring(0, keep.getName.lastIndexOf('_'))
-        graft.sources.LocalDir.dropStaleSiblings(keep, tag + "_", pqFamily = false)
+        // drop stale index versions of this dataset (older mtimes AND
+        // older format digests); the PQ family (`_pq`) cleans its own
+        graft.sources.LocalDir.dropStaleSiblings(
+          new java.io.File(path), datasetTag(dir) + "_", pqFamily = false)
         e.withColumn("cell", cellExpr(typedLit(centroids), col("v")))
           .write.mode("overwrite").partitionBy("cell").parquet(path)
       }
@@ -715,11 +725,10 @@ object Similarity {
     val path = pqIndexPath(dir)
     indexBuildLock.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-        // drop stale PQ-index versions of this dataset (older mtimes)
-        val base = new java.io.File(ivfIndexPath(dir)).getName
-        val tag = base.substring(0, base.lastIndexOf('_'))
+        // drop stale PQ-index versions of this dataset (older mtimes
+        // and format digests — same sweep key as the IVF family)
         graft.sources.LocalDir.dropStaleSiblings(
-          new java.io.File(path), tag + "_", pqFamily = true)
+          new java.io.File(path), datasetTag(dir) + "_", pqFamily = true)
         val centroids = centroidsFor(s, dir)
         val cb = codebookFor(s, dir)
         // cell from the RAW vector through cellExpr — bit-identical

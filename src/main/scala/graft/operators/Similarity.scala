@@ -292,14 +292,23 @@ object Similarity {
     * (which blocks on these cells). */
   def ivfCentroidCteSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |seeds AS MATERIALIZED (
+       |""".stripMargin + ivfTrainCtesSql("e")
+
+  /** The training/assignment CTE chain over an existing relation
+    * `$train(vec_id, v)` (and `e` for the full corpus): seeds → one
+    * Lloyd pass with fixed-point means → densely renumbered `cent2`
+    * centroids → `cells` assigning EVERY corpus vector under them.
+    * Parameterized on the training relation so ann_ivf_append can
+    * train on the base slice while `cells` still covers base+batch. */
+  def ivfTrainCtesSql(train: String): String =
+    s"""seeds AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-       |  FROM e ORDER BY vec_id LIMIT $NumCentroids),
+       |  FROM $train ORDER BY vec_id LIMIT $NumCentroids),
        |asg AS MATERIALIZED (
-       |  SELECT e.vec_id, e.v,
+       |  SELECT t.vec_id, t.v,
        |    (SELECT s.c FROM seeds s
-       |     ORDER BY list_cosine_similarity(e.v, s.v) DESC, s.c ASC LIMIT 1) AS cluster
-       |  FROM e),
+       |     ORDER BY list_cosine_similarity(t.v, s.v) DESC, s.c ASC LIMIT 1) AS cluster
+       |  FROM $train t),
        |msum AS MATERIALIZED (
        |  SELECT cluster, pos,
        |    sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS s, count(*) AS n
@@ -440,6 +449,110 @@ object Similarity {
     }
     val qv = e.filter(col("vec_id") === 0L).head().getSeq[Double](1).toSeq
     ivfPointLookup(s, dir, centroids, 0L, qv)
+  }
+
+  /** Share of the corpus treated as the already-indexed BASE by
+    * [[annIvfAppend]]; the remaining ids are the appended batch. */
+  val AppendFrac = 0.8
+
+  /** Base-slice centroids for the appendable index, trained once per
+    * (dir, mtime) like [[centroidsFor]] but on `vec_id < cut` only —
+    * the index's frozen training set. */
+  def baseCentroidsFor(s: SparkSession, dir: String, cut: Long): Seq[Seq[Double]] = {
+    val key = (s"$dir#base$cut",
+      new java.io.File(s"$dir/embeddings.parquet").lastModified())
+    centroidCache.computeIfAbsent(key,
+      _ => ivfCentroids(emb(s, dir).filter(col("vec_id") < cut)))
+  }
+
+  def appendIndexPath(dir: String): String = {
+    val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir\n$IndexFormat\nappend".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"/root/repo/target/graft_ivf_index/${datasetTag(dir)}_${digest}_${mtime}_apnd"
+  }
+
+  /** Incremental IVF index maintenance (VERDICT r7 task 8 — the
+    * production gap a full-rebuild-only index has): the corpus's
+    * first `AppendFrac` of ids is the already-built BASE index
+    * (cells partitioned on disk, centroids frozen at base-train
+    * time); the remaining ids arrive as a new batch that is assigned
+    * to the EXISTING cells and written as a `delta/` generation —
+    * the base partitions are never rewritten and the delta build's
+    * scan reads ONLY the new vectors (the `vec_id >= cut` predicate
+    * pushes to parquet). Queries probe base+delta as one index.
+    * That is exactly how a 10 B-vector deployment absorbs daily
+    * arrivals: assignment-only appends between periodic retrains.
+    * The cost of not retraining is staleness — append-index recall
+    * vs a full retrain — which AnnSpec measures and bounds.
+    *
+    * Value-exact oracle: centroids re-trained on the base slice in
+    * SQL (ivfTrainCtesSql over `eb`, fixed-point means), `cells`
+    * assigning base AND batch under them — precisely the persisted
+    * base∪delta — then the standard probe/rank replay. */
+  val annIvfAppend: Op = Op.sql("ann_ivf_append",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cut AS MATERIALIZED (
+       |  SELECT CAST(floor(max(vec_id) * $AppendFrac) AS BIGINT) AS c FROM e),
+       |eb AS MATERIALIZED (
+       |  SELECT * FROM e WHERE vec_id < (SELECT c FROM cut)),
+       |""".stripMargin + ivfTrainCtesSql("eb") +
+    s""",
+       |probes AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, p.cell
+       |  FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q,
+       |    LATERAL (SELECT c2.cell FROM cent2 c2
+       |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
+       |             LIMIT $NumProbes) p)
+       |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos
+       |FROM (
+       |  SELECT p.query_id, c.vec_id,
+       |    list_cosine_similarity(p.qv, c.v) AS cos,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(p.qv, c.v) DESC, c.vec_id) AS rn
+       |  FROM probes p JOIN cells c USING (cell)
+       |  WHERE c.vec_id <> p.query_id)
+       |WHERE rn <= $TopK
+       |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val cut = math.floor(maxId * AppendFrac).toLong
+    val centroids = baseCentroidsFor(s, dir, cut)
+    val cLit = typedLit(centroids)
+    val path = appendIndexPath(dir)
+    indexBuildLock.synchronized {
+      if (!new java.io.File(s"$path/base/_SUCCESS").exists()) {
+        graft.sources.LocalDir.dropStaleSiblings(
+          new java.io.File(path), datasetTag(dir) + "_", "_apnd")
+        e.filter(col("vec_id") < cut)
+          .withColumn("cell", cellExpr(cLit, col("v")))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/base")
+      }
+      if (!new java.io.File(s"$path/delta/_SUCCESS").exists()) {
+        // the incremental claim: ONLY the new ids are scanned
+        // (pushed predicate) and assigned; base/ is not touched
+        e.filter(col("vec_id") >= cut)
+          .withColumn("cell", cellExpr(cLit, col("v")))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/delta")
+      }
+    }
+    val index = s.read.parquet(s"$path/base")
+      .unionByName(s.read.parquet(s"$path/delta"))
+    val probed = e.filter(col("vec_id") < NumQueries)
+      .withColumn("probe_cells", probeCellsExpr(cLit, col("v")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("probe_cells")).as("cell"))
+    probed.join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_raw").desc, col("vec_id"))))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("query_id", "neighbor_id")
   }
 
   /** Point lookup against the persisted IVF index. Probe cells are
@@ -1026,5 +1139,5 @@ object Similarity {
 
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
     annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered,
-    annHardNegatives)
+    annHardNegatives, annIvfAppend)
 }

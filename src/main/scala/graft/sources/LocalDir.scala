@@ -17,14 +17,26 @@ object LocalDir {
     f.delete(): Unit
   }
 
-  /** Drop sibling directories of `keep` that share `prefix` — stale
-    * mtime-versions of a rebuilt index. `pqFamily` selects between
-    * the `_pq` PQ-index generation family and everything else, so
-    * each index family cleans only its own generations. */
+  /** Index-family suffix of a generation dir name (`"_pq"` for the
+    * PQ family, `"_apnd"` for the appendable IVF family, `""` for
+    * the plain IVF family) — each family cleans only its own
+    * generations, so e.g. the plain-IVF sweep can never delete a
+    * live appendable index of the same dataset. */
+  private def familyOf(name: String): String =
+    if (name.endsWith("_pq")) "_pq"
+    else if (name.endsWith("_apnd")) "_apnd"
+    else ""
+
+  /** Drop sibling directories of `keep` that share `prefix` AND
+    * `keep`'s own family — stale mtime/format-versions of a rebuilt
+    * index. */
   def dropStaleSiblings(keep: File, prefix: String, pqFamily: Boolean): Unit =
+    dropStaleSiblings(keep, prefix, if (pqFamily) "_pq" else "")
+
+  def dropStaleSiblings(keep: File, prefix: String, family: String): Unit =
     Option(keep.getParentFile.listFiles()).getOrElse(Array.empty[File])
       .filter(f => f.getName.startsWith(prefix) &&
         f.getPath != keep.getPath &&
-        f.getName.endsWith("_pq") == pqFamily)
+        familyOf(f.getName) == family)
       .foreach(deleteRecursively)
 }

@@ -284,4 +284,37 @@ class AnnSpec extends SparkSuite {
     assert(rows.forall(_.getDouble(2) < Similarity.HardHi + 1e-6))
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  test("appendable IVF: delta holds exactly the batch, base is never rewritten, staleness bounded") {
+    import java.io.File
+    val first = Similarity.annIvfAppend.run(spark, sfDir).collect()
+    val path = Similarity.appendIndexPath(sfDir)
+    val baseSuccess = new File(s"$path/base/_SUCCESS")
+    val m0 = baseSuccess.lastModified()
+    // second invocation probes the committed index without rebuilding
+    val second = Similarity.annIvfAppend.run(spark, sfDir).collect()
+    assert(baseSuccess.lastModified() == m0,
+      "append path rewrote the base index on a re-run")
+    assert(first.map(_.toString).sorted.sameElements(second.map(_.toString).sorted))
+    // the delta generation holds exactly the appended ids — nothing
+    // from base leaked in, nothing from the batch was dropped
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val maxId = e.agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+    val cut = math.floor(maxId * Similarity.AppendFrac).toLong
+    val deltaIds = spark.read.parquet(s"$path/delta")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds == (cut to maxId).toSet,
+      s"delta ids != appended batch [${cut}, $maxId]")
+    // staleness bound: probing base-frozen centroids over base+batch
+    // must recover most of the FULL-RETRAIN index's neighbors
+    // (ann_ivf trains on the whole corpus). Not 100% by design — the
+    // batch shifted the true centroids — but an append index that
+    // lost half its recall would need a retrain, and this bound is
+    // the trigger's spec.
+    val full = Similarity.annIvf.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val appended = first.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = appended.intersect(full).size.toDouble / full.size
+    assert(recall >= 0.6, f"append-index recall vs full retrain $recall%.2f < 0.6")
+  }
 }

@@ -224,6 +224,12 @@ object Relational {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 10 OFFSET 5""".stripMargin) { (s, dir) =>
+    // OFFSET is part of the operator's contract (ORDER BY ... LIMIT
+    // 10 OFFSET 5). At k = offset+limit = 15 this is a cheap global
+    // TakeOrdered; note the general cost law: a global ORDER BY with
+    // OFFSET pays a top-(offset+limit) heap on the driver-side merge,
+    // so a deep OFFSET (pagination at scale) should be keyset-based
+    // (WHERE sortkey > last_seen) instead.
     t(s, dir, "orders")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .select("o_orderkey", "o_totalprice")

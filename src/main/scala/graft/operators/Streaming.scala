@@ -167,7 +167,36 @@ object Streaming {
       .orderBy("win_start", "bucket")
   }
 
+  /** Streaming index maintenance (ann_ivf_append's stream face): new
+    * vectors — the same `vec_id >= cut` batch the append op indexes —
+    * are assigned to the FROZEN base centroids and counted per cell.
+    * Frozen centroids ride as an expression literal (zero join
+    * state); one streaming hash-agg, state bounded by |cells|.
+    * Value-exact oracle: the shared base-trained `cells` CTE filtered
+    * to the batch and grouped; StreamingSpec runs the same transform
+    * as a REAL multi-batch file stream and matches this batch form. */
+  val streamIvfAssign: Op = Op.sql("stream_ivf_assign",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cut AS MATERIALIZED (
+       |  SELECT CAST(floor(max(vec_id) * ${Similarity.AppendFrac}) AS BIGINT) AS c FROM e),
+       |eb AS MATERIALIZED (
+       |  SELECT * FROM e WHERE vec_id < (SELECT c FROM cut)),
+       |""".stripMargin + Similarity.ivfTrainCtesSql("eb") +
+    s"""
+       |SELECT cell, count(*) AS n_new,
+       |  min(vec_id) AS first_id, max(vec_id) AS last_id
+       |FROM cells WHERE vec_id >= (SELECT c FROM cut)
+       |GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val maxId = e.agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+    val cut = math.floor(maxId * Similarity.AppendFrac).toLong
+    val centroids = Similarity.baseCentroidsFor(s, dir, cut)
+    Streams.ivfAssignCounts(e.filter(col("vec_id") >= cut), centroids)
+      .orderBy("cell")
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
     streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
-    streamDrift)
+    streamDrift, streamIvfAssign)
 }

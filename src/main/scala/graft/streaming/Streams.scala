@@ -299,6 +299,22 @@ object Streams {
       .merged()
       .select("user_id", "n_events", "sum_value")
 
+  /** Streaming IVF cell assignment — the streaming face of
+    * ann_ivf_append's delta build: arriving vectors are assigned to
+    * the FROZEN base centroids (a literal compiled into the
+    * expression, zero join state — the same stream-static enrichment
+    * shape as [[driftCounts]]) and counted per cell. The per-cell
+    * arrival stats are what an index maintainer appends to inverted
+    * lists and watches to decide when staleness demands a retrain.
+    * Stateless per row + ONE streaming hash-agg: incremental by
+    * construction, state bounded by |cells|. */
+  def ivfAssignCounts(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    vecs.withColumn("cell", graft.operators.Similarity.cellExpr(
+        typedLit(centroids), col("v")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_new"),
+        min("vec_id").as("first_id"), max("vec_id").as("last_id"))
+
   /** Run a batch-defined transform as a real streaming query over a
     * file source, writing to an in-memory sink table; returns the
     * started query (caller awaits + reads `spark.table(sinkTable)`).

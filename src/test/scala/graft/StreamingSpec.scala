@@ -354,4 +354,36 @@ class StreamingSpec extends SparkSuite {
     assert(counts(us("14:00")) == 1, s"in-delay 14:30 event lost: $counts")
     assert(counts(us("15:00")) == 1)
   }
+
+  test("streaming IVF assignment: arriving vectors hit frozen cells, matches batch") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val cut = math.floor(maxId * Similarity.AppendFrac).toLong
+    val centroids = Similarity.baseCentroidsFor(spark, sfDir, cut)
+    val batchVecs = e.filter(col("vec_id") >= cut)
+    // three arrival chunks -> three real micro-batches
+    val src = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val third = (maxId - cut) / 3
+    Seq((cut, cut + third), (cut + third, cut + 2 * third),
+        (cut + 2 * third, maxId + 1)).foreach { case (lo, hi) =>
+      batchVecs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val q = Streams.runFileStream(spark, src, batchVecs,
+      Streams.ivfAssignCounts(_, centroids), "ivf_assign_sink")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivf_assign_sink").orderBy("cell").collect()
+    val batch = SparkEntry.queries("stream_ivf_assign")(spark, sfDir).collect()
+    assert(streamed.toSeq == batch.toSeq,
+      "streamed cell-arrival counts diverge from the batch form")
+    assert(streamed.nonEmpty)
+    // every arrival is accounted for exactly once across cells
+    assert(streamed.map(_.getLong(1)).sum == maxId - cut + 1)
+  }
 }

@@ -543,7 +543,12 @@ object Similarity {
       .withColumn("probe_cells", probeCellsExpr(cLit, col("v")))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(col("probe_cells")).as("cell"))
-    probed.join(index, Seq("cell"))
+    // the PROBE side broadcasts (queries × NumProbes rows — small by
+    // contract); without the pin the planner builds on the
+    // CORPUS-sized index because it fits at test SF — the r7
+    // scale-bug class, and a guaranteed OOM at 10 B vectors.
+    // PlanAuditSpec asserts the build side.
+    broadcast(probed).join(index, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos_raw", cosine(col("qv"), col("v")))
       .withColumn("rn", row_number().over(

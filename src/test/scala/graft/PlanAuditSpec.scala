@@ -393,4 +393,14 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
       s"pair join degenerated to nested-loop:\n$p")
   }
+
+  test("appendable IVF probe broadcasts the query side, never the corpus index") {
+    // without the pin the planner builds on the corpus-sized
+    // base∪delta index because it fits at test SF — the r7 scale-bug
+    // class (OOM at 10 B vectors). probed is left in the join, so the
+    // pinned broadcast must surface as BuildLeft.
+    val p = plan("ann_ivf_append")
+    assert("BroadcastHashJoin [^\\n]*BuildLeft".r.findFirstIn(p).isDefined,
+      s"probe join must build on the broadcast query side:\n$p")
+  }
 }

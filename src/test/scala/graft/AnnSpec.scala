@@ -317,4 +317,19 @@ class AnnSpec extends SparkSuite {
     val recall = appended.intersect(full).size.toDouble / full.size
     assert(recall >= 0.6, f"append-index recall vs full retrain $recall%.2f < 0.6")
   }
+
+  test("appendable IVF: a torn delta build is retried, base untouched") {
+    import java.io.File
+    val path = Similarity.appendIndexPath(sfDir)
+    Similarity.annIvfAppend.run(spark, sfDir).collect() // ensure built
+    val baseM = new File(s"$path/base/_SUCCESS").lastModified()
+    // simulate a crash between the delta write and its commit: the
+    // marker is gone, so the generation must be rebuilt — and ONLY it
+    assert(new File(s"$path/delta/_SUCCESS").delete())
+    val rows = Similarity.annIvfAppend.run(spark, sfDir).collect()
+    assert(new File(s"$path/delta/_SUCCESS").exists(), "torn delta not rebuilt")
+    assert(new File(s"$path/base/_SUCCESS").lastModified() == baseM,
+      "delta recovery rewrote the base index")
+    assert(rows.nonEmpty)
+  }
 }

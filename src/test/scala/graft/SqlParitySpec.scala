@@ -200,6 +200,8 @@ class SqlParitySpec extends SparkSuite {
     "ann_knn_ivfpq" -> "::DOUBLE[] cast + LATERAL + QUALIFY + MATERIALIZED CTEs",
     "ann_ivf_persist" -> "::DOUBLE[] cast + LATERAL correlated limit + list_cosine_similarity",
     "ann_hard_negatives" -> "::DOUBLE[] cast + QUALIFY + list_cosine_similarity",
+    "ann_ivf_append" -> "::DOUBLE[] cast + LATERAL + MATERIALIZED CTEs + list_cosine_similarity",
+    "stream_ivf_assign" -> "::DOUBLE[] cast + MATERIALIZED CTEs + list_cosine_similarity",
     "text_distill_filter" -> "string_split_regex + list_filter lambda + WINDOW clause placement",
   )
 

@@ -1203,11 +1203,111 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the O(log n)-round alternative to min-label propagation
+    * ([[Dedup.connectedComponents]]), whose round count is the graph
+    * DIAMETER. At 100 TB, dedup graphs routinely contain long chains
+    * (substring-overlap chains, URL redirect chains), and
+    * diameter-bound propagation simply does not finish on them; star
+    * contraction hangs every node below a local minimum each round,
+    * roughly halving path lengths, so rounds track the LOG of the
+    * largest component. Each half-round is ONE window aggregation
+    * keyed on the grouping node — a single keyed shuffle of the edge
+    * list, no join and no driver-held state; the (persisted) edge
+    * list is the only loop state, and a periodic localCheckpoint
+    * bounds lineage exactly as in [[Dedup.connectedComponents]].
+    * Returns the converged star forest (node -> component min) and
+    * the rounds taken; AnalyticsSpec pins the log-round bound on a
+    * chain where label propagation provably cannot converge. */
+  private[graft] def largeSmallStar(edgesIn: DataFrame,
+                                    maxIter: Int = 32): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    var e = edgesIn.toDF("x", "y").filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wu = Window.partitionBy("u")
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      // large-star: per node u over its FULL (symmetrized) neighbor
+      // set, hang every strictly-larger neighbor on min(N(u) ∪ {u})
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym.withColumn("m", least(min(col("v")).over(wu), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: edges arrive (u > v); hang u and all its smaller
+      // neighbors except the min itself on m = min(smaller neighbors)
+      val sm = ls.withColumn("m", min(col("v")).over(wu))
+      var next = sm.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(sm.select(col("u"), col("m").as("v")))
+        .distinct()
+      next = (if ((rounds + 1) % 4 == 0) next.localCheckpoint()
+              else next.persist(StorageLevel.MEMORY_AND_DISK))
+      // fixpoint = identical edge set (both sides distinct, so two
+      // one-way except probes decide set equality exactly)
+      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      e.unpersist()
+      e = next
+      rounds += 1
+    }
+    val out = if (converged) e.localCheckpoint(true) else e
+    e.unpersist()
+    require(converged, s"largeSmallStar: edges still moving after $rounds rounds")
+    (out, rounds)
+  }
+
+  /** §2.3 dedup clustering at scale: connected components by star
+    * contraction over a deterministic block-local chain graph derived
+    * from `events` (24 blocks of 250 ids, step-7 edges within a block
+    * → 168 long path components, the label-propagation WORST case —
+    * see [[largeSmallStar]] for why this operator exists next to
+    * [[Dedup.connectedComponents]]). Output: every node with its
+    * component id (the component min), the cluster assignment a dedup
+    * pipeline joins back to pick winners. The oracle recomputes
+    * components with machinery the operator never touches — recursive
+    * undirected reachability (UNION-dedup recursion) + min over the
+    * reached set — so the contraction is checked end-to-end. Both
+    * joins pin `shuffle_hash`: the node table is corpus-derived and
+    * must never become a driver hashed relation (SURVEY §4.3). */
+  val graphComponents: Op = Op.sql("graph_components",
+    """WITH RECURSIVE nodes AS (
+      |  SELECT DISTINCT event_id % 6000 AS node FROM events),
+      |e AS (
+      |  SELECT n1.node AS u, n2.node AS v
+      |  FROM nodes n1 JOIN nodes n2 ON n2.node = n1.node + 7
+      |  WHERE (n1.node // 250) = ((n1.node + 7) // 250)),
+      |sym AS (
+      |  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+      |reach AS (
+      |  SELECT node AS src, node AS dst FROM nodes
+      |  UNION
+      |  SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.dst)
+      |SELECT src AS node, min(dst) AS component FROM reach
+      |GROUP BY src ORDER BY node""".stripMargin) { (s, dir) =>
+    val nodes = t(s, dir, "events")
+      .select((col("event_id") % 6000).as("node")).distinct()
+    val right = nodes.select(col("node").as("b"))
+    val edges = nodes
+      .join(right.hint("shuffle_hash"), col("b") === col("node") + 7)
+      .filter(expr("node DIV 250") === expr("(node + 7) DIV 250"))
+      .select(col("node").as("x"), col("b").as("y"))
+    val (stars, _) = largeSmallStar(edges)
+    nodes
+      .join(stars.withColumnRenamed("u", "node").hint("shuffle_hash"),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("v"), col("node")).as("component"))
+      .orderBy("node")
+  }
+
   val all: Seq[Op] = Seq(q40Cube, q41Pivot, q42Explode, q43WindowFrames,
     q44Listagg, q45ExactQuantiles, q48Gapfill, q50SetopsAll,
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
-    statsDrift)
+    statsDrift, graphComponents)
 }

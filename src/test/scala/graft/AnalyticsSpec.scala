@@ -484,4 +484,37 @@ class AnalyticsSpec extends SparkSuite {
     assert(expected.values.sum == ev.length - ev.map(_._1).distinct.length)
     assert(expected.values.sum > 0, "fixture has no transitions")
   }
+
+  test("graph_components: star contraction converges in log rounds where label propagation cannot") {
+    import spark.implicits._
+    // a 200-node chain: diameter 199, so min-label propagation needs
+    // ~199 rounds; star contraction should take O(log n)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("x", "y")
+    val (stars, rounds) = Analytics.largeSmallStar(chain)
+    assert(rounds <= 15, s"star contraction took $rounds rounds on a 200-chain")
+    val labels = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 199L).forall(labels(_) == 0L), "chain must collapse to component 0")
+    assert(!labels.contains(0L), "the root holds no star edge")
+    // converged state is a star FOREST: exactly one pointer per node
+    assert(stars.groupBy("u").count().filter(col("count") > 1).isEmpty)
+    // the diameter-bound algorithm provably cannot finish a 61-node
+    // chain in 12 rounds — this is WHY the operator exists
+    val chain60 = (0L until 60L).map(i => (i, i + 1)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.connectedComponents(chain60, maxIter = 12)
+    }
+  }
+
+  test("graph_components: star labels equal label-propagation labels on a mixed graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (5L, 6L)).toDF("x", "y")
+    val (stars, _) = Analytics.largeSmallStar(edges)
+    val viaStar = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // star forest omits roots (label = self there); align the two
+    val aligned = viaProp.map { case (n, _) => n -> viaStar.getOrElse(n, n) }
+    assert(aligned == viaProp, s"star=$aligned prop=$viaProp")
+  }
 }

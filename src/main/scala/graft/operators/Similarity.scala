@@ -358,6 +358,54 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Radius threshold for [[annRangeSearch]] — shared by op and
+    * oracle so neither can drift. The comparison runs on the RAW
+    * cosine (per-row double arithmetic is IEEE-identical across
+    * engines, SURVEY §5), so the predicate is deterministic. */
+  val RangeTau = 0.3
+
+  /** Range (radius) search — the OTHER vector-retrieval contract:
+    * "every neighbor at least this similar", not "the k best". A
+    * dedup or contamination pipeline wants radius semantics (all
+    * matches above a similarity bar), where top-k would silently drop
+    * matches past k. Same IVF index as [[annIvf]] (cells = partition
+    * layout at scale), but with NO per-query window: probe cells,
+    * one codegen'd cosine per candidate, a pushed threshold filter —
+    * scan-shaped, fully whole-stage-codegen, output bounded by the
+    * data's actual neighborhood density rather than k·queries. The
+    * probe side is pinned broadcast: queries×NumProbes is fixed-size
+    * BY CONTRACT while the listed corpus is 100 TB-proportional
+    * (SURVEY §4.3's lesson, same as ann_ivf_append). */
+  val annRangeSearch: Op = Op.sql("ann_range_search",
+    ivfCentroidCteSql +
+    s""",
+       |probes AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, p.cell
+       |  FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q,
+       |    LATERAL (SELECT c2.cell FROM cent2 c2
+       |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
+       |             LIMIT $NumProbes) p)
+       |SELECT p.query_id, c.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(p.qv, c.v), 6) AS cos
+       |FROM probes p JOIN cells c USING (cell)
+       |WHERE c.vec_id <> p.query_id
+       |  AND list_cosine_similarity(p.qv, c.v) >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
+    val cLit = typedLit(centroidsFor(s, dir))
+    val listed = emb(s, dir).withColumn("cell", cellExpr(cLit, col("v")))
+    val probed = emb(s, dir).filter(col("vec_id") < NumQueries)
+      .withColumn("probe_cells", probeCellsExpr(cLit, col("v")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("probe_cells")).as("cell"))
+    broadcast(probed).join(listed, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("v")))
+      .filter(col("cos_raw") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Centroids for a dataset, trained once per (dir, file-mtime) and
     * reused — shared by [[annIvf]], [[annIvfPersist]] and the specs
     * so every path probes the EXACT same centroids (independent
@@ -1144,5 +1192,5 @@ object Similarity {
 
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
     annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered,
-    annHardNegatives, annIvfAppend)
+    annHardNegatives, annIvfAppend, annRangeSearch)
 }

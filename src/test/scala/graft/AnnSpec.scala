@@ -332,4 +332,36 @@ class AnnSpec extends SparkSuite {
       "delta recovery rewrote the base index")
     assert(rows.nonEmpty)
   }
+
+  test("range search: results sit above tau, are a subset of brute radius pairs, full recall in probed cells") {
+    val got = Similarity.annRangeSearch.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._3 >= Similarity.RangeTau - 5e-7),
+      "a returned pair fell below the radius")
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length,
+      "duplicate (query, neighbor) pair")
+    // ground truth: brute radius pairs over the whole corpus
+    val cLit = typedLit(Similarity.centroidsFor(spark, sfDir))
+    val brute = emb.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(col("q.v"), col("c.v")))
+      .filter(col("cos") >= Similarity.RangeTau)
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(t => brute((t._1, t._2))), "false positive vs brute radius")
+    // completeness within the probed index slice: any brute pair whose
+    // corpus vector lives in one of the query's probed cells MUST be
+    // returned (the only legal misses are unprobed cells)
+    val cells = emb.withColumn("cell", Similarity.cellExpr(cLit, col("v")).cast("long"))
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = queries
+      .select(col("vec_id"),
+        explode(Similarity.probeCellsExpr(cLit, col("v"))).as("pc0"))
+      .select(col("vec_id"), col("pc0").cast("long").as("pc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val inProbed = brute.filter { case (q, n) => probes(q).contains(cells(n)) }
+    val gotSet = got.map(t => (t._1, t._2)).toSet
+    assert(inProbed.subsetOf(gotSet), "missed a pair inside a probed cell")
+  }
 }

@@ -403,4 +403,16 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastHashJoin [^\\n]*BuildLeft".r.findFirstIn(p).isDefined,
       s"probe join must build on the broadcast query side:\n$p")
   }
+
+  test("range search is a scan-shaped broadcast probe with the radius filter fused into the join") {
+    // same build-side contract as ann_ivf_append: queries×NumProbes
+    // broadcast, the corpus stream-side; the cos >= tau predicate must
+    // live in the join condition (fused into codegen), not a window
+    val p = plan("ann_range_search")
+    assert("BroadcastHashJoin [^\\n]*BuildLeft".r.findFirstIn(p).isDefined,
+      s"range probe must build on the broadcast query side:\n$p")
+    assert(p.contains("graft_cosine") && p.contains(">= 0.3"),
+      s"radius predicate not fused into the probe join:\n$p")
+    assert(!p.contains("Window"), s"range search must not rank:\n$p")
+  }
 }

@@ -27,9 +27,15 @@ object RankSelect {
   def decileBoundsDF(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    def keyed = df.select(col(idCol), col(valueCol))
+    // ONE materialized partitioning for the counting and ranking
+    // passes: range boundaries come from SAMPLING, so a second
+    // instantiation may split boundary rows differently once the
+    // input outgrows the sample, and offsets from partitioning A
+    // applied to partitioning B would mis-rank the straddlers
+    val keyed = df.select(col(idCol), col(valueCol))
       .repartitionByRange(col(valueCol), col(idCol))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = keyed.groupBy("pid").agg(count(lit(1)).as("c"))
       .orderBy("pid").as[(Int, Long)].collect()
     val n = counts.map(_._2).sum
@@ -50,6 +56,56 @@ object RankSelect {
       .withColumn("rank", col("rn") + col("off"))
       .join(broadcast(tgt), Seq("rank"))
       .select(col("b"), col(valueCol).as("ub"))
+  }
+
+  /** EXACT rank within each group, distributed — the per-group
+    * analog of [[decileBoundsDF]] and the scalable replacement for
+    * `row_number() OVER (PARTITION BY group ORDER BY ...)` when the
+    * groups are FEW and HUGE (per-language corpus slices: one window
+    * partition per language would put corpus/|langs| rows on a single
+    * task). Range-repartition by (group, order keys) — the range
+    * partitioner keeps partitions globally ordered, so a group's rows
+    * span consecutive partitions in order — then per-(partition,
+    * group) local `row_number` plus broadcast prefix offsets. The
+    * driver holds only |partitions|×|groups| counting metadata (the
+    * IVF-centroid discipline). Appends `rank` (1-based within group)
+    * and `n` (group size); TextSpec pins bit-equality with the window
+    * formulation. */
+  def groupRanks(df: DataFrame, groupCol: String,
+                 orderCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE materialized partitioning shared by the counting pass and
+    // the ranking pass: range boundaries come from SAMPLING, so two
+    // separate instantiations of repartitionByRange may split rows
+    // near a boundary differently once the input outgrows the sample
+    // — and offsets computed against partitioning A applied to
+    // partitioning B would mis-rank every straddling row. The eager
+    // localCheckpoint pins a single physical partitioning for both.
+    val keyed = df
+      .repartitionByRange((col(groupCol) +: orderCols): _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = keyed.groupBy(col("pid"), col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val byGroup = counts.groupBy(_._2)
+    val offRows = byGroup.toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => (pid, g, off) }
+    }
+    val nRows = byGroup.toSeq.map { case (g, rows) => (g, rows.map(_._3).sum) }
+    val offs = spark.createDataset(offRows).toDF("pid", "g", "off")
+    val ns = spark.createDataset(nRows).toDF("g", "n")
+    keyed
+      .withColumn("g", col(groupCol).cast("string"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pid"), col("g")).orderBy(orderCols: _*)))
+      .join(broadcast(offs), Seq("pid", "g"))
+      .join(broadcast(ns), Seq("g"))
+      .withColumn("rank", col("rn") + col("off"))
+      .drop("pid", "g", "rn", "off")
   }
 
   /** The ten decile bounds as driver-side literals (index metadata

@@ -1303,10 +1303,63 @@ object TextAnalysis {
       .orderBy("source", "lang")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per
+    * language, split the corpus into head/middle/tail terciles by
+    * language-model score — the canonical quality stratification a
+    * pretraining pipeline samples from (head oversampled, tail often
+    * dropped). Scoring reuses `text_lm_score`'s exact unigram
+    * arithmetic (integer counts, ONE double division per doc — IEEE
+    * identical across engines, SURVEY §5). The ranking deliberately
+    * does NOT use `row_number() OVER (PARTITION BY lang ...)`: with a
+    * handful of languages each window partition would hold
+    * corpus/|langs| rows on a single task — the q60-era ntile trap at
+    * corpus scale. [[RankSelect.groupRanks]] replaces it with a
+    * range-repartitioned distributed rank (broadcast prefix offsets,
+    * driver holds |partitions|×|langs| counters); the tercile index
+    * `(3·(rank−1)) div n` is then pure integer math, bit-identical to
+    * the oracle's window form. */
+  val textPerplexityBucket: Op = Op.sql("text_perplexity_bucket",
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |            FROM documents),
+      |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang,
+      |    CAST(sum(v.cnt) AS BIGINT) * 1.0 / (count(*) * (SELECT total FROM n)) AS avg_p
+      |  FROM tok t JOIN v USING (tok) GROUP BY t.doc_id, t.lang),
+      |ranked AS (
+      |  SELECT doc_id, lang, avg_p,
+      |    row_number() OVER (PARTITION BY lang ORDER BY avg_p DESC, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS n_l
+      |  FROM scored)
+      |SELECT doc_id, lang,
+      |  CASE ((3 * (r - 1)) // n_l) WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM ranked ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tok = docs(s, dir).select(col("doc_id"), col("lang"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    // vocab broadcast is Heaps-bounded (same argument as text_lm_score:
+    // the token stream shuffles once, not twice)
+    val scored = tok.join(broadcast(vocab), Seq("tok"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum("cnt").as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("lang"),
+        (col("sum_cnt") * 1.0 / (col("n_tok") * col("total"))).as("avg_p"))
+    RankSelect.groupRanks(scored, "lang", Seq(col("avg_p").desc, col("doc_id")))
+      .select(col("doc_id"), col("lang"),
+        when(expr("(3 * (rank - 1)) DIV n") === 0, "head")
+          .when(expr("(3 * (rank - 1)) DIV n") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
     sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
-    sampleTemperature, textCorpusCard, textDistillFilter)
+    sampleTemperature, textCorpusCard, textDistillFilter, textPerplexityBucket)
 }

@@ -362,4 +362,42 @@ class TextSpec extends SparkSuite {
     assert(agree >= baseline,
       s"stump agreement $agree below majority baseline $baseline")
   }
+
+  test("grouped distributed rank is bit-identical to the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // adversarial fixture: skewed group sizes, duplicate sort values
+    // (rank must fall back to the id tiebreak), a singleton group
+    val rows = (1 to 300).map(i => ("g" + (i % 3), (i % 7).toDouble, i.toLong)) :+
+      (("solo", 1.0, 9999L))
+    val df = rows.toDF("grp", "value", "id")
+    val got = graft.operators.RankSelect
+      .groupRanks(df, "grp", Seq(col("value").desc, col("id")))
+      .select("grp", "id", "rank", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val w = Window.partitionBy("grp").orderBy(col("value").desc, col("id"))
+    val want = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .select("grp", "id", "rank", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, "distributed group rank diverges from the window rank")
+  }
+
+  test("perplexity buckets: tercile shares per language, head scores above tail") {
+    val rows = TextAnalysis.textPerplexityBucket.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length
+      val byB = rs.groupBy(_._3).view.mapValues(_.length).toMap
+      // exact tercile arithmetic: bucket b holds the ranks whose
+      // (3*(r-1)) div n == b, i.e. sizes differ by at most 1
+      val sizes = Seq("head", "middle", "tail").map(byB.getOrElse(_, 0))
+      if (n >= 3) {
+        assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes for n=$n")
+      }
+      assert(sizes.sum == n)
+    }
+  }
 }

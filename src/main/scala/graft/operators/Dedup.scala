@@ -81,7 +81,7 @@ object Dedup {
     * codegen'd [[graft.functions.TextExpressions.minhash_bands]]
     * kernel (k seeded minhashes by double hashing, folded into band
     * hashes in one pass per row). */
-  private def bandTable(corpus: DataFrame): DataFrame =
+  private[graft] def bandTable(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"),
       posexplode(graft.functions.TextExpressions.minhash_bands(
         col("text"), NumHashes, Bands)).as(Seq("band_id", "band_hash")))
@@ -119,7 +119,11 @@ object Dedup {
     * the near-dup corpus, signature-exact. Java's `g < mins(i)` is a
     * SIGNED 64-bit compare, so the min runs over signed-converted
     * values and converts back before the band fold. */
-  private def minhashOracleSql: String = {
+  /** The generated DuckDB SQL for the signature relation
+    * `(doc_id, band_id, h)` over the near-dup corpus — shared by the
+    * pair oracle below and `stream_minhash_dedup`'s bucket-owner
+    * oracle, so the two can never drift on the replayed kernel. */
+  private[graft] def minhashSigSql: String = {
     val shingles =
       """SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [text]
         |  ELSE [array_to_string(toks[i:i+2], ' ')
@@ -144,9 +148,13 @@ object Dedup {
       mixStages("cm", "c"))
     val bandSum = s"SELECT doc_id, i // $RowsPerBand AS band_id, " +
       s"sum(c) % $M64 AS bs FROM ($contrib) GROUP BY doc_id, i // $RowsPerBand"
-    val sig = s"SELECT doc_id, band_id, h FROM (" +
+    s"SELECT doc_id, band_id, h FROM (" +
       stagedSql(s"SELECT doc_id, band_id, bs FROM ($bandSum)",
         mixStages("bs", "h")) + ")"
+  }
+
+  private def minhashOracleSql: String = {
+    val sig = minhashSigSql
     s"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM ($sig) a JOIN ($sig) b
        |  ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id

@@ -196,7 +196,28 @@ object Streaming {
       .orderBy("cell")
   }
 
+  /** Online NEAR-dup suppression (stream_dedup is exact-key): the
+    * streaming face of `dedup_minhash_lsh`. Per LSH band bucket, one
+    * (owner, count) state pair via a streaming hash-agg — see
+    * [[Streams.minhashBucketOwners]] for the state accounting. The
+    * oracle recomputes the collided buckets from the SAME replayed
+    * signature SQL as the pair oracle (`Dedup.minhashSigSql`), with
+    * the mod-2⁶⁴ band hash signed-converted to BIGINT at the output
+    * boundary; StreamingSpec drives the transform as a REAL 3-file
+    * stream to equality with this batch form. */
+  val streamMinhashDedup: Op = Op.sql("stream_minhash_dedup",
+    s"""SELECT band_id,
+       |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - ${graft.operators.SqlReplay.M64}
+       |       ELSE h END AS BIGINT) AS band_hash,
+       |  min(doc_id) AS owner, count(*) AS n_docs
+       |FROM (${Dedup.minhashSigSql})
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY band_id, band_hash""".stripMargin) { (s, dir) =>
+    Streams.minhashBucketOwners(Dedup.corpusNear(s, dir))
+      .orderBy("band_id", "band_hash")
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
     streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
-    streamDrift, streamIvfAssign)
+    streamDrift, streamIvfAssign, streamMinhashDedup)
 }

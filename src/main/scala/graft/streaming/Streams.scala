@@ -308,6 +308,23 @@ object Streams {
     * lists and watches to decide when staleness demands a retrain.
     * Stateless per row + ONE streaming hash-agg: incremental by
     * construction, state bounded by |cells|. */
+  /** Online near-dup suppression state — the streaming face of
+    * `dedup_minhash_lsh`: each arriving document explodes into its 16
+    * LSH band keys, and per band bucket the state is ONE
+    * `(owner = min doc_id, count)` pair maintained by a streaming
+    * hash-agg (first-writer-wins: a later doc colliding in any bucket
+    * is a near-dup candidate against that bucket's owner). Emitted:
+    * only the COLLIDED buckets. State is corpus-linear in distinct
+    * band keys — the honest cost of online dedup, held in the state
+    * store (RocksDB-backed at scale) keyed by fixed-width
+    * (band_id, band_hash); nothing is ever driver-held, and no pair
+    * join exists on the stream path at all. */
+  def minhashBucketOwners(docsDf: DataFrame): DataFrame =
+    graft.operators.Dedup.bandTable(docsDf)
+      .groupBy(col("band_id").cast("bigint").as("band_id"), col("band_hash"))
+      .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+
   def ivfAssignCounts(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
     vecs.withColumn("cell", graft.operators.Similarity.cellExpr(
         typedLit(centroids), col("v")))

@@ -386,4 +386,30 @@ class StreamingSpec extends SparkSuite {
     // every arrival is accounted for exactly once across cells
     assert(streamed.map(_.getLong(1)).sum == maxId - cut + 1)
   }
+
+  test("stream_minhash_dedup: a real 3-batch doc stream converges to the batch bucket owners") {
+    import graft.operators.Dedup
+    val corpus = Dedup.corpusNear(spark, sfDir)
+    val src = java.nio.file.Files.createTempDirectory("mh_stream").toString
+    // three arrival chunks; the +100000 near-dup twins land in a LATER
+    // batch than their originals, so ownership must persist across
+    // micro-batches for the owners to come out right
+    Seq(col("doc_id") < 50000, col("doc_id").between(50000, 100000),
+        col("doc_id") > 100000).foreach { pred =>
+      corpus.filter(pred).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val q = Streams.runFileStream(spark, src, corpus,
+      Streams.minhashBucketOwners, "mh_dedup_sink")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mh_dedup_sink")
+      .orderBy("band_id", "band_hash").collect()
+    val batch = SparkEntry.queries("stream_minhash_dedup")(spark, sfDir).collect()
+    assert(streamed.toSeq == batch.toSeq,
+      "streamed bucket owners diverge from the batch form")
+    assert(streamed.nonEmpty)
+    // first-writer-wins: every collided bucket's owner precedes the count
+    assert(streamed.forall(r => r.getLong(3) >= 2L))
+  }
 }

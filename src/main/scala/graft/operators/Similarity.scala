@@ -406,6 +406,67 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Index-quality monitoring — recall@k of the IVF index against
+    * brute-force ground truth, per query, as a first-class operator:
+    * the metric a production vector store watches to decide when an
+    * index needs more probes or a retrain (it is ann_ivf_append's
+    * staleness bound turned into a continuously computable table).
+    * Evaluation is a LEFT join from the truth set to the index's
+    * answers — a missed neighbor counts as a null, never dropped —
+    * so recall can be 0 and still emit a row per query. Both sides
+    * reuse the established kernels ([[bruteTopK]], [[ivfTopK]]); the
+    * oracle composes the SAME two replayed SQL formulations (shared
+    * train CTEs) and the raw k-division stays an int/int IEEE
+    * division per SURVEY §5. Cost: the brute side is the expensive
+    * one — which is exactly why this runs on a SAMPLED query set
+    * (NumQueries by contract) in production, never the corpus. */
+  val annRecallEval: Op = Op.sql("ann_recall_eval",
+    ivfCentroidCteSql +
+    s""",
+       |probes AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, p.cell
+       |  FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q,
+       |    LATERAL (SELECT c2.cell FROM cent2 c2
+       |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
+       |             LIMIT $NumProbes) p),
+       |ivf AS (
+       |  SELECT query_id, vec_id AS neighbor_id
+       |  FROM (
+       |    SELECT p.query_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_cosine_similarity(p.qv, c.v) DESC, c.vec_id) AS rn
+       |    FROM probes p JOIN cells c USING (cell)
+       |    WHERE c.vec_id <> p.query_id)
+       |  WHERE rn <= $TopK),
+       |brute AS (
+       |  SELECT query_id, vec_id AS neighbor_id
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, e2.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, e2.v) DESC, e2.vec_id) AS rn
+       |    FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q
+       |    JOIN e e2 ON e2.vec_id <> q.vec_id)
+       |  WHERE rn <= $TopK)
+       |SELECT b.query_id, count(i.neighbor_id) AS n_hits,
+       |  count(i.neighbor_id) * 1.0 / $TopK AS recall_at_k
+       |FROM brute b LEFT JOIN ivf i
+       |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+    val brute = bruteTopK(e, queries, TopK).select("query_id", "neighbor_id")
+    val ivf = ivfTopK(e, queries, TopK, centroidsFor(s, dir))
+      .select(col("query_id"), col("neighbor_id").as("ivf_neighbor"))
+    brute.join(ivf,
+        brute("query_id") === ivf("query_id") &&
+        col("neighbor_id") === col("ivf_neighbor"), "left")
+      .groupBy(brute("query_id"))
+      .agg(count(col("ivf_neighbor")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") * 1.0 / TopK).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   /** Centroids for a dataset, trained once per (dir, file-mtime) and
     * reused — shared by [[annIvf]], [[annIvfPersist]] and the specs
     * so every path probes the EXACT same centroids (independent
@@ -1192,5 +1253,5 @@ object Similarity {
 
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
     annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered,
-    annHardNegatives, annIvfAppend, annRangeSearch)
+    annHardNegatives, annIvfAppend, annRangeSearch, annRecallEval)
 }

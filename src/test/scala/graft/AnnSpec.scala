@@ -364,4 +364,20 @@ class AnnSpec extends SparkSuite {
     val gotSet = got.map(t => (t._1, t._2)).toSet
     assert(inProbed.subsetOf(gotSet), "missed a pair inside a probed cell")
   }
+
+  test("recall eval: one row per query, n_hits equals the op-output intersection") {
+    val rows = Similarity.annRecallEval.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == Similarity.NumQueries)
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= Similarity.TopK))
+    assert(rows.forall(r => math.abs(r._3 - r._2.toDouble / Similarity.TopK) == 0.0))
+    val brutePairs = Similarity.annTopkBrute.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfPairs = Similarity.annIvf.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = brutePairs.groupBy(_._1).view
+      .mapValues(_.count(ivfPairs)).toMap
+    assert(rows.forall(r => expected.getOrElse(r._1, 0) == r._2),
+      "n_hits diverges from the published ops' intersection")
+  }
 }

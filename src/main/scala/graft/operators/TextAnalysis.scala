@@ -1356,10 +1356,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Class-balanced downsampling (round 8): equalize per-label counts
+    * to the SMALLEST class — the standard rebalancing step before
+    * training a classifier on skewed labels (here the embeddings'
+    * label column). Selection order within a class is the
+    * DETERMINISTIC hash order `(xxhash64(vec_id), vec_id)` — a
+    * first-N-by-id cut would bias the sample toward old ids, and a
+    * true random sample would be irreproducible; the seeded hash is
+    * both unbiased w.r.t. id order and bit-replayable (the oracle
+    * replays Spark's XXH64.hashLong in HUGEINT SQL, the count-min
+    * machinery reused). Ranking per label goes through
+    * [[RankSelect.groupRanks]] (few HUGE label groups — the same
+    * one-task-per-group trap as the perplexity terciles), and the
+    * class floor is a one-row broadcast scalar. */
+  val sampleBalanced: Op = Op.sql("sample_balanced", {
+    import SqlReplay.{stagedSql, hashLongStages, toSignedBigint}
+    val staged = stagedSql("SELECT vec_id, label FROM embeddings",
+      hashLongStages("vec_id::HUGEINT", "42::HUGEINT", "h"))
+    s"""WITH r AS (
+       |  SELECT vec_id, label,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY ${toSignedBigint("h")}, vec_id) AS rnk
+       |  FROM ($staged)),
+       |nmin AS (SELECT min(c) AS m FROM (
+       |  SELECT count(*) AS c FROM embeddings GROUP BY label))
+       |SELECT vec_id, label FROM r, nmin WHERE rnk <= m
+       |ORDER BY vec_id""".stripMargin
+  }) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val ranked = RankSelect.groupRanks(
+      e.withColumn("h", xxhash64(col("vec_id"))), "label",
+      Seq(col("h"), col("vec_id")))
+    val nmin = ranked.agg(min("n").as("m"))
+    ranked.crossJoin(broadcast(nmin))
+      .filter(col("rank") <= col("m"))
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
     sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
-    sampleTemperature, textCorpusCard, textDistillFilter, textPerplexityBucket)
+    sampleTemperature, textCorpusCard, textDistillFilter, textPerplexityBucket,
+    sampleBalanced)
 }

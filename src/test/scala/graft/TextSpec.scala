@@ -384,6 +384,28 @@ class TextSpec extends SparkSuite {
     assert(got == want, "distributed group rank diverges from the window rank")
   }
 
+  test("balanced sample: every class lands exactly at the smallest class's size, hash-order not id-order") {
+    import graft.sources.Tables
+    val rows = TextAnalysis.sampleBalanced.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val byLabel = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val full = Tables.load(spark, sfDir, "embeddings")
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nMin = full.values.min
+    assert(byLabel.keySet == full.keySet, "a class vanished from the sample")
+    assert(byLabel.values.forall(_ == nMin),
+      s"per-class counts $byLabel not all at floor $nMin")
+    // the hash order must actually differ from first-N-by-id for at
+    // least one class (otherwise the determinism claim is vacuous)
+    val firstN = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._2).toSeq.flatMap { case (_, vs) =>
+        vs.map(_._1).sorted.take(nMin.toInt).toSeq }.toSet
+    assert(rows.map(_._1).toSet != firstN, "sample degenerated to first-N-by-id")
+  }
+
   test("perplexity buckets: tercile shares per language, head scores above tail") {
     val rows = TextAnalysis.textPerplexityBucket.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

@@ -217,7 +217,36 @@ object Streaming {
       .orderBy("band_id", "band_hash")
   }
 
+  /** Ingest-time contamination guard (dedup_contamination's stream
+    * face, direction flipped: arriving TRAIN docs scored against the
+    * static eval 5-gram set — quarantine before landing). See
+    * [[Streams.contaminationGuard]]; the oracle mirrors the
+    * window-free array-slice n-gram derivation, which produces the
+    * identical distinct 5-gram set as the batch op's lead() windows. */
+  val streamContamination: Op = Op.sql("stream_contamination",
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |ng AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(toks) >= 5
+      |         THEN [array_to_string(toks[i:i+4], ' ')
+      |               for i in range(1, len(toks) - 3)]
+      |         ELSE []::VARCHAR[] END)) AS ng
+      |  FROM t),
+      |ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 50 = 0),
+      |tr AS (SELECT doc_id, ng FROM ng WHERE doc_id % 50 <> 0)
+      |SELECT tr.doc_id, count(*) AS n_ngrams, count(ev.ng) AS n_hit,
+      |       CAST(count(ev.ng) AS DOUBLE) / count(*) AS ratio
+      |FROM tr LEFT JOIN ev ON tr.ng = ev.ng
+      |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+    val evalSet = Streams.evalNgramSet(d)
+    Streams.contaminationGuard(
+        d.filter(org.apache.spark.sql.functions.pmod(
+          col("doc_id"), org.apache.spark.sql.functions.lit(50)) =!= 0), evalSet)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
     streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
-    streamDrift, streamIvfAssign, streamMinhashDedup)
+    streamDrift, streamIvfAssign, streamMinhashDedup, streamContamination)
 }

@@ -325,6 +325,45 @@ object Streams {
       .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
 
+  /** Ingest-time eval-contamination guard — the streaming face of
+    * `dedup_contamination` with the direction flipped: each ARRIVING
+    * train document is scored against the STATIC eval benchmark's
+    * word-5-gram set (the decision a pipeline makes at ingest:
+    * quarantine before the doc ever lands in training data). N-grams
+    * are built per-row from the token array (array-slice transform +
+    * array_distinct — deliberately NO window function, which a
+    * streaming plan cannot run), the eval set rides a stream-static
+    * broadcast join (eval benchmarks are SMALL by contract — the
+    * static side is the one side that genuinely belongs on the
+    * driver), and the only stateful operator is the per-doc count
+    * hash-agg. */
+  def contaminationGuard(docsDf: DataFrame, evalNgrams: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val ngs = when(size(toks) >= 5,
+        array_distinct(transform(sequence(lit(0), size(toks) - 5),
+          i => concat_ws(" ", slice(toks, i + 1, lit(5))))))
+      .otherwise(array().cast("array<string>"))
+    docsDf.select(col("doc_id"), explode(ngs).as("ng"))
+      .join(broadcast(evalNgrams.withColumn("hit", lit(1L))), Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_ngrams")).as("ratio"))
+  }
+
+  /** The static eval-side 5-gram set consumed by
+    * [[contaminationGuard]] (docs with doc_id % 50 == 0, the same
+    * eval slice as the batch op). */
+  def evalNgramSet(docsDf: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val ngs = when(size(toks) >= 5,
+        array_distinct(transform(sequence(lit(0), size(toks) - 5),
+          i => concat_ws(" ", slice(toks, i + 1, lit(5))))))
+      .otherwise(array().cast("array<string>"))
+    docsDf.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(explode(ngs).as("ng")).distinct()
+  }
+
   def ivfAssignCounts(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
     vecs.withColumn("cell", graft.operators.Similarity.cellExpr(
         typedLit(centroids), col("v")))

@@ -412,4 +412,32 @@ class StreamingSpec extends SparkSuite {
     // first-writer-wins: every collided bucket's owner precedes the count
     assert(streamed.forall(r => r.getLong(3) >= 2L))
   }
+
+  test("stream_contamination: the ingest guard runs as a real stream against the static eval set") {
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val evalSet = Streams.evalNgramSet(d)
+    val train = d.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val src = java.nio.file.Files.createTempDirectory("contam_stream").toString
+    val maxId = d.agg(max("doc_id")).head().getLong(0)
+    Seq(col("doc_id") < maxId / 3,
+        col("doc_id").between(maxId / 3, 2 * maxId / 3),
+        col("doc_id") > 2 * maxId / 3).foreach { pred =>
+      train.filter(pred).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val q = Streams.runFileStream(spark, src, train,
+      Streams.contaminationGuard(_, evalSet), "contam_sink")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("contam_sink").orderBy("doc_id").collect()
+    val batch = SparkEntry.queries("stream_contamination")(spark, sfDir).collect()
+    assert(streamed.toSeq == batch.toSeq,
+      "streamed contamination scores diverge from the batch form")
+    assert(streamed.nonEmpty)
+    // ratio is a per-doc proportion
+    assert(streamed.forall { r =>
+      val ratio = r.getDouble(3)
+      ratio >= 0.0 && ratio <= 1.0 && r.getLong(2) <= r.getLong(1)
+    })
+  }
 }

@@ -203,6 +203,13 @@ class SqlParitySpec extends SparkSuite {
     "ann_ivf_append" -> "::DOUBLE[] cast + LATERAL + MATERIALIZED CTEs + list_cosine_similarity",
     "stream_ivf_assign" -> "::DOUBLE[] cast + MATERIALIZED CTEs + list_cosine_similarity",
     "text_distill_filter" -> "string_split_regex + list_filter lambda + WINDOW clause placement",
+    "ann_range_search" -> "::DOUBLE[] cast + LATERAL correlated limit + list_cosine_similarity",
+    "ann_recall_eval" -> "::DOUBLE[] cast + LATERAL + MATERIALIZED CTEs + list_cosine_similarity",
+    "graph_components" -> "WITH RECURSIVE UNION-dedup + // division",
+    "text_perplexity_bucket" -> "unnest(string_split_regex()) + // division",
+    "sample_balanced" -> "HUGEINT xxh64-hashLong replay (xor/shift/HUGEINT casts)",
+    "stream_minhash_dedup" -> "HUGEINT mod-2^64 signature replay + list comprehension",
+    "stream_contamination" -> "list comprehension + list slice toks[a:b] + string_split_regex",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

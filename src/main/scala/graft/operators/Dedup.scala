@@ -854,8 +854,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The near-dup DECISION end-to-end (round 8): LSH candidate pairs
+    * ([[minhashCandidates]]) → connected components by large-star/
+    * small-star contraction ([[Analytics.largeSmallStar]] — the
+    * O(log n)-round machinery, here consuming REAL near-dup pairs
+    * rather than the synthetic chain graph) → keep the minimum id per
+    * component. This is what `dedup_cluster` does for EXACT dups,
+    * lifted to the banded near-dup graph — the actual corpus-level
+    * keep/drop verdict a pipeline executes. The oracle rebuilds the
+    * pairs from the shared HUGEINT signature replay
+    * ([[minhashSigSql]]) and re-derives components with fully
+    * independent machinery (recursive UNION-dedup reachability +
+    * min), so contraction is value-checked against closure on a
+    * graph the operator did not choose. */
+  val dedupNearCluster: Op = Op.sql("dedup_near_cluster", {
+    val sig = minhashSigSql
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + 100000 FROM documents),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ($sig) a JOIN ($sig) b
+       |    ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+       |sym AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM corpus
+       |  UNION
+       |  SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.dst)
+       |SELECT src AS doc_id, min(dst) AS component,
+       |       src = min(dst) AS keep
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val corpus = corpusNear(s, dir)
+    val pairs = minhashCandidates(corpus)
+    val (stars, _) = Analytics.largeSmallStar(pairs)
+    corpus.select(col("doc_id"))
+      .join(stars.withColumnRenamed("u", "doc_id").hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("v"), col("doc_id")).as("component"),
+        (coalesce(col("v"), col("doc_id")) === col("doc_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
     dedupSimhash, dedupEmbedding, dedupLines, dedupContamination,
-    dedupCluster, dedupSemantic, dedupIncremental, dedupSubstring,
+    dedupCluster, dedupNearCluster, dedupSemantic, dedupIncremental, dedupSubstring,
     dedupSubstringRewrite)
 }

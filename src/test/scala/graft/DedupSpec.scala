@@ -230,4 +230,23 @@ class DedupSpec extends SparkSuite {
       assert(removed == 0 && txt == orig(d), s"unique doc $d was modified")
     }
   }
+
+  test("near-dup clustering: every LSH pair shares a component, exactly one keeper per component") {
+    val labels = Dedup.dedupNearCluster.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val pairs = Dedup.dedupMinhashLsh.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture degenerate: no candidate pairs")
+    // candidate pairs are edges — both ends must share a component
+    assert(pairs.forall { case (a, b) => labels(a)._1 == labels(b)._1 },
+      "an LSH pair was split across components")
+    val byComp = labels.groupBy(_._2._1)
+    byComp.foreach { case (c, members) =>
+      assert(members.keys.min == c, s"component $c not labeled by its min")
+      assert(members.count(_._2._2) == 1, s"component $c keeper count != 1")
+      assert(members(c)._2, s"component $c keeper is not the min id")
+    }
+    // dedup must actually merge something on the planted near-dup corpus
+    assert(byComp.size < labels.size, "no cluster has more than one member")
+  }
 }

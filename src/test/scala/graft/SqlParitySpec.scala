@@ -210,6 +210,7 @@ class SqlParitySpec extends SparkSuite {
     "sample_balanced" -> "HUGEINT xxh64-hashLong replay (xor/shift/HUGEINT casts)",
     "stream_minhash_dedup" -> "HUGEINT mod-2^64 signature replay + list comprehension",
     "stream_contamination" -> "list comprehension + list slice toks[a:b] + string_split_regex",
+    "dedup_near_cluster" -> "HUGEINT mod-2^64 signature replay + WITH RECURSIVE UNION-dedup",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -505,6 +505,23 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("graph_components property: star labels equal propagation labels on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val n = 40 + trial * 20
+      val edges = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("x", "y")
+      val (stars, _) = Analytics.largeSmallStar(df)
+      val viaStar = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaProp = graft.operators.Dedup.connectedComponents(df, maxIter = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val aligned = viaProp.map { case (node, _) => node -> viaStar.getOrElse(node, node) }
+      assert(aligned == viaProp, s"trial $trial (n=$n): star labels diverge from propagation")
+    }
+  }
+
   test("graph_components: star labels equal label-propagation labels on a mixed graph") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),

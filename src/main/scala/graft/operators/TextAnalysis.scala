@@ -1394,11 +1394,43 @@ object TextAnalysis {
       .orderBy("vec_id")
   }
 
+  /** Reproducible training data ORDER (round 8): the per-epoch global
+    * shuffle a training run consumes — epoch e's order is the rank of
+    * the seeded hash `xxhash64(1000+e, doc_id)`, so the permutation
+    * is (a) different every epoch, (b) unbiased w.r.t. storage order,
+    * and (c) bit-reproducible anywhere (the oracle replays Spark's
+    * chained XXH64 — seed 42 → epoch key → doc key — in HUGEINT SQL,
+    * the count-min two-stage pattern). The global rank within each
+    * epoch goes through [[RankSelect.groupRanks]]: a training data
+    * order is exactly the few-huge-groups shape (3 epochs × corpus)
+    * where a window rank would serialize the corpus per epoch. */
+  val sampleEpochOrder: Op = Op.sql("sample_epoch_order", {
+    import SqlReplay.{stagedSql, hashLongStages, toSignedBigint}
+    val base = stagedSql(
+      "SELECT epoch, doc_id, CAST(1000 + epoch AS HUGEINT) AS ek," +
+        " CAST(doc_id AS HUGEINT) AS dk" +
+        " FROM documents, unnest([0, 1, 2]) AS te(epoch)",
+      hashLongStages("ek", "42::HUGEINT", "s1") ++ hashLongStages("dk", "s1", "h"))
+    s"""SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       |  row_number() OVER (PARTITION BY epoch
+       |    ORDER BY ${toSignedBigint("h")}, doc_id) AS pos
+       |FROM ($base)
+       |ORDER BY epoch, pos""".stripMargin
+  }) { (s, dir) =>
+    val epochs = (0 until 3).map { e =>
+      docs(s, dir).select(lit(e.toLong).as("epoch"), col("doc_id"),
+        xxhash64(lit(1000L + e), col("doc_id")).as("h"))
+    }.reduce(_ unionAll _)
+    RankSelect.groupRanks(epochs, "epoch", Seq(col("h"), col("doc_id")))
+      .select(col("epoch"), col("doc_id"), col("rank").as("pos"))
+      .orderBy("epoch", "pos")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
     sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
     sampleTemperature, textCorpusCard, textDistillFilter, textPerplexityBucket,
-    sampleBalanced)
+    sampleBalanced, sampleEpochOrder)
 }

@@ -211,6 +211,7 @@ class SqlParitySpec extends SparkSuite {
     "stream_minhash_dedup" -> "HUGEINT mod-2^64 signature replay + list comprehension",
     "stream_contamination" -> "list comprehension + list slice toks[a:b] + string_split_regex",
     "dedup_near_cluster" -> "HUGEINT mod-2^64 signature replay + WITH RECURSIVE UNION-dedup",
+    "sample_epoch_order" -> "HUGEINT xxh64-hashLong replay + unnest() lateral",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -406,6 +406,23 @@ class TextSpec extends SparkSuite {
     assert(rows.map(_._1).toSet != firstN, "sample degenerated to first-N-by-id")
   }
 
+  test("epoch order: each epoch is a complete permutation, epochs genuinely differ") {
+    import graft.sources.Tables
+    val rows = TextAnalysis.sampleEpochOrder.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val allDocs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.map(_._2).toSet == allDocs, s"epoch $e is not a full pass")
+      assert(rs.map(_._3).sorted.toSeq == (1L to allDocs.size).toSeq,
+        s"epoch $e positions are not a 1..n bijection")
+    }
+    val orders = byEpoch.values.map(_.sortBy(_._3).map(_._2).toSeq).toSeq
+    assert(orders.distinct.size == 3, "two epochs produced the identical order")
+  }
+
   test("perplexity buckets: tercile shares per language, head scores above tail") {
     val rows = TextAnalysis.textPerplexityBucket.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

@@ -865,6 +865,32 @@ object Relational {
       .orderBy("k_bucket")
   }
 
+  /** Correlated LATERAL subquery in FROM (round 8) — the remaining
+    * subquery shape after q14 (scalar) and q32 (correlated WHERE):
+    * per outer row, an ordered-and-limited dependent subquery. The
+    * per-group top-n it expresses here decorrelates to the same
+    * ranked-window plan as q28's top-n aggregation (Catalyst's
+    * DecorrelateInnerQuery), so the lateral SYNTAX costs nothing at
+    * scale — one keyed shuffle on the correlation key, no
+    * nested-loop. Same SQL text runs on both engines. */
+  val q76LateralTopn: Op = Op.sql("q76_lateral_topn",
+    """SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n_nationkey, c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_nationkey, c_custkey""".stripMargin)
+  }
+
   val all: Seq[Op] = Seq(q1Agg, q2FilterProject, q3JoinInner, q4JoinLeft,
     q5JoinRight, q6JoinFull, q7JoinSemi, q8JoinAnti, q9CrossJoin,
     q10MultiJoin, q11OrderLimitOffset, q12Distinct, q13AggDistinct,
@@ -874,5 +900,5 @@ object Relational {
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
     q33SkewSaltedJoin, q36JsonExtract, q37Rollup, q38IntegrityAudit,
     q39Histogram, q46MergeUpsert, q63TimeTravel, q68SnapshotDiff, q51SaltedAgg,
-    q52ReadJsonl, q53OrcRoundtrip)
+    q52ReadJsonl, q53OrcRoundtrip, q76LateralTopn)
 }

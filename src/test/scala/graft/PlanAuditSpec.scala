@@ -404,6 +404,18 @@ class PlanAuditSpec extends SparkSuite {
       s"probe join must build on the broadcast query side:\n$p")
   }
 
+  test("lateral top-n decorrelates to a partial window group limit, never a nested loop") {
+    // the correlated LATERAL LIMIT must become Catalyst's ranked-window
+    // rewrite (WindowGroupLimit prunes to k rows per key MAP-SIDE,
+    // before the shuffle) joined back on the correlation key; a
+    // BNLJ/cartesian here would re-run the subquery per outer row
+    val p = plan("q76_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral did not decorrelate to a group-limit window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral executed as a nested loop:\n$p")
+  }
+
   test("range search is a scan-shaped broadcast probe with the radius filter fused into the join") {
     // same build-side contract as ann_ivf_append: queries×NumProbes
     // broadcast, the corpus stream-side; the cos >= tau predicate must

@@ -1203,6 +1203,53 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance (round 8) — the
+    * distribution-SHAPE drift test completing the stats family:
+    * `stats_ttest` compares means, `stats_drift` compares decile
+    * shares against a FIXED reference binning, KS is the sup-norm gap
+    * between the two empirical CDFs — sensitive to any
+    * distributional change, binning-free. Exact, not sampled: group
+    * by the exact DECIMAL value (one corpus shuffle), cumulative
+    * counts over the per-value aggregate (the running window runs
+    * over ≤ |distinct values| rows — aggregate output, never raw
+    * data, per the global-window rule), and the per-row CDF gap
+    * |fa/na − fb/nb| is two divisions + a subtraction on identical
+    * integers — IEEE-identical on both engines, so the max is too. */
+  val statsKs: Op = Op.sql("stats_ks",
+    """WITH e AS (SELECT user_id % 2 AS grp,
+      |             CAST("value" AS DECIMAL(12,2)) AS v FROM events),
+      |n AS (SELECT count(*) FILTER (WHERE grp = 0) AS n_a,
+      |             count(*) FILTER (WHERE grp = 1) AS n_b FROM e),
+      |pv AS (SELECT v, count(*) FILTER (WHERE grp = 0) AS ca,
+      |              count(*) FILTER (WHERE grp = 1) AS cb
+      |       FROM e GROUP BY v),
+      |cum AS (SELECT
+      |  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+      |  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+      |FROM pv)
+      |SELECT n_a, n_b,
+      |  round(max(abs(CAST(fa AS DOUBLE) / n_a - CAST(fb AS DOUBLE) / n_b)), 6) AS ks
+      |FROM cum, n GROUP BY n_a, n_b ORDER BY n_a""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select((col("user_id") % 2).as("grp"),
+      col("value").cast("decimal(12,2)").as("v"))
+    val n = e.agg(
+      count(when(col("grp") === 0, 1)).as("n_a"),
+      count(when(col("grp") === 1, 1)).as("n_b"))
+    val pv = e.groupBy("v").agg(
+      count(when(col("grp") === 0, 1)).as("ca"),
+      count(when(col("grp") === 1, 1)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pv.select(
+      sum("ca").over(w).as("fa"), sum("cb").over(w).as("fb"))
+    cum.crossJoin(broadcast(n))
+      .select(col("n_a"), col("n_b"),
+        abs(col("fa").cast("double") / col("n_a") -
+          col("fb").cast("double") / col("n_b")).as("d"))
+      .groupBy("n_a", "n_b").agg(round(max("d"), 6).as("ks"))
+      .orderBy("n_a")
+  }
+
   /** Large-star/small-star connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC 2014) —
     * the O(log n)-round alternative to min-label propagation
@@ -1309,5 +1356,5 @@ object Analytics {
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
-    statsDrift, graphComponents)
+    statsDrift, graphComponents, statsKs)
 }

@@ -505,6 +505,27 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("KS statistic matches an in-process sequential ECDF recompute") {
+    val row = Analytics.statsKs.run(spark, sfDir).head()
+    val (na, nb, ks) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val vals = Tables.load(spark, sfDir, "events")
+      .select((col("user_id") % 2).as("g"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    val a = vals.filter(_._1 == 0L).map(_._2)
+    val b = vals.filter(_._1 == 1L).map(_._2)
+    assert(na == a.length && nb == b.length)
+    val points = (a ++ b).distinct.sorted
+    var best = 0.0
+    points.foreach { p =>
+      val fa = a.count(_.compareTo(p) <= 0).toDouble / a.length
+      val fb = b.count(_.compareTo(p) <= 0).toDouble / b.length
+      best = math.max(best, math.abs(fa - fb))
+    }
+    assert(math.abs(best - ks) <= 5e-7, s"sequential KS $best vs op $ks")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
   test("graph_components property: star labels equal propagation labels on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

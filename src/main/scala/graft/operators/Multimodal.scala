@@ -754,6 +754,39 @@ object Multimodal {
     imgRow.unionByName(vidRow).unionByName(audRow).orderBy("modality")
   }
 
+  /** Magic-byte format sniffing (round 8) — the FIRST step of any
+    * multimodal ingest: trust the payload's leading bytes, not the
+    * declared mime (mislabeled and bit-rotted files are routine in a
+    * 100 TB media lake). The op corrupts every 97th payload's magic
+    * in-flight (the deterministic stand-in for rot) and then
+    * dispatches on REAL bytes: `P6\n` → image, `GSEQ` → video, else
+    * unknown/quarantine. Pure per-row binary expressions — substring
+    * on the payload head only (codegen'd; the multi-MB tail is never
+    * touched), no shuffle. The oracle replays the synthesis +
+    * corruption rules in closed form (the established mm pattern), so
+    * a sniffer that misparsed real headers would hash-mismatch. */
+  val mmFormatSniff: Op = Op.sql("mm_format_sniff",
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0 THEN '$VideoMime'
+       |       ELSE '$ImageMime' END AS mime,
+       |  CASE WHEN doc_id % 97 = 0 THEN 'unknown'
+       |       WHEN doc_id % 5 = 0 THEN '$VideoMime'
+       |       ELSE '$ImageMime' END AS sniffed,
+       |  doc_id % 97 <> 0 AS agree
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val corrupted = mediaTable(s, dir).withColumn("payload",
+      when(col("doc_id") % 97 === 0,
+        concat(lit("XX".getBytes("US-ASCII")), expr("substring(payload, 3)")))
+        .otherwise(col("payload")))
+    val sniffed =
+      when(substring(col("payload"), 1, 3).cast("string") === "P6\n", lit(ImageMime))
+        .when(substring(col("payload"), 1, 4).cast("string") === "GSEQ", lit(VideoMime))
+        .otherwise(lit("unknown"))
+    corrupted.select(col("doc_id"), col("mime"), sniffed.as("sniffed"),
+        (sniffed === col("mime")).as("agree"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup,
-    mmAudioFeatures, mmSceneDetect, mmAudioVad, pipelineMm)
+    mmAudioFeatures, mmSceneDetect, mmAudioVad, pipelineMm, mmFormatSniff)
 }

@@ -223,4 +223,21 @@ class MultimodalSpec extends SparkSuite {
     }
     steps.foreach(r => assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 255))
   }
+
+  test("format sniff: clean payloads sniff to their real container, corrupted magic quarantines") {
+    val rows = Multimodal.mmFormatSniff.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, mime, sniffed, agree) =>
+      if (id % 97 == 0) {
+        assert(sniffed == "unknown" && !agree, s"doc $id: corrupted magic not caught")
+      } else {
+        assert(sniffed == mime && agree, s"doc $id: clean payload mis-sniffed")
+      }
+    }
+    // the fixture must exercise both containers and the quarantine path
+    assert(rows.exists(_._2 == Multimodal.ImageMime))
+    assert(rows.exists(_._2 == Multimodal.VideoMime))
+    assert(rows.exists(!_._4), "no corrupted payload in fixture")
+  }
 }

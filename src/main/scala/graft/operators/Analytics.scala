@@ -1275,6 +1275,7 @@ object Analytics {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wu = Window.partitionBy("u")
+    var eCount = e.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
@@ -1294,11 +1295,15 @@ object Analytics {
         .distinct()
       next = (if ((rounds + 1) % 4 == 0) next.localCheckpoint()
               else next.persist(StorageLevel.MEMORY_AND_DISK))
-      // fixpoint = identical edge set (both sides distinct, so two
-      // one-way except probes decide set equality exactly)
-      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      // fixpoint = identical edge set. Both sides are distinct, so
+      // |next| == |e| plus one-way next ⊆ e decides set equality —
+      // the count on the just-persisted frame is near-free, halving
+      // the per-round convergence cost vs two except jobs
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
       e.unpersist()
       e = next
+      eCount = nextCount
       rounds += 1
     }
     val out = if (converged) e.localCheckpoint(true) else e
@@ -1335,8 +1340,13 @@ object Analytics {
       |  SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.dst)
       |SELECT src AS node, min(dst) AS component FROM reach
       |GROUP BY src ORDER BY node""".stripMargin) { (s, dir) =>
+    // one scan + one distinct for the node set, reused three times
+    // (edge left side, edge right side, final label join) — the
+    // eager checkpoint is 6k longs here and O(|nodes|) in general,
+    // vs three corpus scans + distinct shuffles without it
     val nodes = t(s, dir, "events")
       .select((col("event_id") % 6000).as("node")).distinct()
+      .localCheckpoint(true)
     val right = nodes.select(col("node").as("b"))
     val edges = nodes
       .join(right.hint("shuffle_hash"), col("b") === col("node") + 7)

@@ -115,14 +115,13 @@ object Dedup {
 
   import SqlReplay.{M64, BandSaltU, mixStages, stagedSql, tokenHashStages}
 
-  /** The generated DuckDB SQL computing [[minhashCandidates]] over
-    * the near-dup corpus, signature-exact. Java's `g < mins(i)` is a
-    * SIGNED 64-bit compare, so the min runs over signed-converted
-    * values and converts back before the band fold. */
   /** The generated DuckDB SQL for the signature relation
-    * `(doc_id, band_id, h)` over the near-dup corpus — shared by the
-    * pair oracle below and `stream_minhash_dedup`'s bucket-owner
-    * oracle, so the two can never drift on the replayed kernel. */
+    * `(doc_id, band_id, h)` over the near-dup corpus,
+    * signature-exact — shared by the pair oracle below,
+    * `dedup_near_cluster` and `stream_minhash_dedup`, so none can
+    * drift on the replayed kernel. Java's `g < mins(i)` is a SIGNED
+    * 64-bit compare, so the min runs over signed-converted values
+    * and converts back before the band fold. */
   private[graft] def minhashSigSql: String = {
     val shingles =
       """SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [text]
@@ -153,6 +152,8 @@ object Dedup {
         mixStages("bs", "h")) + ")"
   }
 
+  /** [[minhashCandidates]] replayed over [[minhashSigSql]] — the
+    * candidate-pair oracle of `dedup_minhash_lsh`. */
   private def minhashOracleSql: String = {
     val sig = minhashSigSql
     s"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -70,7 +70,18 @@ object RankSelect {
     * driver holds only |partitions|×|groups| counting metadata (the
     * IVF-centroid discipline). Appends `rank` (1-based within group)
     * and `n` (group size); TextSpec pins bit-equality with the window
-    * formulation. */
+    * formulation.
+    *
+    * Group-key contract: the group column is keyed by its STRING cast
+    * (offsets travel through a driver-built table), so the cast must
+    * be injective on the actual values — true for the atomic types
+    * this is meant for (strings, integers, dates), NOT for e.g.
+    * floats that render equal. NULL groups are ranked as their own
+    * partition, exactly like `PARTITION BY` — internally they ride a
+    * NUL-prefixed sentinel key no real-world group string contains
+    * (a plain null key would silently drop the rows at the equi-join). */
+  private val NullGroupKey = "\u0000<null-group>"
+
   def groupRanks(df: DataFrame, groupCol: String,
                  orderCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
@@ -86,7 +97,8 @@ object RankSelect {
       .repartitionByRange((col(groupCol) +: orderCols): _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
-    val counts = keyed.groupBy(col("pid"), col(groupCol).cast("string").as("g"))
+    val gKey = coalesce(col(groupCol).cast("string"), lit(NullGroupKey))
+    val counts = keyed.groupBy(col("pid"), gKey.as("g"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     val byGroup = counts.groupBy(_._2)
@@ -99,7 +111,7 @@ object RankSelect {
     val offs = spark.createDataset(offRows).toDF("pid", "g", "off")
     val ns = spark.createDataset(nRows).toDF("g", "n")
     keyed
-      .withColumn("g", col(groupCol).cast("string"))
+      .withColumn("g", gKey)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("pid"), col("g")).orderBy(orderCols: _*)))
       .join(broadcast(offs), Seq("pid", "g"))

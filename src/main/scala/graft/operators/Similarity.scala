@@ -290,6 +290,20 @@ object Similarity {
     * `cells` assigns every corpus vector under the REFINED centroids
     * through the same argmax. Shared by ann_ivf and dedup_semantic
     * (which blocks on these cells). */
+  /** The query-probe CTE `(query_id, qv, cell)` shared VERBATIM by
+    * every full-vector IVF-probing oracle (ann_ivf, ann_range_search,
+    * ann_recall_eval, ann_ivf_persist) — one copy of the probe rule,
+    * so an edit cannot desynchronize one op's oracle from the shared
+    * [[probeCellsExpr]] kernel. (The PQ path keeps its own no-qv
+    * variant: its probes deliberately drop the full vector.) */
+  def ivfProbesCteSql: String =
+    s"""probes AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, p.cell
+       |  FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q,
+       |    LATERAL (SELECT c2.cell FROM cent2 c2
+       |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
+       |             LIMIT $NumProbes) p)""".stripMargin
+
   def ivfCentroidCteSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |""".stripMargin + ivfTrainCtesSql("e")
@@ -335,12 +349,7 @@ object Similarity {
   val annIvf: Op = Op.sql("ann_ivf",
     ivfCentroidCteSql +
     s""",
-       |probes AS MATERIALIZED (
-       |  SELECT q.vec_id AS query_id, q.v AS qv, p.cell
-       |  FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q,
-       |    LATERAL (SELECT c2.cell FROM cent2 c2
-       |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
-       |             LIMIT $NumProbes) p)
+       |$ivfProbesCteSql
        |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos
        |FROM (
        |  SELECT p.query_id, c.vec_id,
@@ -379,12 +388,7 @@ object Similarity {
   val annRangeSearch: Op = Op.sql("ann_range_search",
     ivfCentroidCteSql +
     s""",
-       |probes AS MATERIALIZED (
-       |  SELECT q.vec_id AS query_id, q.v AS qv, p.cell
-       |  FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q,
-       |    LATERAL (SELECT c2.cell FROM cent2 c2
-       |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
-       |             LIMIT $NumProbes) p)
+       |$ivfProbesCteSql
        |SELECT p.query_id, c.vec_id AS neighbor_id,
        |  round(list_cosine_similarity(p.qv, c.v), 6) AS cos
        |FROM probes p JOIN cells c USING (cell)
@@ -423,12 +427,7 @@ object Similarity {
   val annRecallEval: Op = Op.sql("ann_recall_eval",
     ivfCentroidCteSql +
     s""",
-       |probes AS MATERIALIZED (
-       |  SELECT q.vec_id AS query_id, q.v AS qv, p.cell
-       |  FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q,
-       |    LATERAL (SELECT c2.cell FROM cent2 c2
-       |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
-       |             LIMIT $NumProbes) p),
+       |$ivfProbesCteSql,
        |ivf AS (
        |  SELECT query_id, vec_id AS neighbor_id
        |  FROM (
@@ -608,12 +607,7 @@ object Similarity {
        |  SELECT * FROM e WHERE vec_id < (SELECT c FROM cut)),
        |""".stripMargin + ivfTrainCtesSql("eb") +
     s""",
-       |probes AS MATERIALIZED (
-       |  SELECT q.vec_id AS query_id, q.v AS qv, p.cell
-       |  FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q,
-       |    LATERAL (SELECT c2.cell FROM cent2 c2
-       |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
-       |             LIMIT $NumProbes) p)
+       |$ivfProbesCteSql
        |SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos
        |FROM (
        |  SELECT p.query_id, c.vec_id,

@@ -207,8 +207,7 @@ object Streaming {
     * stream to equality with this batch form. */
   val streamMinhashDedup: Op = Op.sql("stream_minhash_dedup",
     s"""SELECT band_id,
-       |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - ${graft.operators.SqlReplay.M64}
-       |       ELSE h END AS BIGINT) AS band_hash,
+       |  ${graft.operators.SqlReplay.toSignedBigint("h")} AS band_hash,
        |  min(doc_id) AS owner, count(*) AS n_docs
        |FROM (${Dedup.minhashSigSql})
        |GROUP BY 1, 2 HAVING count(*) >= 2

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -337,13 +337,21 @@ object Streams {
     * static side is the one side that genuinely belongs on the
     * driver), and the only stateful operator is the per-doc count
     * hash-agg. */
-  def contaminationGuard(docsDf: DataFrame, evalNgrams: DataFrame): DataFrame = {
+  /** Per-row distinct word-5-gram set of `text` — the ONE n-gram
+    * derivation shared by [[contaminationGuard]] (train side) and
+    * [[evalNgramSet]] (eval side); the guard's ratios are only
+    * meaningful if both sides tokenize identically, so neither may
+    * own a private copy. */
+  private def ngramArray: Column = {
     val toks = split(col("text"), "\\s+")
-    val ngs = when(size(toks) >= 5,
+    when(size(toks) >= 5,
         array_distinct(transform(sequence(lit(0), size(toks) - 5),
           i => concat_ws(" ", slice(toks, i + 1, lit(5))))))
       .otherwise(array().cast("array<string>"))
-    docsDf.select(col("doc_id"), explode(ngs).as("ng"))
+  }
+
+  def contaminationGuard(docsDf: DataFrame, evalNgrams: DataFrame): DataFrame = {
+    docsDf.select(col("doc_id"), explode(ngramArray).as("ng"))
       .join(broadcast(evalNgrams.withColumn("hit", lit(1L))), Seq("ng"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hit"))
@@ -354,15 +362,9 @@ object Streams {
   /** The static eval-side 5-gram set consumed by
     * [[contaminationGuard]] (docs with doc_id % 50 == 0, the same
     * eval slice as the batch op). */
-  def evalNgramSet(docsDf: DataFrame): DataFrame = {
-    val toks = split(col("text"), "\\s+")
-    val ngs = when(size(toks) >= 5,
-        array_distinct(transform(sequence(lit(0), size(toks) - 5),
-          i => concat_ws(" ", slice(toks, i + 1, lit(5))))))
-      .otherwise(array().cast("array<string>"))
+  def evalNgramSet(docsDf: DataFrame): DataFrame =
     docsDf.filter(pmod(col("doc_id"), lit(50)) === 0)
-      .select(explode(ngs).as("ng")).distinct()
-  }
+      .select(explode(ngramArray).as("ng")).distinct()
 
   def ivfAssignCounts(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
     vecs.withColumn("cell", graft.operators.Similarity.cellExpr(

@@ -382,6 +382,21 @@ class TextSpec extends SparkSuite {
       .select("grp", "id", "rank", "n")
       .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(got == want, "distributed group rank diverges from the window rank")
+    // NULL groups rank as their own partition, exactly like PARTITION BY
+    // (a plain null join key would silently drop these rows)
+    val withNull = rows.map { case (g, v, i) => (if (i % 5 == 0) null else g, v, i) }
+      .toDF("grp", "value", "id")
+    val gotN = graft.operators.RankSelect
+      .groupRanks(withNull, "grp", Seq(col("value").desc, col("id")))
+      .select("grp", "id", "rank", "n")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val wantN = withNull
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .select("grp", "id", "rank", "n")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(gotN == wantN, "null-group ranks diverge from the window rank")
+    assert(gotN.keys.exists(_._1.isEmpty), "fixture lost its null group")
   }
 
   test("balanced sample: every class lands exactly at the smallest class's size, hash-order not id-order") {

@@ -470,6 +470,73 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Candidate-quality evaluation of the MinHash blocking (round 8)
+    * — `ann_recall_eval`'s dedup sibling: the numbers an operator of
+    * a 100 TB dedup pipeline actually watches when tuning band count
+    * / shingle width. Precision is measurable exactly at ANY scale
+    * (verify each candidate pair by exact Jaccard — O(candidates));
+    * full recall is NOT (it needs the all-pairs truth the banding
+    * exists to avoid — the 2,500 s analog baseline), so recall is
+    * measured against the PLANTED twin pairs, the known ground truth
+    * this corpus carries by construction. One banded candidate pass,
+    * localCheckpoint'd and reused by all three counters; the oracle
+    * rebuilds candidates from the shared signature replay and
+    * verifies with the same exact-Jaccard SQL as dedup_ngram_jaccard. */
+  val dedupMinhashEval: Op = Op.sql("dedup_minhash_eval", {
+    val sig = minhashSigSql
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ($sig) a JOIN ($sig) b
+       |    ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000 AS doc_id,
+       |    substring(text, strpos(text, ' ') + 1) AS text FROM documents),
+       |tok AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [text]
+       |         ELSE [array_to_string(toks[i:i+2], ' ')
+       |               for i in range(1, len(toks) - 1)] END) AS s
+       |  FROM tok),
+       |ver AS (
+       |  SELECT p.id_a, p.id_b FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+       |          / len(list_distinct(a.s || b.s)) >= 0.5),
+       |planted AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents)
+       |SELECT
+       |  (SELECT count(*) FROM pairs) AS n_candidates,
+       |  (SELECT count(*) FROM ver) AS n_verified,
+       |  (SELECT count(*) FROM planted) AS n_planted,
+       |  (SELECT count(*) FROM pairs JOIN planted USING (id_a, id_b)) AS n_hit,
+       |  (SELECT count(*) FROM ver) * 1.0
+       |    / (SELECT count(*) FROM pairs) AS precision,
+       |  (SELECT count(*) FROM pairs JOIN planted USING (id_a, id_b)) * 1.0
+       |    / (SELECT count(*) FROM planted) AS recall_planted""".stripMargin
+  }) { (s, dir) =>
+    val corpus = corpusNear(s, dir)
+    val cands = minhashCandidates(corpus).localCheckpoint(true)
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(shinglesCol(col("text"))).as("sh"))
+      .hint("shuffle_hash")
+    val verified = cands
+      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 1.0 /
+        size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+    val planted = docs(s, dir)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+    val nc = cands.agg(count(lit(1)).as("n_candidates"))
+    val nv = verified.agg(count(lit(1)).as("n_verified"))
+    val np = planted.agg(count(lit(1)).as("n_planted"))
+    val nh = cands.join(planted.hint("shuffle_hash"), Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nc.crossJoin(broadcast(nv)).crossJoin(broadcast(np)).crossJoin(broadcast(nh))
+      .select(col("n_candidates"), col("n_verified"), col("n_planted"), col("n_hit"),
+        (col("n_verified") * 1.0 / col("n_candidates")).as("precision"),
+        (col("n_hit") * 1.0 / col("n_planted")).as("recall_planted"))
+  }
+
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: each round every node takes the minimum
     * label in its neighborhood (one keyed join + one min-aggregate —
@@ -903,5 +970,5 @@ object Dedup {
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
     dedupSimhash, dedupEmbedding, dedupLines, dedupContamination,
     dedupCluster, dedupNearCluster, dedupSemantic, dedupIncremental, dedupSubstring,
-    dedupSubstringRewrite)
+    dedupSubstringRewrite, dedupMinhashEval)
 }

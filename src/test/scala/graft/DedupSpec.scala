@@ -249,4 +249,17 @@ class DedupSpec extends SparkSuite {
     // dedup must actually merge something on the planted near-dup corpus
     assert(byComp.size < labels.size, "no cluster has more than one member")
   }
+
+  test("minhash eval: high planted recall, counts consistent, precision in range") {
+    val r = Dedup.dedupMinhashEval.run(spark, sfDir).head()
+    val (nc, nv, np, nh) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (prec, rec) = (r.getDouble(4), r.getDouble(5))
+    assert(nc > 0 && np > 0, "fixture degenerate")
+    assert(nv <= nc && nh <= np && nh <= nc, s"counts inconsistent: $nc $nv $np $nh")
+    assert(prec == nv.toDouble / nc && rec == nh.toDouble / np)
+    // the planted twins sit at J≈0.98 where 16-band MinHash recall is
+    // essentially 1 — the eval must measure that, not just emit rows
+    assert(rec >= 0.95, s"planted-twin recall $rec collapsed")
+    assert(prec > 0.0 && prec <= 1.0)
+  }
 }

@@ -212,6 +212,7 @@ class SqlParitySpec extends SparkSuite {
     "stream_contamination" -> "list comprehension + list slice toks[a:b] + string_split_regex",
     "dedup_near_cluster" -> "HUGEINT mod-2^64 signature replay + WITH RECURSIVE UNION-dedup",
     "sample_epoch_order" -> "HUGEINT xxh64-hashLong replay + unnest() lateral",
+    "dedup_minhash_eval" -> "HUGEINT mod-2^64 signature replay + list comprehension",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

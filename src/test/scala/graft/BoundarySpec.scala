@@ -49,4 +49,24 @@ class BoundarySpec extends SparkSuite {
       intercept[AnalysisException] { df.select(e).collect() }
     }
   }
+
+  test("star contraction on an empty or self-loop-only graph converges to an empty forest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val (s1, r1) = graft.operators.Analytics.largeSmallStar(empty)
+    assert(s1.isEmpty && r1 >= 1)
+    val loops = Seq((3L, 3L), (7L, 7L)).toDF("x", "y")
+    val (s2, _) = graft.operators.Analytics.largeSmallStar(loops)
+    assert(s2.isEmpty, "self-loops must not manufacture components")
+  }
+
+  test("grouped rank on an empty frame returns an empty frame with the rank columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(String, Long)].toDF("grp", "id")
+    val out = graft.operators.RankSelect.groupRanks(empty, "grp", Seq(col("id")))
+    assert(out.columns.toSet == Set("grp", "id", "rank", "n"))
+    assert(out.isEmpty)
+  }
 }

@@ -387,6 +387,50 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.map(_.getLong(1)).sum == maxId - cut + 1)
   }
 
+  test("a stateful aggregation resumes from its checkpoint: restart reads only the new file") {
+    // the recovery contract a production stream lives on: stop a
+    // stateful query, let data arrive while it is DOWN, restart from
+    // the same checkpointLocation — the restarted query must resume
+    // offsets AND aggregation state (read only the new file, output
+    // the full complete-mode result), not recompute from scratch
+    val events = Tables.load(spark, sfDir, "events").cache()
+    val src = Files.createTempDirectory("ckpt_src").toString
+    val ckpt = Files.createTempDirectory("ckpt_loc").toString
+    val mid = events.stat.approxQuantile("event_id", Array(0.5), 0.001)(0).toLong
+    def chunk(pred: org.apache.spark.sql.Column): Long = {
+      val df = events.filter(pred)
+      df.coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+      df.count()
+    }
+    chunk(col("event_id") <= mid / 2)
+    chunk(col("event_id") > mid / 2 && col("event_id") <= mid)
+    def start(sink: String) = {
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      Streams.windowAgg(stream).writeStream.format("memory")
+        .queryName(sink).outputMode("complete")
+        .option("checkpointLocation", ckpt).start()
+    }
+    val q1 = start("ckpt_sink_a")
+    q1.processAllAvailable(); q1.stop()
+    // data arrives while the query is down
+    val lateRows = chunk(col("event_id") > mid)
+    val q2 = start("ckpt_sink_b")
+    q2.processAllAvailable()
+    val readAfterRestart = q2.recentProgress.map(_.numInputRows).sum
+    q2.stop()
+    assert(readAfterRestart == lateRows,
+      s"restart read $readAfterRestart rows, expected only the $lateRows new ones")
+    val streamed = spark.table("ckpt_sink_b")
+      .orderBy("win_start", "event_type").collect()
+    val batch = Streams.windowAgg(events)
+      .orderBy("win_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq,
+      "resumed state did not reproduce the batch aggregate")
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_minhash_dedup: a real 3-batch doc stream converges to the batch bucket owners") {
     import graft.operators.Dedup
     val corpus = Dedup.corpusNear(spark, sfDir)

@@ -111,6 +111,43 @@ object KV {
     t.compactedUpTo(cut).compacted()
   }
 
+  /** LSM level observability (round 8): the report an operator reads
+    * when tuning compaction — per level, row/key counts and the seq
+    * range, over the SAME fold as `kv_leveled_compact` (old 60% of
+    * the log merged latest-wins into L1, young raw runs at L0). L1's
+    * row-vs-key delta is the fold's selectivity (how much dead data
+    * the compaction reclaimed) and the seq ranges prove level
+    * disjointness — the invariant leveling exists to maintain. One
+    * hash-aggregate over the compacted run set; the oracle replays
+    * the cut + latest-wins fold in SQL, so a fold that leaked an
+    * overwritten version or a tombstone would change L1's counts and
+    * hash-mismatch. */
+  val kvLevelsReport: Op = Op.sql("kv_levels_report",
+    s"""WITH $kvCte,
+       |mx AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS cut FROM kv),
+       |l1 AS (SELECT key, seq FROM (
+       |  SELECT key, seq, tombstone,
+       |         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |  FROM kv, mx WHERE seq <= cut) WHERE rn = 1 AND NOT tombstone),
+       |l0 AS (SELECT key, seq FROM kv, mx WHERE seq > cut)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS level, count(*) AS n_rows,
+       |         count(DISTINCT key) AS n_keys,
+       |         min(seq) AS min_seq, max(seq) AS max_seq FROM l0
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), count(*), count(DISTINCT key),
+       |         min(seq), max(seq) FROM l1)
+       |ORDER BY level""".stripMargin) { (s, dir) =>
+    val t = kv(s, dir)
+    val cut = t.runs.agg(floor(max("seq") * 0.6).cast("bigint")).head().getLong(0)
+    t.compactedUpTo(cut).runs
+      .withColumn("level", when(col("seq") <= cut, 1L).otherwise(0L))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("key")).as("n_keys"),
+        min("seq").as("min_seq"), max("seq").as("max_seq"))
+      .orderBy("level")
+  }
+
   private val logBuildLock = new Object
 
   /** Durable batched ingest through [[graft.kv.KVLog]] (the
@@ -281,5 +318,5 @@ object KV {
 
   val all: Seq[Op] = Seq(kvPointGet, kvRangeScan, kvCompact,
     kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest,
-    kvScd2, kvTtl, kvMergeOperator)
+    kvScd2, kvTtl, kvMergeOperator, kvLevelsReport)
 }

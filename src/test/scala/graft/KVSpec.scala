@@ -201,4 +201,17 @@ class KVSpec extends SparkSuite {
     assert(rows.exists(r => r._4 == "del" && r._3 > 0), "no del-then-add key")
     assert(rows.exists(r => r._4 == "put" && r._3 > 1), "no multi-operand put key")
   }
+
+  test("levels report: disjoint seq ranges, L1 fully folded, fold reclaimed dead versions") {
+    val rows = graft.operators.KV.kvLevelsReport.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set(0L, 1L))
+    val (l0, l1) = (rows(0L), rows(1L))
+    // leveling's invariant: the folded level sits strictly below the young one
+    assert(l1._4 < l0._3, s"levels overlap: L1 max_seq ${l1._4} >= L0 min_seq ${l0._3}")
+    // latest-wins fold leaves exactly one row per surviving key
+    assert(l1._1 == l1._2, s"L1 holds ${l1._1} rows for ${l1._2} keys — fold leaked versions")
+    // and it must actually have reclaimed something on this log
+    assert(l0._1 > l0._2, "fixture degenerate: young level has no overwrites to reclaim later")
+  }
 }

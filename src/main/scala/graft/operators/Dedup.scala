@@ -171,13 +171,21 @@ object Dedup {
   /** Exact 3-gram Jaccard re-check of the LSH candidates (the
     * standard candidate→verify pipeline): join shingle SETS back to
     * the (small) candidate pair list, never to the corpus itself. */
-  def jaccardVerified(corpus: DataFrame, threshold: Double): DataFrame = {
+  def jaccardVerified(corpus: DataFrame, threshold: Double): DataFrame =
+    jaccardVerify(minhashCandidates(corpus), corpus, threshold)
+
+  /** Exact-Jaccard verification of a PRECOMPUTED candidate pair list
+    * — the one formula shared by [[dedupNgramJaccard]] and
+    * [[dedupMinhashEval]], so the eval's precision can never disagree
+    * with the verify op's verdicts. */
+  def jaccardVerify(cands: DataFrame, corpus: DataFrame,
+                    threshold: Double): DataFrame = {
     // corpus-sized side (shingle SETS — the widest rows in the op):
     // keyed shuffle, never broadcast
     val sets = corpus.select(col("doc_id"),
       array_distinct(shinglesCol(col("text"))).as("sh"))
       .hint("shuffle_hash")
-    minhashCandidates(corpus)
+    cands
       .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
@@ -516,14 +524,7 @@ object Dedup {
   }) { (s, dir) =>
     val corpus = corpusNear(s, dir)
     val cands = minhashCandidates(corpus).localCheckpoint(true)
-    val sets = corpus.select(col("doc_id"),
-      array_distinct(shinglesCol(col("text"))).as("sh"))
-      .hint("shuffle_hash")
-    val verified = cands
-      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 1.0 /
-        size(array_union(col("sh_a"), col("sh_b"))) >= 0.5)
+    val verified = jaccardVerify(cands, corpus, threshold = 0.5)
     val planted = docs(s, dir)
       .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
     val nc = cands.agg(count(lit(1)).as("n_candidates"))

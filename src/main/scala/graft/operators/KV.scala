@@ -38,6 +38,15 @@ object KV {
        |          row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
        |   FROM $src WHERE $pred) WHERE rn = 1 AND NOT tombstone)""".stripMargin
 
+  /** The leveled-compaction cut: fold everything at or below 60% of
+    * the max seq. ONE definition shared by kv_snapshot_read,
+    * kv_leveled_compact and kv_levels_report — the levels report's
+    * disjointness invariant depends on matching the fold's cut
+    * exactly, so the fraction must not fork. (The SQL oracles embed
+    * the same `floor(max(seq) * 0.6)` literal.) */
+  private def cutSeq(t: KVTable): Long =
+    t.runs.agg(floor(max("seq") * 0.6).cast("bigint")).head().getLong(0)
+
   // probe keys chosen to exist at EVERY test SF (user_id spans only
   // 0..14 at sf0.001) — an empty result would make the oracle check
   // vacuous at the smallest scale
@@ -69,7 +78,7 @@ object KV {
        |  FROM kv, mx WHERE seq <= cut) WHERE rn = 1 AND NOT tombstone
        |ORDER BY key""".stripMargin) { (s, dir) =>
     val t = kv(s, dir)
-    val cut = t.runs.agg(floor(max("seq") * 0.6).cast("bigint")).head().getLong(0)
+    val cut = cutSeq(t)
     t.snapshot(cut).orderBy("key")
   }
 
@@ -107,7 +116,7 @@ object KV {
     s"""WITH $kvCte
        |SELECT * FROM ${mergeSql("kv")} ORDER BY key""".stripMargin) { (s, dir) =>
     val t = kv(s, dir)
-    val cut = t.runs.agg(floor(max("seq") * 0.6).cast("bigint")).head().getLong(0)
+    val cut = cutSeq(t)
     t.compactedUpTo(cut).compacted()
   }
 
@@ -139,12 +148,18 @@ object KV {
        |         min(seq), max(seq) FROM l1)
        |ORDER BY level""".stripMargin) { (s, dir) =>
     val t = kv(s, dir)
-    val cut = t.runs.agg(floor(max("seq") * 0.6).cast("bigint")).head().getLong(0)
-    t.compactedUpTo(cut).runs
-      .withColumn("level", when(col("seq") <= cut, 1L).otherwise(0L))
-      .groupBy("level")
-      .agg(count(lit(1)).as("n_rows"), countDistinct(col("key")).as("n_keys"),
-        min("seq").as("min_seq"), max("seq").as("max_seq"))
+    val cut = cutSeq(t)
+    val runs = t.compactedUpTo(cut).runs
+    // one aggregate row PER LEVEL even when a level is empty — the
+    // oracle's UNION ALL of ungrouped aggregates always emits both
+    // rows, and a groupBy would drop an empty level and hash-mismatch
+    def level(df: org.apache.spark.sql.DataFrame, l: Long) =
+      df.agg(count(lit(1)).as("n_rows"), countDistinct(col("key")).as("n_keys"),
+          min("seq").as("min_seq"), max("seq").as("max_seq"))
+        .select(lit(l).as("level"), col("n_rows"), col("n_keys"),
+          col("min_seq"), col("max_seq"))
+    level(runs.filter(col("seq") > cut), 0L)
+      .unionAll(level(runs.filter(col("seq") <= cut), 1L))
       .orderBy("level")
   }
 

@@ -774,15 +774,18 @@ object Multimodal {
        |       ELSE '$ImageMime' END AS sniffed,
        |  doc_id % 97 <> 0 AS agree
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val corrupted = mediaTable(s, dir).withColumn("payload",
+    // only the 4-byte HEAD is ever extracted or rewritten — the
+    // corruption and the sniff both act on it, so the multi-MB tail
+    // is genuinely never copied or read past the first page
+    val withHead = mediaTable(s, dir).withColumn("head",
       when(col("doc_id") % 97 === 0,
-        concat(lit("XX".getBytes("US-ASCII")), expr("substring(payload, 3)")))
-        .otherwise(col("payload")))
+        concat(lit("XX".getBytes("US-ASCII")), expr("substring(payload, 3, 2)")))
+        .otherwise(expr("substring(payload, 1, 4)")))
     val sniffed =
-      when(substring(col("payload"), 1, 3).cast("string") === "P6\n", lit(ImageMime))
-        .when(substring(col("payload"), 1, 4).cast("string") === "GSEQ", lit(VideoMime))
+      when(substring(col("head"), 1, 3).cast("string") === "P6\n", lit(ImageMime))
+        .when(substring(col("head"), 1, 4).cast("string") === "GSEQ", lit(VideoMime))
         .otherwise(lit("unknown"))
-    corrupted.select(col("doc_id"), col("mime"), sniffed.as("sniffed"),
+    withHead.select(col("doc_id"), col("mime"), sniffed.as("sniffed"),
         (sniffed === col("mime")).as("agree"))
       .orderBy("doc_id")
   }

@@ -58,6 +58,10 @@ object RankSelect {
       .select(col("b"), col(valueCol).as("ub"))
   }
 
+  /** Sentinel join key carried by NULL groups inside [[groupRanks]]
+    * (a plain null key would drop the rows at the offsets equi-join). */
+  private val NullGroupKey = "\u0000<null-group>"
+
   /** EXACT rank within each group, distributed — the per-group
     * analog of [[decileBoundsDF]] and the scalable replacement for
     * `row_number() OVER (PARTITION BY group ORDER BY ...)` when the
@@ -80,8 +84,6 @@ object RankSelect {
     * partition, exactly like `PARTITION BY` — internally they ride a
     * NUL-prefixed sentinel key no real-world group string contains
     * (a plain null key would silently drop the rows at the equi-join). */
-  private val NullGroupKey = "\u0000<null-group>"
-
   def groupRanks(df: DataFrame, groupCol: String,
                  orderCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession

@@ -280,19 +280,9 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"))
   }
 
-  /** The WHOLE IVF training pass replayed in the oracle (round 7;
-    * rows-only before): seeds = the K lowest-id vectors, assignment =
-    * cosine argmax with the first-match tie rule (`array_position`'s
-    * rule ≡ ORDER BY cos DESC, c ASC LIMIT 1), means = the op's
-    * fixed-point sums (floor(x·2²⁰+0.5) integerization is exact on
-    * both engines, long sums are order-free), clusters renumbered
-    * densely exactly as the op's `orderBy(cluster).collect` does.
-    * `cells` assigns every corpus vector under the REFINED centroids
-    * through the same argmax. Shared by ann_ivf and dedup_semantic
-    * (which blocks on these cells). */
   /** The query-probe CTE `(query_id, qv, cell)` shared VERBATIM by
     * every full-vector IVF-probing oracle (ann_ivf, ann_range_search,
-    * ann_recall_eval, ann_ivf_persist) — one copy of the probe rule,
+    * ann_recall_eval, ann_ivf_append) — one copy of the probe rule,
     * so an edit cannot desynchronize one op's oracle from the shared
     * [[probeCellsExpr]] kernel. (The PQ path keeps its own no-qv
     * variant: its probes deliberately drop the full vector.) */
@@ -304,6 +294,16 @@ object Similarity {
        |             ORDER BY list_cosine_similarity(q.v, c2.cv) DESC, c2.cell ASC
        |             LIMIT $NumProbes) p)""".stripMargin
 
+  /** The WHOLE IVF training pass replayed in the oracle (round 7;
+    * rows-only before): seeds = the K lowest-id vectors, assignment =
+    * cosine argmax with the first-match tie rule (`array_position`'s
+    * rule ≡ ORDER BY cos DESC, c ASC LIMIT 1), means = the op's
+    * fixed-point sums (floor(x·2²⁰+0.5) integerization is exact on
+    * both engines, long sums are order-free), clusters renumbered
+    * densely exactly as the op's `orderBy(cluster).collect` does.
+    * `cells` assigns every corpus vector under the REFINED centroids
+    * through the same argmax. Shared by ann_ivf and dedup_semantic
+    * (which blocks on these cells). */
   def ivfCentroidCteSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |""".stripMargin + ivfTrainCtesSql("e")

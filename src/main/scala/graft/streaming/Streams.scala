@@ -325,18 +325,6 @@ object Streams {
       .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
 
-  /** Ingest-time eval-contamination guard — the streaming face of
-    * `dedup_contamination` with the direction flipped: each ARRIVING
-    * train document is scored against the STATIC eval benchmark's
-    * word-5-gram set (the decision a pipeline makes at ingest:
-    * quarantine before the doc ever lands in training data). N-grams
-    * are built per-row from the token array (array-slice transform +
-    * array_distinct — deliberately NO window function, which a
-    * streaming plan cannot run), the eval set rides a stream-static
-    * broadcast join (eval benchmarks are SMALL by contract — the
-    * static side is the one side that genuinely belongs on the
-    * driver), and the only stateful operator is the per-doc count
-    * hash-agg. */
   /** Per-row distinct word-5-gram set of `text` — the ONE n-gram
     * derivation shared by [[contaminationGuard]] (train side) and
     * [[evalNgramSet]] (eval side); the guard's ratios are only
@@ -350,6 +338,18 @@ object Streams {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Ingest-time eval-contamination guard — the streaming face of
+    * `dedup_contamination` with the direction flipped: each ARRIVING
+    * train document is scored against the STATIC eval benchmark's
+    * word-5-gram set (the decision a pipeline makes at ingest:
+    * quarantine before the doc ever lands in training data). N-grams
+    * are built per-row from the token array (array-slice transform +
+    * array_distinct — deliberately NO window function, which a
+    * streaming plan cannot run), the eval set rides a stream-static
+    * broadcast join (eval benchmarks are SMALL by contract — the
+    * static side is the one side that genuinely belongs on the
+    * driver), and the only stateful operator is the per-doc count
+    * hash-agg. */
   def contaminationGuard(docsDf: DataFrame, evalNgrams: DataFrame): DataFrame = {
     docsDf.select(col("doc_id"), explode(ngramArray).as("ng"))
       .join(broadcast(evalNgrams.withColumn("hit", lit(1L))), Seq("ng"), "left")

@@ -93,4 +93,66 @@ final case class KVLog(path: String, keyCol: String, seqCol: String,
     * prunes whole row groups of runs that don't contain the key. */
   def get(spark: SparkSession, key: Long): DataFrame =
     table(spark).get(org.apache.spark.sql.functions.lit(key))
+
+  /** Physical CHECKPOINT of the log (the reference's backup/snapshot
+    * of the live SSTable set, `storage_engine`'s version_set made
+    * portable): every committed run is copied byte-for-byte into
+    * `destPath`, the copy is finalized by writing a `_CHECKPOINT`
+    * manifest recording the run count, and the whole directory is
+    * published by ONE atomic rename — the same commit-by-rename
+    * discipline as [[append]], so a crash mid-checkpoint leaves only
+    * an invisible `.tmp` dir, never a half-checkpoint a reader could
+    * open. In-flight `.tmp_run_*` source dirs are NOT copied (they
+    * are not part of the durable state). The checkpoint is fully
+    * self-contained: [[KVLog.openCheckpoint]] reads survive deletion
+    * of the source log. Runs are immutable parquet, so "copy" is the
+    * whole story — no WAL replay, no sequence rewriting.
+    *
+    * Scale: cost is O(run bytes) of file copying with zero data-path
+    * work (no decode, no shuffle, no driver traffic beyond the file
+    * listing) — on an object store this is a server-side copy per
+    * run file. */
+  def checkpointTo(destPath: String): KVLog = {
+    val runs = committedRuns
+    require(runs.nonEmpty, s"checkpoint of empty log $path")
+    val dest = Paths.get(destPath)
+    Option(dest.getParent).foreach(Files.createDirectories(_))
+    graft.sources.LocalDir.deleteRecursively(new java.io.File(destPath))
+    val tmp = Paths.get(destPath + ".tmp_ckpt")
+    graft.sources.LocalDir.deleteRecursively(tmp.toFile)
+    Files.createDirectories(tmp)
+    runs.foreach { runDir =>
+      val src = Paths.get(runDir)
+      val dst = tmp.resolve(src.getFileName)
+      val walk = Files.walk(src)
+      try walk.forEach { p =>
+        val target = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(target)
+        else Files.copy(p, target, StandardCopyOption.COPY_ATTRIBUTES)
+      } finally walk.close()
+    }
+    Files.writeString(tmp.resolve("_CHECKPOINT"), runs.size.toString)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    KVLog(destPath, keyCol, seqCol, tombstoneCol)
+  }
+}
+
+object KVLog {
+  /** Open a checkpoint for reading, validating completeness: the
+    * `_CHECKPOINT` manifest must exist (a torn copy never gets one —
+    * the atomic rename publishes manifest and runs together) and the
+    * committed run count must match what the manifest recorded (a
+    * manually mutilated checkpoint fails loudly instead of serving a
+    * seq-prefix of history). */
+  def openCheckpoint(path: String, keyCol: String, seqCol: String,
+                     tombstoneCol: String): KVLog = {
+    val manifest = Paths.get(path, "_CHECKPOINT")
+    require(Files.exists(manifest),
+      s"$path is not a completed checkpoint (no _CHECKPOINT manifest)")
+    val log = KVLog(path, keyCol, seqCol, tombstoneCol)
+    val expected = Files.readString(manifest).trim.toInt
+    require(log.committedRuns.size == expected,
+      s"checkpoint $path has ${log.committedRuns.size} runs, manifest says $expected")
+    log
+  }
 }

@@ -1250,6 +1250,61 @@ object Analytics {
       .orderBy("n_a")
   }
 
+  /** Chi-square test of independence over a contingency table
+    * (event_type × the user_id%2 A/B assignment `stats_ttest`
+    * already uses) — the categorical complement of the stats family:
+    * ttest compares group MEANS, KS compares SHAPES of a numeric
+    * column, chi-square asks whether two CATEGORICAL variables are
+    * associated (the standard guardrail that an experiment's
+    * assignment is independent of event mix). Output is the per-cell
+    * table: observed count, row/column totals, expected count and the
+    * cell's chi-square contribution — everything a dashboard needs;
+    * the scalar statistic is the SUM of contributions, which is
+    * summation-order-dependent in doubles, so it is deliberately left
+    * to the consumer over the ordered cells (PSI's ln is left out of
+    * stats_drift for the same reason; AnalyticsSpec computes it and
+    * pins df). All inputs to the float math are exact integers from
+    * ONE hash-aggregate (|types|·|groups| rows out of the scan); the
+    * expected/contribution expressions are the identical IEEE tree on
+    * both engines, so every cell is hash-exact. The denominator is
+    * computed in doubles (r·c·n overflows int64 beyond ~10⁹ events —
+    * exactness of the QUOTIENT is not needed, only cross-engine
+    * bit-equality of the expression).
+    *
+    * Scale (100 TB): the fact table reduces map-side to the
+    * contingency cells; the windows run over that ≤|types|·|groups|
+    * aggregate — the one exchange carries cells, never events. */
+  val statsChisq: Op = Op.sql("stats_chisq",
+    """WITH c AS (
+      |  SELECT event_type, user_id % 2 AS grp, count(*) AS o
+      |  FROM events GROUP BY event_type, user_id % 2),
+      |t AS (
+      |  SELECT event_type, grp, o,
+      |    sum(o) OVER (PARTITION BY event_type) AS r_total,
+      |    sum(o) OVER (PARTITION BY grp) AS c_total,
+      |    sum(o) OVER () AS n_total
+      |  FROM c)
+      |SELECT event_type, grp, o, r_total, c_total,
+      |  CAST(r_total AS DOUBLE) * c_total / n_total AS expected,
+      |  (CAST(o AS DOUBLE) * n_total - CAST(r_total AS DOUBLE) * c_total)
+      |    * (CAST(o AS DOUBLE) * n_total - CAST(r_total AS DOUBLE) * c_total)
+      |    / (CAST(r_total AS DOUBLE) * c_total * n_total) AS contrib
+      |FROM t ORDER BY event_type, grp""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "events")
+      .groupBy(col("event_type"), (col("user_id") % 2).as("grp"))
+      .agg(count(lit(1)).as("o"))
+    val tt = c.select(col("event_type"), col("grp"), col("o"),
+      sum("o").over(Window.partitionBy("event_type")).as("r_total"),
+      sum("o").over(Window.partitionBy("grp")).as("c_total"),
+      sum("o").over(Window.partitionBy()).as("n_total"))
+    val d = col("o").cast("double") * col("n_total") -
+      col("r_total").cast("double") * col("c_total")
+    tt.select(col("event_type"), col("grp"), col("o"), col("r_total"), col("c_total"),
+        (col("r_total").cast("double") * col("c_total") / col("n_total")).as("expected"),
+        (d * d / (col("r_total").cast("double") * col("c_total") * col("n_total"))).as("contrib"))
+      .orderBy("event_type", "grp")
+  }
+
   /** Large-star/small-star connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC 2014) —
     * the O(log n)-round alternative to min-label propagation
@@ -1366,5 +1421,5 @@ object Analytics {
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
-    statsDrift, graphComponents, statsKs)
+    statsDrift, graphComponents, statsKs, statsChisq)
 }

@@ -923,6 +923,98 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The overlapping 15-token window hashes of a (doc_id, text)
+    * corpus — `(doc_id, pos, h)`, the shared front end of the
+    * substring-dedup family (detection, rewrite, and the per-doc
+    * containment verdict). Linear 1→N in-partition explode,
+    * shuffle-free; docs shorter than one window emit no rows (the
+    * `sequence` guard keeps Spark from descending where DuckDB's
+    * `range(n<0)` is empty). */
+  private def subWindows(corpus: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    corpus.select(col("doc_id"),
+      posexplode(transform(
+        when(size(toks) >= 15, sequence(lit(0), size(toks) - 15))
+          .otherwise(array().cast("array<int>")),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(15))).cast("binary"))))
+        .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("h"))
+  }
+
+  /** The containment pipeline over an arbitrary `(doc_id, text)`
+    * corpus — public so DedupSpec can drive it on hand-built
+    * embeddings of one doc inside another (the case Jaccard misses). */
+  def docContainment(corpus: DataFrame): DataFrame = {
+    val win = subWindows(corpus)
+    val dup = win.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("hit"))
+    val agg = win.join(dup.hint("shuffle_hash"), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), count(col("hit")).as("n_shared"))
+    val ratio = col("n_shared").cast("double") / col("n_windows")
+    corpus.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        ratio.as("containment"),
+        coalesce(ratio >= 0.8, lit(false)).as("is_contained"))
+  }
+
+  /** Per-document duplicated-content fraction — the doc-level VERDICT
+    * the span machinery feeds (RefinedWeb/CCNet's "fraction of
+    * duplicated content" quality rule; Broder's containment
+    * C(A, corpus∖A) = |windows(A) shared elsewhere| / |windows(A)|):
+    * a doc most of whose 15-token windows also appear in OTHER docs
+    * is boilerplate or an embedded copy and gets dropped wholesale,
+    * where [[dedupSubstring]] only excises the spans. Jaccard misses
+    * this case by construction — a short doc embedded in a long one
+    * has near-zero Jaccard but containment ≈ 1, which is exactly why
+    * pipelines carry both thresholds. Blocking is COMPLETE (every
+    * shared window is found by the window-hash aggregate — no LSH
+    * recall argument needed), the duplicate test is the same ONE
+    * hash-aggregate as the span ops, and the per-doc verdict is a
+    * second hash-aggregate on doc_id: the corpus never self-joins.
+    * Short docs (< 15 tokens) carry no windows: containment NULL,
+    * verdict false — reported, never silently dropped.
+    *
+    * Scale (100 TB): window volume = token volume (linear); both
+    * aggregates are map-side-partial hash-aggs; the hit join is keyed
+    * on the 16-byte window hash with the corpus-proportional dup set
+    * pinned `shuffle_hash` (SURVEY §4.3 — at test SF it would fit a
+    * driver hashed relation; at corpus scale that is an OOM). */
+  val dedupDocContainment: Op = Op.sql("dedup_doc_containment",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    trim(array_to_string(toks[1:25], ' ') || ' ' ||
+      |      coalesce(array_to_string(
+      |        list_transform(toks[26:len(toks)], t -> 'x' || t), ' '), ''))
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |        FROM documents)),
+      |tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         md5(array_to_string(toks[(i+1):(i+15)], ' ')) AS h
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 14)) AS i FROM tok)),
+      |dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |agg AS (
+      |  SELECT w.doc_id, count(*) AS n_windows, count(d.h) AS n_shared
+      |  FROM win w LEFT JOIN dup d USING (h)
+      |  GROUP BY w.doc_id)
+      |SELECT c.doc_id,
+      |  coalesce(a.n_windows, 0) AS n_windows,
+      |  coalesce(a.n_shared, 0) AS n_shared,
+      |  CAST(a.n_shared AS DOUBLE) / a.n_windows AS containment,
+      |  coalesce(CAST(a.n_shared AS DOUBLE) / a.n_windows >= 0.8, FALSE)
+      |    AS is_contained
+      |FROM corpus c LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docContainment(corpusSub(s, dir)).orderBy("doc_id")
+  }
+
   /** The near-dup DECISION end-to-end (round 8): LSH candidate pairs
     * ([[minhashCandidates]]) → connected components by large-star/
     * small-star contraction ([[Analytics.largeSmallStar]] — the
@@ -971,5 +1063,5 @@ object Dedup {
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
     dedupSimhash, dedupEmbedding, dedupLines, dedupContamination,
     dedupCluster, dedupNearCluster, dedupSemantic, dedupIncremental, dedupSubstring,
-    dedupSubstringRewrite, dedupMinhashEval)
+    dedupSubstringRewrite, dedupMinhashEval, dedupDocContainment)
 }

@@ -172,15 +172,16 @@ object KV {
     * the read-back merge must equal the full-log merge — which is
     * exactly the DuckDB oracle. Built once per (dir, mtime) like the
     * ANN indexes; re-runs read the committed runs. */
-  val kvLogIngest: Op = Op.sql("kv_log_ingest",
-    s"""WITH $kvCte
-       |SELECT * FROM ${mergeSql("kv")} ORDER BY key""".stripMargin) { (s, dir) =>
+  /** The three-batch ingest log for a dataset, built once per (dir,
+    * mtime) — shared by kv_log_ingest (which reads it back) and
+    * kv_checkpoint_restore (which checkpoints it). Tag = readable
+    * sanitized dir + full MD5 of the raw path: the sanitized form
+    * alone is not injective (same hazard and fix as
+    * Similarity.ivfIndexPath), so colliding datasets with equal
+    * mtimes could otherwise share a log dir and serve wrong runs. */
+  private def ingestLog(s: SparkSession, dir: String): KVLog = {
     val t = kv(s, dir)
     val mtime = new java.io.File(s"$dir/events.parquet").lastModified()
-    // tag = readable sanitized dir + full MD5 of the raw path: the
-    // sanitized form alone is not injective (same hazard and fix as
-    // Similarity.ivfIndexPath), so colliding datasets with equal
-    // mtimes could otherwise share a log dir and serve wrong runs
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -202,7 +203,92 @@ object KV {
         log.append(t.runs.filter(col("seq") > c2))
       }
     }
-    log.merged(s).orderBy("key")
+    log
+  }
+
+  val kvLogIngest: Op = Op.sql("kv_log_ingest",
+    s"""WITH $kvCte
+       |SELECT * FROM ${mergeSql("kv")} ORDER BY key""".stripMargin) { (s, dir) =>
+    ingestLog(s, dir).merged(s).orderBy("key")
+  }
+
+  /** Checkpoint/restore of the live log (the reference's
+    * backup-the-SSTable-set story — an LSM's durable state IS its
+    * immutable run files, so a physical copy of the committed runs
+    * plus an atomically-published manifest is a complete, portable
+    * backup; see [[graft.kv.KVLog.checkpointTo]]). The op checkpoints
+    * the ingest log and reads the RESTORED side — the oracle is the
+    * full-log merge, so a checkpoint that dropped a run, copied a
+    * torn temp dir, or reordered seqs hash-mismatches. KVLogSpec
+    * proves the stronger physical properties: the checkpoint serves
+    * reads after the source log is deleted outright, and a torn
+    * checkpoint (no manifest) refuses to open. */
+  val kvCheckpointRestore: Op = Op.sql("kv_checkpoint_restore",
+    s"""WITH $kvCte
+       |SELECT * FROM ${mergeSql("kv")} ORDER BY key""".stripMargin) { (s, dir) =>
+    val log = ingestLog(s, dir)
+    val ckptPath = log.path + "_ckpt"
+    logBuildLock.synchronized {
+      // rebuild the checkpoint only when missing or stale: the
+      // manifest gate makes a half-built one invisible, and the
+      // path is (dir, mtime)-keyed like the log itself
+      val ok = try {
+        KVLog.openCheckpoint(ckptPath, "key", "seq", "tombstone")
+          .committedRuns.size == log.committedRuns.size
+      } catch { case _: IllegalArgumentException => false }
+      if (!ok) log.checkpointTo(ckptPath)
+    }
+    KVLog.openCheckpoint(ckptPath, "key", "seq", "tombstone")
+      .merged(s).orderBy("key")
+  }
+
+  /** Secondary index on the VALUE column (RocksDB-style derived
+    * index; the reference's primary iterators are key-ordered only —
+    * a value-predicate read is a full scan without this): the merged
+    * state is materialized range-partitioned AND sorted by `v`, so a
+    * value-range query becomes parquet min/max row-group pruning over
+    * a few files instead of a full-corpus decode — the LSM
+    * merge-on-write secondary index expressed as a sorted
+    * materialization. The op queries the INDEX side; the oracle
+    * applies the same predicate to the primary merge, so a stale or
+    * incomplete index (dead versions surfaced, rows dropped)
+    * hash-mismatches. KVSpec plan-audits that the value predicate is
+    * pushed to the index scan.
+    *
+    * Scale (100 TB): the build is one range shuffle (the same shape
+    * as any sorted write, AQE-sized); the query reads
+    * O(selectivity) of the index bytes — and the index rows carry
+    * (key, seq, v) scalars only, so index bytes ≪ table bytes when
+    * the primary rows are wide. Maintenance composes with the run
+    * model: re-index per compaction, exactly like bloom filters. */
+  val kvSecondaryIndex: Op = Op.sql("kv_secondary_index",
+    s"""WITH $kvCte
+       |SELECT key, seq, v FROM ${mergeSql("kv")}
+       |WHERE v BETWEEN 20.0 AND 100.0 ORDER BY key""".stripMargin) { (s, dir) =>
+    s.read.parquet(valueIndexPath(s, dir))
+      .filter(col("v").between(20.0, 100.0))
+      .select("key", "seq", "v")
+      .orderBy("key")
+  }
+
+  /** The value-sorted index materialization for a dataset, built once
+    * per (dir, mtime) behind a `_SUCCESS` gate. Public: KVSpec audits
+    * the pushed predicate on this exact path. */
+  def valueIndexPath(s: SparkSession, dir: String): String = {
+    val mtime = new java.io.File(s"$dir/events.parquet").lastModified()
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"/root/repo/target/graft_kvidx/${tag}_${digest}_$mtime"
+    logBuildLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        kv(s, dir).merged()
+          .repartitionByRange(8, col("v"))
+          .sortWithinPartitions("v")
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    path
   }
 
   /** SCD type-2 dimension build — the warehouse face of the KV
@@ -333,5 +419,6 @@ object KV {
 
   val all: Seq[Op] = Seq(kvPointGet, kvRangeScan, kvCompact,
     kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest,
-    kvScd2, kvTtl, kvMergeOperator, kvLevelsReport)
+    kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
+    kvCheckpointRestore, kvSecondaryIndex)
 }

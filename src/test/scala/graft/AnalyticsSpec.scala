@@ -526,6 +526,41 @@ class AnalyticsSpec extends SparkSuite {
     assert(ks >= 0.0 && ks <= 1.0)
   }
 
+  test("chi-square cells match a driver recompute; df and the statistic are consistent") {
+    val cells = Analytics.statsChisq.run(spark, sfDir).collect()
+    // independent contingency recompute from raw events
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), (col("user_id") % 2).as("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val obs = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowT = raw.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colT = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = raw.length.toLong
+    assert(cells.length == obs.size, "one output row per non-empty cell")
+    cells.foreach { c =>
+      val (ty, g) = (c.getString(0), c.getLong(1))
+      assert(c.getLong(2) == obs((ty, g)), s"observed count of ($ty,$g)")
+      assert(c.getLong(3) == rowT(ty) && c.getLong(4) == colT(g))
+      val expected = rowT(ty).toDouble * colT(g) / n
+      assert(c.getDouble(5) == expected, s"expected count of ($ty,$g)")
+      val d = obs((ty, g)).toDouble * n - rowT(ty).toDouble * colT(g)
+      val contrib = d * d / (rowT(ty).toDouble * colT(g) * n)
+      assert(c.getDouble(6) == contrib, s"contribution of ($ty,$g)")
+    }
+    // df of the test the consumer runs over these cells
+    val df = (rowT.size - 1) * (colT.size - 1)
+    assert(df == rowT.size - 1 && df >= 1) // two groups by construction
+    // the scalar statistic (order-dependent double sum — which is why
+    // the op leaves it to the consumer) agrees within reorder noise
+    val chi2op = cells.map(_.getDouble(6)).sum
+    val chi2drv = obs.map { case ((ty, g), o) =>
+      val e = rowT(ty).toDouble * colT(g) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(chi2op - chi2drv) <= 1e-9 * math.max(1.0, chi2drv),
+      s"op $chi2op vs driver $chi2drv")
+  }
+
   test("graph_components property: star labels equal propagation labels on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

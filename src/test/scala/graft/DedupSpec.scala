@@ -250,6 +250,63 @@ class DedupSpec extends SparkSuite {
     assert(byComp.size < labels.size, "no cluster has more than one member")
   }
 
+  test("doc containment flags an embedded copy that Jaccard would miss") {
+    import spark.implicits._
+    // A (20 unique tokens) is embedded whole inside B (30 tokens):
+    // containment(A) = 1 while Jaccard(A, B) = 20/30 — the asymmetric
+    // case the op exists for. C shares nothing; D is too short for a
+    // single window.
+    val aToks = (0 until 20).map(i => s"a$i")
+    val bText = ((0 until 5).map(i => s"b$i") ++ aToks ++ (5 until 10).map(i => s"b$i")).mkString(" ")
+    val tiny = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, bText),
+      (3L, (0 until 20).map(i => s"c$i").mkString(" ")),
+      (4L, "just a few tokens here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.docContainment(tiny).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // A: all 6 windows (20-14) appear inside B
+    assert(got(1L).getLong(1) == 6 && got(1L).getLong(2) == 6)
+    assert(got(1L).getDouble(3) == 1.0 && got(1L).getBoolean(4))
+    // B: only the 6 pure-A windows of its 16 are shared -> not contained
+    assert(got(2L).getLong(1) == 16 && got(2L).getLong(2) == 6)
+    assert(!got(2L).getBoolean(4))
+    // C: nothing shared
+    assert(got(3L).getLong(2) == 0 && !got(3L).getBoolean(4))
+    // D: shorter than one window -> no verdict, reported not dropped
+    assert(got(4L).getLong(1) == 0 && got(4L).isNullAt(3) && !got(4L).getBoolean(4))
+  }
+
+  test("doc containment on the planted corpus: exact-dup shorts flagged, internal consistency") {
+    val rows = graft.SparkEntry.queries("dedup_doc_containment")(spark, sfDir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      val (nw, ns) = (r.getLong(1), r.getLong(2))
+      assert(ns >= 0 && ns <= nw)
+      if (nw > 0) assert(r.getDouble(3) == ns.toDouble / nw)
+      else assert(r.isNullAt(3) && !r.getBoolean(4))
+    }
+    // corpusSub: docs with <= 25 tokens plant an exact duplicate, so
+    // both sides of such a pair are fully contained
+    val tokCounts = Dedup.corpusSub(spark, sfDir)
+      .filter(col("doc_id") < 100000)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val shortFull = tokCounts.filter { case (_, n) => n >= 15 && n <= 25 }
+    assert(shortFull.nonEmpty, "fixture: need at least one 15..25-token doc")
+    shortFull.foreach { case (id, _) =>
+      assert(byId(id).getDouble(3) == 1.0 && byId(id).getBoolean(4), s"doc $id")
+      assert(byId(id + 100000).getDouble(3) == 1.0, s"planted ${id + 100000}")
+    }
+    // long originals share exactly their 25-token prefix windows
+    tokCounts.filter(_._2 > 25).take(20).foreach { case (id, n) =>
+      val expectShared = math.min(11L, n - 14L)
+      assert(byId(id).getLong(2) >= expectShared,
+        s"doc $id ($n toks): shared ${byId(id).getLong(2)} < $expectShared")
+    }
+  }
+
   test("minhash eval: high planted recall, counts consistent, precision in range") {
     val r = Dedup.dedupMinhashEval.run(spark, sfDir).head()
     val (nc, nv, np, nh) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))

@@ -106,4 +106,55 @@ class KVLogSpec extends SparkSuite {
     assert(rowGroups(useBloom = true) == 0,
       "bloom filter failed to reject the absent key's row groups")
   }
+
+  test("checkpoint is physically independent of the source and skips in-flight temps") {
+    val log = freshLog()
+    log.append(batch(Seq((1L, 1L, false, 10.0), (2L, 2L, false, 20.0))))
+    log.append(batch(Seq((1L, 3L, false, 11.0), (2L, 4L, true, 0.0))))
+    // an in-flight write at checkpoint time is NOT durable state and
+    // must not be copied
+    val tmp = new java.io.File(log.path, ".tmp_run_inflight")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.write(tmp.toPath.resolve("part-00000.parquet"),
+      Array[Byte](80, 65, 82, 49))
+    val before = log.merged(spark).orderBy("key").collect().toSeq
+
+    val ckptPath = log.path + "_ckpt"
+    log.checkpointTo(ckptPath)
+    val ckpt = KVLog.openCheckpoint(ckptPath, "key", "seq", "tombstone")
+    assert(ckpt.committedRuns.size == 2, "exactly the committed runs copied")
+
+    // delete the source log outright — the checkpoint must still read
+    log.reset()
+    assert(log.committedRuns.isEmpty)
+    val restored = ckpt.merged(spark).orderBy("key").collect().toSeq
+    assert(restored == before, "restore diverged from the pre-checkpoint merge")
+  }
+
+  test("a torn checkpoint (no manifest) and a mutilated one refuse to open") {
+    val log = freshLog()
+    log.append(batch(Seq((7L, 1L, false, 1.5))))
+    log.append(batch(Seq((8L, 2L, false, 2.5))))
+    val ckptPath = log.path + "_ckpt"
+    log.checkpointTo(ckptPath)
+
+    // torn: the manifest is what the atomic rename publishes — without
+    // it the directory is not a checkpoint at all
+    val manifest = new java.io.File(ckptPath, "_CHECKPOINT")
+    val manifestBytes = java.nio.file.Files.readAllBytes(manifest.toPath)
+    assert(manifest.delete())
+    intercept[IllegalArgumentException] {
+      KVLog.openCheckpoint(ckptPath, "key", "seq", "tombstone")
+    }
+
+    // mutilated: manifest present but a run directory went missing —
+    // serving the remaining prefix would silently rewind history
+    java.nio.file.Files.write(manifest.toPath, manifestBytes)
+    val firstRun = new java.io.File(
+      KVLog(ckptPath, "key", "seq", "tombstone").committedRuns.head)
+    graft.sources.LocalDir.deleteRecursively(firstRun)
+    intercept[IllegalArgumentException] {
+      KVLog.openCheckpoint(ckptPath, "key", "seq", "tombstone")
+    }
+  }
 }

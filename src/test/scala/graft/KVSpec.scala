@@ -214,4 +214,37 @@ class KVSpec extends SparkSuite {
     // and it must actually have reclaimed something on this log
     assert(l0._1 > l0._2, "fixture degenerate: young level has no overwrites to reclaim later")
   }
+
+  test("secondary index: value predicate is pushed to the index scan and answers match the primary") {
+    val op = graft.operators.KV.kvSecondaryIndex.run(spark, sfDir)
+    // the whole point of the sorted materialization: the range
+    // predicate must reach the parquet reader as a pushed filter so
+    // min/max stats prune row groups
+    val scanText = op.queryExecution.executedPlan.toString()
+    assert(scanText.contains("PushedFilters:") &&
+      scanText.contains("GreaterThanOrEqual(v,20.0)") &&
+      scanText.contains("LessThanOrEqual(v,100.0)"),
+      s"value predicate not pushed:\n$scanText")
+    // equality with the primary-path read (merge + filter)
+    val viaIndex = op.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaPrimary = graft.operators.KV.kvCompact.run(spark, sfDir)
+      .filter(col("v").between(20.0, 100.0)).orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaIndex == viaPrimary)
+    assert(viaIndex.nonEmpty, "fixture degenerate: empty value range")
+    // the index is value-CLUSTERED: each file's [min,max] v-range is
+    // disjoint from the others (range partitioning), which is what
+    // makes the pruning selective at scale
+    val idx = spark.read.parquet(
+      graft.operators.KV.valueIndexPath(spark, sfDir))
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val ranges = idx.groupBy(input_file_name().as("f"))
+      .agg(fmin("v").as("lo"), fmax("v").as("hi"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"index files overlap in v: $ranges")
+      case _ =>
+    }
+  }
 }

@@ -213,6 +213,7 @@ class SqlParitySpec extends SparkSuite {
     "dedup_near_cluster" -> "HUGEINT mod-2^64 signature replay + WITH RECURSIVE UNION-dedup",
     "sample_epoch_order" -> "HUGEINT xxh64-hashLong replay + unnest() lateral",
     "dedup_minhash_eval" -> "HUGEINT mod-2^64 signature replay + list comprehension",
+    "dedup_doc_containment" -> "list slice toks[a:b] + unnest(range()) + list_transform lambda",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

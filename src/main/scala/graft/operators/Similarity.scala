@@ -906,6 +906,159 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  // ---- scalar quantization (SQ8) + binary (1-bit) ------------------
+
+  /** Shortlist factor for the two quantized scan paths below. */
+  val SqShortlist = 4
+
+  private val sq8Cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Double]()
+
+  /** The SQ8 scale 127/max|nv_d| for a dataset, computed once per
+    * (dir, mtime) — index metadata like the IVF centroids: one
+    * order-free max-of-abs aggregate over the unit-normed corpus, a
+    * single double on the driver. */
+  def sq8InvFor(s: SparkSession, dir: String): Double = {
+    val key = (dir, new java.io.File(s"$dir/embeddings.parquet").lastModified())
+    sq8Cache.computeIfAbsent(key, _ => {
+      val maxAbs = unitNorm(emb(s, dir))
+        .agg(max(aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x)))))
+        .head().getDouble(0)
+      127.0 / maxAbs
+    })
+  }
+
+  /** Symmetric per-tensor int8 codes of a unit-normed vector column
+    * (the standard GEMM-style quantization: one scale for the whole
+    * tensor, codes in [-127, 127]). Elements are kept LONG so the
+    * integer dot product accumulates without overflow anywhere. */
+  private def sq8Codes(nv: Column, inv: Double): Column =
+    transform(nv, x =>
+      least(greatest(floor(x * inv + 0.5).cast("int"), lit(-127)), lit(127))
+        .cast("long"))
+
+  /** Scalar-quantized ANN (SQ8 — the middle rung of the compression
+    * ladder this library now covers end to end: 1-bit [[annBinary]],
+    * 8-bit here, 4-bit-PQ [[annPq]]): the corpus is stored as 64
+    * int8 codes + ONE shared scale (65 B vs 256 B of floats, 4× — at
+    * 10 B vectors a ~650 GB index), stage 1 ranks every candidate by
+    * the INTEGER dot product of codes (no table lookups, no float
+    * math — the quantized dot is what int8 GEMM hardware executes),
+    * stage 2 re-ranks the `SqShortlist·k` shortlist with exact cosine
+    * against full vectors. Symmetric per-tensor quantization is what
+    * makes the oracle possible: code = clamp(floor(nv·inv + 0.5)) is
+    * one IEEE-identical expression, and the approximate score is then
+    * a PURE INTEGER Σ code_q·code_c — order-free, bit-exact on any
+    * engine (the oracle computes it via exact small-integer float
+    * sums), so the shortlist and final top-k replay verbatim.
+    *
+    * Scale (100 TB / 10 B vectors): same plan shape as [[annTopkBrute]]
+    * (broadcast query codes, ONE corpus scan, WindowGroupLimit partial
+    * top-k) but the scan reads the 4×-smaller code column and the
+    * per-candidate kernel is 64 integer multiply-adds; composes with
+    * the IVF cell layout exactly as PQ does. */
+  val annSq8: Op = Op.sql("ann_sq8",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |un AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+       |  FROM e),
+       |sc AS (SELECT 127.0 / max(list_max(list_transform(nv, x -> abs(x)))) AS inv
+       |       FROM un),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(nv, x -> CAST(least(greatest(
+       |      CAST(floor(x * sc.inv + 0.5) AS INTEGER), -127), 127) AS DOUBLE)) AS c
+       |  FROM un, sc),
+       |short AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, c2.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.c, c2.c) DESC, c2.vec_id) AS rn
+       |    FROM (SELECT * FROM codes WHERE vec_id < $NumQueries) q
+       |    JOIN codes c2 ON c2.vec_id <> q.vec_id)
+       |  WHERE rn <= ${TopK * SqShortlist})""".stripMargin +
+      rerankSql("short")) { (s, dir) =>
+    val e = emb(s, dir)
+    val inv = sq8InvFor(s, dir)
+    val codes = unitNorm(e).select(col("vec_id"), sq8Codes(col("v"), inv).as("c"))
+    val shortlist = codes.as("c")
+      .join(broadcast(codes.filter(col("vec_id") < NumQueries).as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("approx",
+        aggregate(zip_with(col("q.c"), col("c.c"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("approx").desc, col("c.vec_id"))))
+      .filter(col("rn") <= TopK * SqShortlist)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id"))
+    rerank(shortlist, e).orderBy("query_id", "neighbor_id")
+  }
+
+  /** Binary (1-bit sign) ANN — the extreme end of the compression
+    * ladder (Charikar's SimHash applied as a code, the same family as
+    * [[graft.functions.VectorKernels]]' hyperplane bands but with the
+    * coordinate axes as the hyperplanes): each vector stores as ONE
+    * long (bit d = v_d > 0; 8 B vs 256 B, 32× — a 10 B-vector index
+    * fits in 80 GB), candidates rank by hamming distance =
+    * popcount(xor) — one xor + one popcount per candidate, the
+    * cheapest scan kernel that exists — and the shortlist re-ranks
+    * with exact cosine. Sign bits are scale-invariant, so no
+    * normalization pass is even needed. The oracle never packs (a
+    * 1<<63 shift overflows DuckDB's checked BIGINT): it counts sign
+    * disagreements per dimension directly — provably the same number
+    * the op's popcount(xor) computes, integer-exact either way.
+    *
+    * Scale: [[annTopkBrute]]'s plan with an 8-byte scan column; at
+    * 10 B vectors the binary pre-pass reads 32× fewer index bytes
+    * than the float scan and feeds the same exact re-rank. */
+  val annBinary: Op = Op.sql("ann_binary",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |short AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY len(list_filter(range($Dim),
+       |          i -> (q.v[i+1] > 0) <> (c.v[i+1] > 0))) ASC, c.vec_id) AS rn
+       |    FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q
+       |    JOIN e c ON c.vec_id <> q.vec_id)
+       |  WHERE rn <= ${TopK * SqShortlist})""".stripMargin +
+      rerankSql("short")) { (s, dir) =>
+    val e = emb(s, dir)
+    val sig = expr(
+      s"aggregate(zip_with(v, sequence(0, ${Dim - 1}), " +
+        "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (acc, y) -> acc + y)")
+    val sigs = e.select(col("vec_id"), sig.as("sig"))
+    val shortlist = sigs.as("c")
+      .join(broadcast(sigs.filter(col("vec_id") < NumQueries).as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("ham", expr("bit_count(q.sig ^ c.sig)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("ham").asc, col("c.vec_id"))))
+      .filter(col("rn") <= TopK * SqShortlist)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id"))
+    rerank(shortlist, e).orderBy("query_id", "neighbor_id")
+  }
+
+  /** Exact-cosine re-rank of a `(query_id, vec_id)` shortlist against
+    * the full-precision corpus — the Spark mirror of [[rerankSql]],
+    * shared by every two-stage quantized path. Joins full vectors
+    * back for shortlist·|Q| rows only, never the corpus. */
+  private def rerank(shortlist: DataFrame, corpus: DataFrame): DataFrame =
+    shortlist
+      .join(corpus.withColumnRenamed("vec_id", "cand_id"),
+        col("vec_id") === col("cand_id"))
+      .join(broadcast(corpus.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))), "query_id")
+      .withColumn("cos_raw", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_raw").desc, col("vec_id"))))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"))
+
   // ---- IVF+PQ composition (the 10B-vector production shape) --------
 
   /** Per-query ADC lookup table: lut[m·K + k] = dot(q_sub_m, c_{m,k})
@@ -1247,5 +1400,6 @@ object Similarity {
 
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
     annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered,
-    annHardNegatives, annIvfAppend, annRangeSearch, annRecallEval)
+    annHardNegatives, annIvfAppend, annRangeSearch, annRecallEval,
+    annSq8, annBinary)
 }

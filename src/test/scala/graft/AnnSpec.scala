@@ -159,6 +159,44 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.9, s"PQ recall $recall (expected ~1.0 at this scale)")
   }
 
+  test("SQ8 two-stage search: int8 codes + exact re-rank recover brute top-k") {
+    val truth = Similarity.bruteTopK(emb, queries, Similarity.TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("ann_sq8")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    // measured 1.0 at sf0.001 and sf0.01: 8-bit symmetric codes on a
+    // unit-normed 64-dim corpus preserve the ranking almost exactly
+    assert(recall >= 0.9, s"SQ8 recall $recall (expected ~1.0)")
+    // and the quantization really is int8: every code in [-127, 127]
+    val inv = Similarity.sq8InvFor(spark, sfDir)
+    val outOfRange = Similarity.unitNorm(emb)
+      .select(explode(col("v")).as("x"))
+      .filter(abs(floor(col("x") * inv + 0.5)) > 127).count()
+    // the clamp exists for the ±ulp boundary case only
+    assert(inv > 0 && outOfRange == 0)
+  }
+
+  test("binary (1-bit) search: sign codes + exact re-rank beat chance at 32x compression") {
+    val truth = Similarity.bruteTopK(emb, queries, Similarity.TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("ann_binary")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    // measured 0.4 (sf0.001) / 0.5 (sf0.01): a 64-bit sign code with a
+    // 4x shortlist is the coarse end of the ladder — same regime as
+    // the hyperplane-LSH floor (0.45); chance would be ~k/corpus ≈ 0.03
+    assert(recall >= 0.3, s"binary recall $recall (expected ~0.4-0.5)")
+    // every returned neighbor carries its TRUE cosine (exact re-rank):
+    val scored = SparkEntry.queries("ann_binary")(spark, sfDir).collect()
+    val exact = Similarity.bruteTopK(emb, queries, 1 << 20) // full ranking
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    scored.foreach { r =>
+      assert(r.getDouble(2) == exact((r.getLong(0), r.getLong(1))),
+        s"re-ranked score is not the exact cosine for ${(r.getLong(0), r.getLong(1))}")
+    }
+  }
+
   test("PQ codes are the compressed representation: M small ints per vector") {
     val cb = Similarity.pqTrain(Similarity.unitNorm(emb))
     import org.apache.spark.sql.functions.{call_function, lit, typedLit}

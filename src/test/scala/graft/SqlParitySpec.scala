@@ -214,6 +214,8 @@ class SqlParitySpec extends SparkSuite {
     "sample_epoch_order" -> "HUGEINT xxh64-hashLong replay + unnest() lateral",
     "dedup_minhash_eval" -> "HUGEINT mod-2^64 signature replay + list comprehension",
     "dedup_doc_containment" -> "list slice toks[a:b] + unnest(range()) + list_transform lambda",
+    "ann_sq8" -> "::DOUBLE[] cast + list_transform lambda + MATERIALIZED CTEs",
+    "ann_binary" -> "::DOUBLE[] cast + list_filter lambda + MATERIALIZED CTEs",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

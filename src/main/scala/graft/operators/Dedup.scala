@@ -731,6 +731,74 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The batch/seen split of [[dedupIncremental]] plus a bloom filter
+    * built over the seen side's 64-bit content hashes — public so
+    * DedupSpec can measure the prune. The bloom is built with the
+    * public distributed `stat.bloomFilter` (treeAggregate, bit-OR
+    * merge — insertion and partition order free, so the bytes are
+    * deterministic for a dataset) and held as driver metadata like
+    * the IVF centroids; expected-items tracks the actual seen count
+    * so the false-positive rate stays near the 3% design point at
+    * every SF. */
+  def bloomParts(s: SparkSession, dir: String): (DataFrame, DataFrame, Array[Byte]) = {
+    val d = docs(s, dir)
+    val batch = d.select((col("doc_id") + 200000).as("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(lit("v2 "), col("text"))).as("text"))
+    val n = d.count()
+    val bf = d.select(xxhash64(col("text")).as("hl"))
+      .stat.bloomFilter("hl", math.max(4096L, n), 0.03)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    (batch, d, bos.toByteArray)
+  }
+
+  /** Bloom-PREFILTERED incremental dedup — [[dedupIncremental]]'s
+    * decision through the physical path a 100 TB ingest actually
+    * runs (reference analog: the SSTable bloom cache consulted
+    * before any run is read, cache/bloom_filter_cache.rs, lifted
+    * from the file level to the dataflow level): a batch row whose
+    * content hash the seen-corpus bloom rejects is DEFINITELY new
+    * (blooms have no false negatives) and never enters the join;
+    * only the `might_contain` survivors — true dups plus the ~3%
+    * false-positive tail — are verified against the exact hash set.
+    * The output is therefore EXACTLY the plain left-join decision
+    * for any bloom content whatsoever, which is what lets the
+    * DuckDB oracle stay the exact SQL while the bloom remains a
+    * pure performance layer; the spec measures that the prune
+    * actually bit and that no dup skipped the join.
+    *
+    * Probing is Spark's codegen'd `BloomFilterMightContain`
+    * (registered as `graft_might_contain`; the engine ships it for
+    * its runtime-filter rewrite but leaves it unregistered), so the
+    * pre-filter rides whole-stage codegen in the scan stage: at
+    * 10 B seen docs the join shuffle carries (new-content rows ×
+    * ~3%) instead of the whole batch — the same economics as q65's
+    * runtime bloom join, but against a PERSISTENT corpus artifact
+    * the pipeline rebuilds per compaction instead of per query. */
+  val dedupBloomPrefilter: Op = Op.sql("dedup_bloom_prefilter",
+    """WITH batch AS (
+      |  SELECT doc_id + 200000 AS doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text ELSE 'v2 ' || text END AS text
+      |  FROM documents),
+      |seen AS (SELECT DISTINCT md5(text) AS h FROM documents)
+      |SELECT b.doc_id, s.h IS NOT NULL AS is_dup
+      |FROM batch b LEFT JOIN seen s ON md5(b.text) = s.h
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (batch, seenDocs, bfBytes) = bloomParts(s, dir)
+    val probed = batch.withColumn("maybe_seen",
+      call_function("graft_might_contain", lit(bfBytes), xxhash64(col("text"))))
+    val definiteNew = probed.filter(!col("maybe_seen"))
+      .select(col("doc_id"), lit(false).as("is_dup"))
+    val seen = seenDocs.select(md5(col("text").cast("binary")).as("h")).distinct()
+      .hint("shuffle_hash")
+    val verified = probed.filter(col("maybe_seen"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("bh"))
+      .join(seen, col("bh") === col("h"), "left")
+      .select(col("doc_id"), col("h").isNotNull.as("is_dup"))
+    definiteNew.unionAll(verified).orderBy("doc_id")
+  }
+
   // ---- substring-level (suffix-span) dedup ------------------------
 
   /** documents ∪ planted copy whose first 25 tokens are verbatim and
@@ -1063,5 +1131,6 @@ object Dedup {
   val all: Seq[Op] = Seq(dedupExact, dedupMinhashLsh, dedupNgramJaccard,
     dedupSimhash, dedupEmbedding, dedupLines, dedupContamination,
     dedupCluster, dedupNearCluster, dedupSemantic, dedupIncremental, dedupSubstring,
-    dedupSubstringRewrite, dedupMinhashEval, dedupDocContainment)
+    dedupSubstringRewrite, dedupMinhashEval, dedupDocContainment,
+    dedupBloomPrefilter)
 }

@@ -64,5 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.functions.VectorKernels.AdcDot.getClass.getName,
         "graft_adc_dot"),
       graft.functions.VectorKernels.buildAdcDot _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(graft.functions.BloomFunctions.getClass.getName,
+        "graft_might_contain"),
+      graft.functions.BloomFunctions.buildMightContain _))
   }
 }

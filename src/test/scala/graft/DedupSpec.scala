@@ -307,6 +307,27 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("bloom prefilter: decision equals the exact incremental op, prune bites, no false negatives") {
+    def decisions(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val viaBloom = decisions("dedup_bloom_prefilter")
+    val exact = decisions("dedup_incremental")
+    assert(viaBloom == exact, "bloom path changed the dedup decision")
+
+    val (batch, _, bfBytes) = Dedup.bloomParts(spark, sfDir)
+    val nBatch = batch.count()
+    val nCand = batch.filter(call_function("graft_might_contain",
+      lit(bfBytes), xxhash64(col("text")))).count()
+    val nDups = exact.count(_._2)
+    // no false negatives: every true dup must survive the bloom
+    assert(nCand >= nDups, s"bloom dropped a true dup: $nCand < $nDups")
+    // and the prune actually bites: candidates ≈ dups + ~3% fp tail
+    assert(nCand <= nDups + math.max(4L, nBatch / 10),
+      s"bloom barely pruned: $nCand candidates of $nBatch batch rows, $nDups dups")
+    assert(nCand < nBatch, "degenerate: everything was a candidate")
+  }
+
   test("minhash eval: high planted recall, counts consistent, precision in range") {
     val r = Dedup.dedupMinhashEval.run(spark, sfDir).head()
     val (nc, nv, np, nh) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))

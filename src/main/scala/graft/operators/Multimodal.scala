@@ -790,6 +790,67 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Payload-integrity audit (round 9; [[mmFormatSniff]]'s byte-LENGTH
+    * sibling — sniff checks the head, this checks the SIZE): for every
+    * blob, the byte count the catalog row implies (P6 header math +
+    * w·h·3 pixels; GSEQ container framing for videos — the exact
+    * [[graft.functions.Ppm]] layout) is compared against the payload's
+    * REAL length, flagging truncation (bit-rot, torn upload) and
+    * padding (appended junk). Planted in-flight: every 89th payload
+    * loses its last 10 bytes, every 93rd gains 7 junk bytes
+    * (truncation checked first — both engines share the precedence).
+    * A truncated payload is exactly one the codec would reject at
+    * decode time (Ppm.decode fails loudly on short pixel sections —
+    * MultimodalSpec proves the audit flags precisely those), so this
+    * is the cheap pre-decode screen a media lake runs continuously.
+    *
+    * Scale: pure per-row codegen arithmetic + one `length(payload)`
+    * (parquet stores byte length with the value — no tail read), zero
+    * shuffle; the oracle replays catalog math AND corruption in
+    * closed form from `documents`. */
+  val mmIntegrity: Op = Op.sql("mm_integrity",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN '$VideoMime' ELSE '$ImageMime' END AS mime,
+       |    n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, mime,
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN 8 + 3 * (4 + 9 + length(CAST(w AS STRING)) + length(CAST(h AS STRING)) + w * h * 3)
+       |      ELSE 9 + length(CAST(w AS STRING)) + length(CAST(h AS STRING)) + w * h * 3
+       |    END AS expected_bytes
+       |  FROM m)
+       |SELECT doc_id, mime, CAST(expected_bytes AS BIGINT) AS expected_bytes,
+       |  CAST(expected_bytes
+       |    - (CASE WHEN doc_id % 89 = 0 THEN 10
+       |            WHEN doc_id % 93 = 0 THEN -7 ELSE 0 END) AS BIGINT) AS actual_bytes,
+       |  CASE WHEN doc_id % 89 = 0 THEN 'truncated'
+       |       WHEN doc_id % 93 = 0 THEN 'padded' ELSE 'ok' END AS status
+       |FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // corruption planted on the REAL bytes; the audit then measures
+    // the real payload length, never the plant rule
+    val corrupted = mediaTable(s, dir).withColumn("payload",
+      when(col("doc_id") % 89 === 0,
+        expr("substring(payload, 1, length(payload) - 10)"))
+        .when(col("doc_id") % 93 === 0,
+          concat(col("payload"), lit(Array.fill[Byte](7)(0x5A))))
+        .otherwise(col("payload")))
+    val hdr = lit(9) + length(col("width").cast("string")) +
+      length(col("height").cast("string"))
+    val img = hdr + col("width") * col("height") * lit(3)
+    val expected = when(col("mime") === lit(VideoMime),
+      lit(8) + lit(3) * (lit(4) + img)).otherwise(img).cast("bigint")
+    val actual = length(col("payload")).cast("bigint")
+    corrupted.select(col("doc_id"), col("mime"),
+        expected.as("expected_bytes"), actual.as("actual_bytes"),
+        when(actual < expected, "truncated")
+          .when(actual > expected, "padded")
+          .otherwise("ok").as("status"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup,
-    mmAudioFeatures, mmSceneDetect, mmAudioVad, pipelineMm, mmFormatSniff)
+    mmAudioFeatures, mmSceneDetect, mmAudioVad, pipelineMm, mmFormatSniff,
+    mmIntegrity)
 }

@@ -14,6 +14,24 @@ import graft.streaming.Streams
   * same transforms execute as real streams). */
 object Streaming {
 
+  /** Ingest-time quality monitoring — the Gopher gate
+    * ([[TextAnalysis]]'s single rule definition) as a streaming
+    * per-source pass/drop report; see
+    * [[graft.streaming.Streams.qualityGate]]. The keep decision is
+    * stateless per-row codegen, so streaming state is exactly the
+    * |sources|-row aggregate; StreamingSpec drives a real 3-batch
+    * file stream to bit-equality with this batch form. */
+  val streamQualityMonitor: Op = Op.sql("stream_quality_monitor",
+    TextAnalysis.gopherKeepCteSql +
+      """
+        |SELECT d.source, count(*) AS n_docs,
+        |  count(CASE WHEN l.keep THEN 1 END) AS n_keep,
+        |  count(CASE WHEN NOT l.keep THEN 1 END) AS n_drop
+        |FROM documents d JOIN lab l USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    Streams.qualityGate(Tables.load(s, dir, "documents")).orderBy("source")
+  }
+
   val streamWindowAgg: Op = Op.sql("stream_window_agg",
     """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start,
       |       event_type, count(*) AS n_events,
@@ -247,5 +265,6 @@ object Streaming {
 
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
     streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
-    streamDrift, streamIvfAssign, streamMinhashDedup, streamContamination)
+    streamDrift, streamIvfAssign, streamMinhashDedup, streamContamination,
+    streamQualityMonitor)
 }

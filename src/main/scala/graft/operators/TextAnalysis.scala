@@ -490,14 +490,14 @@ object TextAnalysis {
     * [[textDistillFilter]]'s weak-supervision teacher label, derived
     * from the same [[gopherStats]]/[[gopherKeepOf]] pair as
     * [[textGopher]]'s `keep` output. */
-  private def gopherKeepCol(text: Column): Column = {
+  private[graft] def gopherKeepCol(text: Column): Column = {
     val Seq(nWords, sumLen, nHash, diff3, nAlpha, nStop) = gopherStats(text)
     gopherKeepOf(nWords, sumLen, nHash, diff3, nAlpha, nStop)
   }
 
   /** The Gopher keep decision as a DuckDB CTE (`lab(doc_id, keep)`)
     * — the oracle-side twin of [[gopherKeepCol]]. */
-  private def gopherKeepCteSql: String = {
+  private[graft] def gopherKeepCteSql: String = {
     val stop = GopherStop.map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH lab AS (
        |  SELECT doc_id,

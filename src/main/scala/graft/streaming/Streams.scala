@@ -319,6 +319,24 @@ object Streams {
     * store (RocksDB-backed at scale) keyed by fixed-width
     * (band_id, band_hash); nothing is ever driver-held, and no pair
     * join exists on the stream path at all. */
+  /** Streaming quality-gate monitor — the Gopher rule filter
+    * ([[graft.operators.TextAnalysis.gopherKeepCol]], the ONE
+    * definition of the rule) run at ingest time, with per-source
+    * pass/drop counts as the continuously maintained health report: a
+    * source whose drop share jumps mid-crawl is flagged while the
+    * crawl is still running, not after. The keep decision is pure
+    * per-row expressions (stateless, whole-stage codegen — no window,
+    * no join), so the only streaming state is the |sources|-row
+    * count aggregate; incremental by construction. */
+  def qualityGate(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("source"),
+        graft.operators.TextAnalysis.gopherKeepCol(col("text")).as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_keep"),
+        count(when(!col("keep"), 1)).as("n_drop"))
+
   def minhashBucketOwners(docsDf: DataFrame): DataFrame =
     graft.operators.Dedup.bandTable(docsDf)
       .groupBy(col("band_id").cast("bigint").as("band_id"), col("band_hash"))

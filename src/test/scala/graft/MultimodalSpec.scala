@@ -240,4 +240,35 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.exists(_._2 == Multimodal.VideoMime))
     assert(rows.exists(!_._4), "no corrupted payload in fixture")
   }
+
+  test("integrity audit: measured statuses match the plants, and flag exactly what decode rejects") {
+    val rows = Multimodal.mmIntegrity.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, expected, actual, status) =>
+      val want = if (id % 89 == 0) "truncated"
+                 else if (id % 93 == 0) "padded" else "ok"
+      assert(status == want, s"doc $id: status $status, want $want")
+      assert(actual - expected == (want match {
+        case "truncated" => -10L; case "padded" => 7L; case _ => 0L
+      }), s"doc $id: delta ${actual - expected}")
+    }
+    assert(rows.exists(_._5 == "truncated") && rows.exists(_._5 == "ok"),
+      "fixture must plant at least one truncation")
+    // the audit flags exactly the payloads the real codec rejects:
+    // an untouched payload decodes; the truncated one fails loudly
+    val byId = media.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getAs[Array[Byte]]("payload"))).toMap
+    val truncId = rows.find(_._5 == "truncated").get._1
+    val (tMime, tPayload) = byId(truncId)
+    val torn = tPayload.dropRight(10)
+    intercept[Exception] {
+      if (tMime == Multimodal.VideoMime) Ppm.decodeSeq(torn).foreach(Ppm.decode)
+      else Ppm.decode(torn)
+    }
+    val okId = rows.find(_._5 == "ok").get._1
+    val (oMime, oPayload) = byId(okId)
+    if (oMime == Multimodal.VideoMime) Ppm.decodeSeq(oPayload).foreach(Ppm.decode)
+    else Ppm.decode(oPayload)
+  }
 }

@@ -216,6 +216,7 @@ class SqlParitySpec extends SparkSuite {
     "dedup_doc_containment" -> "list slice toks[a:b] + unnest(range()) + list_transform lambda",
     "ann_sq8" -> "::DOUBLE[] cast + list_transform lambda + MATERIALIZED CTEs",
     "ann_binary" -> "::DOUBLE[] cast + list_filter lambda + MATERIALIZED CTEs",
+    "stream_quality_monitor" -> "string_split_regex() + list_filter lambda",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -457,6 +457,30 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.forall(r => r.getLong(3) >= 2L))
   }
 
+  test("stream_quality_monitor: the Gopher gate runs as a real 3-batch stream") {
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val src = java.nio.file.Files.createTempDirectory("qual_stream").toString
+    val maxId = d.agg(max("doc_id")).head().getLong(0)
+    Seq(col("doc_id") < maxId / 3,
+        col("doc_id").between(maxId / 3, 2 * maxId / 3),
+        col("doc_id") > 2 * maxId / 3).foreach { pred =>
+      d.filter(pred).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val q = Streams.runFileStream(spark, src, d, Streams.qualityGate, "qual_sink")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qual_sink").orderBy("source").collect()
+    val batch = SparkEntry.queries("stream_quality_monitor")(spark, sfDir).collect()
+    assert(streamed.toSeq == batch.toSeq,
+      "streamed quality report diverges from the batch form")
+    assert(streamed.nonEmpty)
+    // conservation per source, and the gate must actually split
+    assert(streamed.forall(r => r.getLong(2) + r.getLong(3) == r.getLong(1)))
+    assert(streamed.exists(_.getLong(2) > 0) && streamed.exists(_.getLong(3) > 0),
+      "degenerate gate: everything passed or everything dropped")
+  }
+
   test("stream_contamination: the ingest guard runs as a real stream against the static eval set") {
     val d = graft.sources.Tables.load(spark, sfDir, "documents")
     val evalSet = Streams.evalNgramSet(d)

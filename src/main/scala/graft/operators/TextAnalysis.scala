@@ -537,7 +537,13 @@ object TextAnalysis {
     * 100 TB the train side is one token-keyed hash-agg, the apply
     * side shuffles only (doc_id, vote) scalars into a doc-keyed sum,
     * and the stump sees |scores| rows. */
-  val textDistillFilter: Op = Op.sql("text_distill_filter",
+  /** The distilled classifier's labeled scores as CTEs (`lab` →
+    * `scored(doc_id, keep, score)`) — the shared train+apply front
+    * half of [[textDistillFilter]] and the AUC evaluation
+    * ([[graft.operators.Analytics]]' stats_auc scores THIS
+    * classifier), single-sourced so the evaluated model can never
+    * drift from the deployed one. */
+  private[graft] def distillScoredCteSql: String =
     gopherKeepCteSql +
       """,
         |ts AS (  -- token stream WITH multiplicity (tf carries length)
@@ -562,29 +568,17 @@ object TextAnalysis {
         |scored AS (
         |  SELECT ts.doc_id, any_value(ts.keep) AS keep,
         |    CAST(sum(vt.vote) AS BIGINT) AS score
-        |  FROM ts JOIN vt USING (tok) GROUP BY ts.doc_id),
-        |bys AS (
-        |  SELECT score,
-        |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS pos,
-        |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS neg
-        |  FROM scored GROUP BY score),
-        |cand AS (  -- stump thresholds: every score, plus all-positive
-        |  SELECT score AS t,
-        |    sum(pos) OVER w AS pos_le, sum(neg) OVER w AS neg_le
-        |  FROM bys WINDOW w AS (ORDER BY score ROWS UNBOUNDED PRECEDING)
-        |  UNION ALL
-        |  SELECT min(score) - 1 AS t, 0 AS pos_le, 0 AS neg_le FROM bys),
-        |stump AS (
-        |  SELECT t FROM cand, tot
-        |  ORDER BY (tot.n_pos - pos_le + neg_le) DESC, t ASC LIMIT 1)
-        |SELECT s.doc_id, s.keep AS gopher_keep, s.score,
-        |  s.score > (SELECT t FROM stump) AS pred_keep
-        |FROM scored s ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+        |  FROM ts JOIN vt USING (tok) GROUP BY ts.doc_id)""".stripMargin
+
+  /** The distilled classifier's labeled scores — the Scala twin of
+    * [[distillScoredCteSql]]: `(scored(doc_id, keep, score),
+    * totals(n_pos, n_neg))`. Token stream carries multiplicity (tf
+    * carries the length signal the teacher rule keys on); vote
+    * DIRECTION uses document frequency (robust to one spammy doc). */
+  private[graft] def distillScored(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val labeled = docs(s, dir).select(col("doc_id"),
       gopherKeepCol(col("text")).as("keep"), col("text"))
-    // token stream WITH multiplicity: term frequency carries the
-    // length signal the teacher rule keys on; vote DIRECTION uses
-    // document frequency (robust to one spammy doc)
     val tokStream = labeled.select(col("doc_id"), col("keep"),
       explode(filter(split(lower(col("text")), "\\s+"),
         t => t =!= "")).as("tok"))
@@ -602,6 +596,30 @@ object TextAnalysis {
     val scored = tokStream.join(broadcast(votes), Seq("tok"))
       .groupBy("doc_id")
       .agg(first(col("keep")).as("keep"), sum(col("vote")).as("score"))
+    (scored, totals)
+  }
+
+  val textDistillFilter: Op = Op.sql("text_distill_filter",
+    distillScoredCteSql +
+      """,
+        |bys AS (
+        |  SELECT score,
+        |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS neg
+        |  FROM scored GROUP BY score),
+        |cand AS (  -- stump thresholds: every score, plus all-positive
+        |  SELECT score AS t,
+        |    sum(pos) OVER w AS pos_le, sum(neg) OVER w AS neg_le
+        |  FROM bys WINDOW w AS (ORDER BY score ROWS UNBOUNDED PRECEDING)
+        |  UNION ALL
+        |  SELECT min(score) - 1 AS t, 0 AS pos_le, 0 AS neg_le FROM bys),
+        |stump AS (
+        |  SELECT t FROM cand, tot
+        |  ORDER BY (tot.n_pos - pos_le + neg_le) DESC, t ASC LIMIT 1)
+        |SELECT s.doc_id, s.keep AS gopher_keep, s.score,
+        |  s.score > (SELECT t FROM stump) AS pred_keep
+        |FROM scored s ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    val (scored, totals) = distillScored(s, dir)
     // decision stump over the integer score: the threshold maximizing
     // training agreement, tie → smallest. Prefix sums run over the
     // |distinct scores| AGGREGATED rows (the corpus-card precedent:
@@ -625,6 +643,147 @@ object TextAnalysis {
       .select(col("doc_id"), col("keep").as("gopher_keep"), col("score"),
         (col("score") > col("t")).as("pred_keep"))
       .orderBy("doc_id")
+  }
+
+  /** Exact ROC-AUC of the distilled classifier against its teacher
+    * labels (round 9 — the threshold-free evaluation completing the
+    * weak-supervision loop: [[textDistillFilter]] reports agreement
+    * at ONE stump threshold, AUC ranks the score column across ALL
+    * thresholds — the metric a model gate actually tracks): computed
+    * as the tie-corrected Mann–Whitney U over per-score aggregates,
+    * with the doubled-rank identity 2·Σrank⁺ = Σ_s p_s·(2·c_lt + t_s
+    * + 1) keeping every intermediate an exact integer — ties
+    * contribute the exact average rank, no 0.5 ever materializes —
+    * and ONE final IEEE division of exact longs, so the oracle
+    * hash-compares (a sort-based AUC would be summation-order
+    * dependent). The cumulative window runs over the ≤|distinct
+    * scores| aggregate rows, never data; the classifier itself comes
+    * from the single-sourced [[distillScoredCteSql]]/[[distillScored]]
+    * pair, so the evaluated model IS the deployed one.
+    *
+    * Scale: inherits distill's shapes (token hash-agg, |vocab|
+    * broadcast, doc-keyed sum); the evaluation adds one |scores|-row
+    * window + a one-row reduce. Spec recomputes AUC by explicit
+    * pairwise comparison and pins equality to the last bit. */
+  val statsAuc: Op = Op.sql("stats_auc",
+    distillScoredCteSql +
+      """,
+        |bys AS (
+        |  SELECT score, count(*) AS t,
+        |    count(CASE WHEN keep THEN 1 END) AS p
+        |  FROM scored GROUP BY score),
+        |cum AS (
+        |  SELECT score, t, p,
+        |    coalesce(sum(t) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_lt
+        |  FROM bys),
+        |agg AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(t - p) AS BIGINT) AS n_neg,
+        |    CAST(sum(p * (2 * c_lt + t + 1)) AS BIGINT) AS rank2
+        |  FROM cum)
+        |SELECT n_pos, n_neg,
+        |  CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |    / (2.0 * n_pos * n_neg) AS auc
+        |FROM agg""".stripMargin) { (s, dir) =>
+    val (scored, _) = distillScored(s, dir)
+    val bys = scored.groupBy("score")
+      .agg(count(lit(1)).as("t"), count(when(col("keep"), 1)).as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("score").rowsBetween(Long.MinValue, -1)
+    val cum = bys.withColumn("c_lt", coalesce(sum("t").over(w), lit(0L)))
+    val agg = cum.agg(sum("p").cast("long").as("n_pos"),
+      sum(col("t") - col("p")).cast("long").as("n_neg"),
+      sum(col("p") * (lit(2) * col("c_lt") + col("t") + 1)).cast("long").as("rank2"))
+    agg.select(col("n_pos"), col("n_neg"),
+      ((col("rank2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+        / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009;
+    * HashingTF in MLlib, the default featurizer for fastText-class
+    * linear models over web-scale text): each token maps to one of a
+    * FIXED 64 buckets by content hash — no vocabulary build, no
+    * driver state, memory constant in corpus size, which is the whole
+    * point at 100 TB (a vocab-indexed featurizer needs the
+    * text_vocab_growth pass first; this needs nothing). Bucket =
+    * integer value of the token's md5 prefix mod 64 — the hash choice
+    * is arbitrary by design (collisions are the accepted trade), and
+    * md5 is the one both engines share bit-for-bit, so the whole
+    * feature matrix is value-exact. Output is the long-form sparse
+    * matrix (doc_id, bucket, n); one narrow explode + ONE
+    * (doc, bucket) map-side-partial hash-agg, output ≤ |docs|·64. */
+  val textFeatureHash: Op = Op.sql("text_feature_hash",
+    """WITH tokens AS (
+      |  SELECT d.doc_id, t.tok
+      |  FROM documents d,
+      |    unnest(list_filter(string_split_regex(lower(d.text), '\s+'),
+      |                       x -> x <> '')) AS t(tok))
+      |SELECT doc_id,
+      |  CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 64 AS bucket,
+      |  count(*) AS n
+      |FROM tokens GROUP BY doc_id, bucket
+      |ORDER BY doc_id, bucket""".stripMargin) { (s, dir) =>
+    val tokens = docs(s, dir).select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"),
+        t => t =!= "")).as("tok"))
+    tokens
+      .groupBy(col("doc_id"),
+        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 6), 16, 10)
+          .cast("long"), lit(64L)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  /** Inverted-index build, doc-sharded (round 9 — the retrieval
+    * artifact [[textBm25]]'s scaladoc promises: "the per-doc agg here
+    * IS the posting build"): per (term, shard) a sorted posting list
+    * of the shard's doc ids, plus the term's GLOBAL document
+    * frequency. Sharding by doc-id range (shard = doc_id ÷ 100) is
+    * the load-bearing choice: a stopword's corpus-wide posting list
+    * at 10 B docs is a 10 B-element row — the classic index-build
+    * OOM — while doc-sharded postings are bounded by shard size
+    * regardless of term frequency, and doc-sharded indexes are
+    * exactly how distributed search engines (Lucene/ES shards) store
+    * postings anyway. One DISTINCT (term, doc) hash-agg → one
+    * (term, shard) hash-agg with an in-group sort bounded by shard
+    * size; the global-df window runs over the |vocab|·|shards|
+    * AGGREGATE rows. Low-df noise terms (df < 5) are dropped AFTER
+    * the global count, exactly like a production min-df floor.
+    * Postings emit as a comma-joined string — the render-stable
+    * cross-engine form. */
+  val textInvertedIndex: Op = Op.sql("text_inverted_index",
+    """WITH toks AS (
+      |  SELECT DISTINCT d.doc_id, t.tok
+      |  FROM documents d,
+      |    unnest(list_filter(string_split_regex(lower(d.text), '\s+'),
+      |                       x -> x <> '')) AS t(tok)),
+      |sh AS (
+      |  SELECT tok AS term, doc_id // 100 AS shard,
+      |    count(*) AS df_shard,
+      |    array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+      |  FROM toks GROUP BY tok, doc_id // 100),
+      |g AS (
+      |  SELECT term, shard, df_shard, postings,
+      |    sum(df_shard) OVER (PARTITION BY term) AS df
+      |  FROM sh)
+      |SELECT term, CAST(shard AS BIGINT) AS shard, df_shard,
+      |  CAST(df AS BIGINT) AS df, postings
+      |FROM g WHERE df >= 5 ORDER BY term, shard""".stripMargin) { (s, dir) =>
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"),
+        t => t =!= "")).as("tok"))
+      .distinct()
+    val sh = toks
+      .groupBy(col("tok").as("term"), expr("doc_id DIV 100").as("shard"))
+      .agg(count(lit(1)).as("df_shard"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+    sh.withColumn("df",
+        sum("df_shard").over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .filter(col("df") >= 5)
+      .select(col("term"), col("shard"), col("df_shard"),
+        col("df").cast("bigint").as("df"), col("postings"))
+      .orderBy("term", "shard")
   }
 
   /** One greedy left-to-right BPE merge of adjacent (l, r) into l+r —
@@ -1432,5 +1591,6 @@ object TextAnalysis {
     textBpeTrain, textBpeEncode, sampleCapped, textChunkOverlap, textFuzzyJoin,
     sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
     sampleTemperature, textCorpusCard, textDistillFilter, textPerplexityBucket,
-    sampleBalanced, sampleEpochOrder)
+    sampleBalanced, sampleEpochOrder, statsAuc, textFeatureHash,
+    textInvertedIndex)
 }

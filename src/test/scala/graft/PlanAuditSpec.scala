@@ -427,4 +427,37 @@ class PlanAuditSpec extends SparkSuite {
       s"radius predicate not fused into the probe join:\n$p")
     assert(!p.contains("Window"), s"range search must not rank:\n$p")
   }
+
+  test("doc containment: the corpus-sized dup side never broadcasts, no unkeyed join") {
+    // same hazard class as the banded self-joins (SURVEY §4.3): the
+    // distinct dup-hash set is corpus-proportional but fits a driver
+    // hashed relation at test SF — the hint must pin the keyed shuffle
+    val p = plan("dedup_doc_containment")
+    assert(p.contains("ShuffledHashJoin"),
+      s"dup-hash hit join is not a shuffled hash join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment degenerated to an unkeyed join:\n$p")
+  }
+
+  test("bloom prefilter: the probe is in-plan codegen, the verify join stays keyed") {
+    val p = plan("dedup_bloom_prefilter")
+    assert(p.contains("might_contain"),
+      s"bloom probe expression missing — the pre-filter is not in the plan:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"seen-hash verify join must stay a keyed shuffle (corpus-sized side):\n$p")
+  }
+
+  test("quantized ANN: code scan ranks with partial top-k, queries broadcast") {
+    // the two-stage shape that survives 10 B vectors: the corpus is
+    // scanned once against broadcast query codes, and the shortlist
+    // rank is partial per partition (WindowGroupLimit) so the shuffle
+    // carries O(k·partitions), never O(corpus)
+    Seq("ann_sq8", "ann_binary").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: shortlist rank is not partial per partition:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"$q: query codes must broadcast:\n$p")
+    }
+  }
 }

@@ -217,6 +217,9 @@ class SqlParitySpec extends SparkSuite {
     "ann_sq8" -> "::DOUBLE[] cast + list_transform lambda + MATERIALIZED CTEs",
     "ann_binary" -> "::DOUBLE[] cast + list_filter lambda + MATERIALIZED CTEs",
     "stream_quality_monitor" -> "string_split_regex() + list_filter lambda",
+    "stats_auc" -> "string_split_regex() + list_filter lambda (distill CTEs)",
+    "text_feature_hash" -> "string_split_regex() + list_filter lambda + 0x hex-string cast",
+    "text_inverted_index" -> "string_split_regex() + list_filter lambda + // division + list(x ORDER BY)",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -438,6 +438,74 @@ class TextSpec extends SparkSuite {
     assert(orders.distinct.size == 3, "two epochs produced the identical order")
   }
 
+  test("AUC equals an explicit pairwise Mann-Whitney recompute, bit for bit") {
+    val row = TextAnalysis.statsAuc.run(spark, sfDir).head()
+    val (np, nn, auc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val scored = TextAnalysis.distillScored(spark, sfDir)._1.collect()
+      .map(r => (r.getBoolean(1), r.getLong(2)))
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    assert(np == pos.length && nn == neg.length)
+    // doubled numerator: 2 per win, 1 per tie — the exact integer the
+    // op's rank identity produces, so the division compares bit-exact
+    var wins2 = 0L
+    for (p <- pos; n <- neg)
+      wins2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val expect = wins2.toDouble / (2.0 * np * nn)
+    assert(auc == expect, s"op $auc vs pairwise $expect")
+    assert(auc > 0.5, s"distilled classifier no better than chance: $auc")
+    assert(auc <= 1.0)
+  }
+
+  test("feature hashing matches a driver-side md5-bucket recompute exactly") {
+    val got = TextAnalysis.textFeatureHash.run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().foreach { r =>
+        val id = r.getLong(0)
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val bucket = java.lang.Long.parseLong(md.take(6), 16) % 64
+          want((id, bucket)) += 1L
+        }
+      }
+    assert(got == want.toMap, "feature matrix diverges from the driver recompute")
+    assert(got.keys.forall { case (_, b) => b >= 0 && b < 64 })
+    // the buckets must genuinely spread (no catastrophic collision) —
+    // bounded by the corpus vocabulary, which is tiny at sf0.001
+    val vocab = want.keys.map(_._2).toSet.size
+    assert(got.keys.map(_._2).toSet.size >= math.min(16, vocab),
+      s"only ${got.keys.map(_._2).toSet.size} of 64 buckets occupied (vocab spread $vocab)")
+  }
+
+  test("inverted index: doc-sharded postings match a driver recompute, min-df floor applied") {
+    val got = TextAnalysis.textInvertedIndex.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val post = scala.collection.mutable.Map
+      .empty[(String, Long), scala.collection.mutable.SortedSet[Long]]
+    graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().foreach { r =>
+        val id = r.getLong(0)
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.foreach { tok =>
+          post.getOrElseUpdate((tok, id / 100),
+            scala.collection.mutable.SortedSet.empty[Long]) += id
+        }
+      }
+    val globalDf = post.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2.size.toLong).sum).toMap
+    val want = post.collect {
+      case ((term, shard), ids) if globalDf(term) >= 5 =>
+        (term, shard) -> (ids.size.toLong, globalDf(term), ids.mkString(","))
+    }.toMap
+    assert(got == want, "posting shards diverge from the driver recompute")
+    assert(got.nonEmpty)
+    // postings stay shard-bounded: no shard may exceed the doc range
+    assert(got.values.forall(_._1 <= 100))
+  }
+
   test("perplexity buckets: tercile shares per language, head scores above tail") {
     val rows = TextAnalysis.textPerplexityBucket.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

@@ -786,6 +786,97 @@ object TextAnalysis {
       .orderBy("term", "shard")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents" — the classic unsupervised
+    * keyphrase baseline): candidate phrases are maximal stopword-free
+    * token runs (the [[GopherStop]] set delimits — one stopword list
+    * across the whole text family), each word scores deg/freq where
+    * freq counts phrase occurrences and deg adds the length of every
+    * phrase containing the word (co-occurrence degree), and a
+    * phrase's score sums its words' scores. Top-3 phrases per doc.
+    * Determinism: word scores are single IEEE divisions of exact
+    * integers; the per-phrase sum is an ORDERED left fold in token
+    * order (collect-sort-fold, replayed by DuckDB's `list_reduce`
+    * over `list(.. ORDER BY p)` — `0.0 + s₁ ≡ s₁`, so the two fold
+    * shapes are bit-identical, the ADC-oracle precedent); rank ties
+    * break on phrase text, and equal (score, phrase) rows are
+    * interchangeable so the multiset is stable.
+    *
+    * Scale (100 TB): ONE doc-keyed window (the boundary running
+    * count — per-task state is one row of look-behind), phrase and
+    * fold aggregates keyed on (doc, phrase-run) reuse that
+    * partitioning, word stats are a |vocab|-row hash-agg broadcast
+    * back over the token stream, and the final rank window sees only
+    * each doc's phrase aggregates. No self-join anywhere. */
+  val textRake: Op = Op.sql("text_rake", {
+    val stop = GopherStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i+1] AS tok,
+       |         toks[i+1] IN ($stop) AS is_stop
+       |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+       |        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |              FROM documents))),
+       |g AS (
+       |  SELECT doc_id, p, tok, is_stop,
+       |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM tok),
+       |pt AS (SELECT doc_id, grp, p, tok FROM g WHERE NOT is_stop),
+       |ph AS (
+       |  SELECT doc_id, grp, array_to_string(list(tok ORDER BY p), ' ') AS phrase,
+       |         count(*) AS plen
+       |  FROM pt GROUP BY doc_id, grp),
+       |ws AS (
+       |  SELECT pt.tok, count(*) AS freq, CAST(sum(ph.plen) AS BIGINT) AS deg
+       |  FROM pt JOIN ph USING (doc_id, grp) GROUP BY pt.tok),
+       |sc AS (
+       |  SELECT pt.doc_id, pt.grp,
+       |    list_reduce(list(CAST(ws.deg AS DOUBLE) / ws.freq ORDER BY pt.p),
+       |                (a, b) -> a + b) AS score
+       |  FROM pt JOIN ws USING (tok) GROUP BY pt.doc_id, pt.grp)
+       |SELECT doc_id, phrase, CAST(plen AS BIGINT) AS n_words, score, rnk FROM (
+       |  SELECT ph.doc_id, ph.phrase, ph.plen, sc.score,
+       |    row_number() OVER (PARTITION BY ph.doc_id
+       |                       ORDER BY sc.score DESC, ph.phrase) AS rnk
+       |  FROM ph JOIN sc USING (doc_id, grp))
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+  }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val stopLit = array(GopherStop.map(lit): _*)
+    val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("bigint").as("p"), col("tok"),
+        array_contains(stopLit, col("tok")).as("is_stop"))
+    val run = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pt = toks
+      .withColumn("grp", sum(when(col("is_stop"), 1).otherwise(0)).over(run))
+      .filter(!col("is_stop"))
+      .select("doc_id", "grp", "p", "tok")
+    val ph = pt.groupBy("doc_id", "grp")
+      .agg(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("phrase"),
+        count(lit(1)).as("plen"))
+    val ws = pt.join(ph.select("doc_id", "grp", "plen"), Seq("doc_id", "grp"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").cast("long").as("deg"))
+      .select(col("tok"), (col("deg").cast("double") / col("freq")).as("wscore"))
+    val sc = pt.join(broadcast(ws), Seq("tok"))
+      .groupBy("doc_id", "grp")
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("p"), col("wscore")))),
+          x => x.getField("wscore")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+    ph.join(sc, Seq("doc_id", "grp"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("phrase"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("phrase"), col("plen").as("n_words"),
+        col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** One greedy left-to-right BPE merge of adjacent (l, r) into l+r —
     * a HOF fold applied distributed to every word type. HOFs run
     * expression-interpreted (outside whole-stage codegen), but the
@@ -1592,5 +1683,5 @@ object TextAnalysis {
     sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
     sampleTemperature, textCorpusCard, textDistillFilter, textPerplexityBucket,
     sampleBalanced, sampleEpochOrder, statsAuc, textFeatureHash,
-    textInvertedIndex)
+    textInvertedIndex, textRake)
 }

@@ -506,6 +506,42 @@ class TextSpec extends SparkSuite {
     assert(got.values.forall(_._1 <= 100))
   }
 
+  test("RAKE keywords match an in-process sequential recompute, bit for bit") {
+    val got = TextAnalysis.textRake.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val stop = TextAnalysis.GopherStop.toSet
+    val docsArr = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // phrases: maximal stopword-free runs, in token order
+    val phrases = docsArr.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+")
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      toks.foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= t
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.map(id -> _)
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val deg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    phrases.foreach { case (_, ws) =>
+      ws.foreach { w => freq(w) += 1; deg(w) += ws.length }
+    }
+    val want = phrases.map { case (id, ws) =>
+      // same fold shape as the op: 0.0 + s1 + s2 + ...
+      val score = ws.foldLeft(0.0)((acc, w) => acc + deg(w).toDouble / freq(w))
+      (id, ws.mkString(" "), ws.length.toLong, score)
+    }.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      ps.sortBy(p => (-p._4, p._2)).take(3).zipWithIndex
+        .map { case ((id, ph, n, s), i) => (id, ph, n, s, i + 1) }.toSeq
+    }
+    assert(got.sorted.toSeq == want.sorted, "RAKE output diverges from the recompute")
+    assert(got.nonEmpty && got.forall(_._5 <= 3))
+  }
+
   test("perplexity buckets: tercile shares per language, head scores above tail") {
     val rows = TextAnalysis.textPerplexityBucket.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

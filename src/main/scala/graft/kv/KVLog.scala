@@ -117,7 +117,10 @@ final case class KVLog(path: String, keyCol: String, seqCol: String,
     require(runs.nonEmpty, s"checkpoint of empty log $path")
     val dest = Paths.get(destPath)
     Option(dest.getParent).foreach(Files.createDirectories(_))
-    graft.sources.LocalDir.deleteRecursively(new java.io.File(destPath))
+    // build the tmp copy FIRST, delete any previous checkpoint only
+    // just before the rename: a crash during the (long) copy leaves
+    // the old checkpoint intact; the delete..rename window leaves no
+    // checkpoint but never a torn one (openCheckpoint's manifest gate)
     val tmp = Paths.get(destPath + ".tmp_ckpt")
     graft.sources.LocalDir.deleteRecursively(tmp.toFile)
     Files.createDirectories(tmp)
@@ -132,6 +135,7 @@ final case class KVLog(path: String, keyCol: String, seqCol: String,
       } finally walk.close()
     }
     Files.writeString(tmp.resolve("_CHECKPOINT"), runs.size.toString)
+    graft.sources.LocalDir.deleteRecursively(new java.io.File(destPath))
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     KVLog(destPath, keyCol, seqCol, tombstoneCol)
   }

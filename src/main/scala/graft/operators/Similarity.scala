@@ -924,6 +924,9 @@ object Similarity {
       val maxAbs = unitNorm(emb(s, dir))
         .agg(max(aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x)))))
         .head().getDouble(0)
+      // an all-zero corpus would make the scale infinite and every
+      // code 0 — fail loudly instead of serving degenerate rankings
+      require(maxAbs > 0.0, s"SQ8 scale undefined: corpus max|nv| = $maxAbs")
       127.0 / maxAbs
     })
   }

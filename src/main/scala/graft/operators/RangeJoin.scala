@@ -135,5 +135,93 @@ object RangeJoin {
       .orderBy("purchase_id")
   }
 
-  val all: Seq[Op] = Seq(q30RangeJoin, q31AsofJoin, q49AsofTolerance)
+  /** NEAREST-direction as-of (round 9; pandas merge_asof
+    * `direction='nearest'` — the remaining as-of contract after
+    * backward (q31) and backward-with-tolerance (q49)): for each left
+    * row, the right row minimizing |Δts| in EITHER direction, ties
+    * (equal backward and forward distance) to the backward match, and
+    * an equal-timestamp right row counts as a backward match at
+    * distance 0 (it sorts before the left row, so only the backward
+    * frame sees it — and distance 0 wins every tie anyway). Both
+    * directions ride ONE tagged union and ONE (key, ts)-sorted
+    * window pair — backward = running `last` ignoring nulls, forward
+    * = running `first` over the mirrored frame — sharing a single
+    * shuffle (both frames have the same partition/order spec, so
+    * they execute in one Window operator); no pair materialization
+    * at any skew, same cost envelope as [[asof]]. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftId: String, rightId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = right.select(col(key), col("ts_us"), lit(0).as("_side"),
+        lit(null).cast("long").as("_lid"), col(rightId).cast("long").as("_rid"))
+      .unionByName(left.select(col(key), col("ts_us"), lit(1).as("_side"),
+        col(leftId).cast("long").as("_lid"), lit(null).cast("long").as("_rid")))
+    val back = Window.partitionBy(key).orderBy(col("ts_us"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(key).orderBy(col("ts_us"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val backWins = col("_fid").isNull ||
+      (col("_bid").isNotNull &&
+        col("ts_us") - col("_bts") <= col("_fts") - col("ts_us"))
+    tagged
+      .withColumn("_bid", last(col("_rid"), ignoreNulls = true).over(back))
+      .withColumn("_bts",
+        last(when(col("_side") === 0, col("ts_us")), ignoreNulls = true).over(back))
+      .withColumn("_fid", first(col("_rid"), ignoreNulls = true).over(fwd))
+      .withColumn("_fts",
+        first(when(col("_side") === 0, col("ts_us")), ignoreNulls = true).over(fwd))
+      .filter(col("_side") === 1)
+      .select(col(key), col("_lid").as("left_id"), col("ts_us"),
+        when(backWins, col("_bid")).otherwise(col("_fid")).as("right_id"),
+        when(col("_bid").isNull && col("_fid").isNull, lit(null).cast("string"))
+          .when(backWins, lit("backward")).otherwise(lit("forward")).as("direction"))
+  }
+
+  /** q77: each purchase matched to the CLOSEST signup in time, either
+    * direction — the enrichment contract when the reference event may
+    * legitimately arrive after the fact row (late-arriving dimension
+    * updates, clock skew between feeds). */
+  val q77AsofNearest: Op = Op.sql("q77_asof_nearest",
+    """WITH t AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS side, event_id
+      |  FROM events WHERE event_type IN ('signup', 'purchase')),
+      |w AS (
+      |  SELECT user_id, ts_us, side, event_id,
+      |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |      OVER bk AS back_id,
+      |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+      |      OVER bk AS back_ts,
+      |    first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |      OVER fw AS fwd_id,
+      |    first_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+      |      OVER fw AS fwd_ts
+      |  FROM t
+      |  WINDOW bk AS (PARTITION BY user_id ORDER BY ts_us, side
+      |                ROWS UNBOUNDED PRECEDING),
+      |         fw AS (PARTITION BY user_id ORDER BY ts_us, side
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id AS purchase_id,
+      |  CASE WHEN fwd_id IS NULL
+      |         OR (back_id IS NOT NULL AND ts_us - back_ts <= fwd_ts - ts_us)
+      |       THEN back_id ELSE fwd_id END AS signup_id,
+      |  CASE WHEN back_id IS NULL AND fwd_id IS NULL THEN NULL
+      |       WHEN fwd_id IS NULL
+      |         OR (back_id IS NOT NULL AND ts_us - back_ts <= fwd_ts - ts_us)
+      |       THEN 'backward' ELSE 'forward' END AS direction
+      |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    asofNearest(
+      left = ev.filter(col("event_type") === "purchase"),
+      right = ev.filter(col("event_type") === "signup"),
+      key = "user_id", leftId = "event_id", rightId = "event_id")
+      .select(col("left_id").as("purchase_id"), col("right_id").as("signup_id"),
+        col("direction"))
+      .orderBy("purchase_id")
+  }
+
+  val all: Seq[Op] = Seq(q30RangeJoin, q31AsofJoin, q49AsofTolerance,
+    q77AsofNearest)
 }

@@ -32,6 +32,28 @@ object Streaming {
     Streams.qualityGate(Tables.load(s, dir, "documents")).orderBy("source")
   }
 
+  /** Cohort retention maintained as TWO streaming aggregates (first
+    * seen per user; distinct user-weeks) composed at read time — the
+    * multi-query maintenance pattern for a metric whose parts are
+    * order-free (min, distinct) even though the whole is a join.
+    * Stream == batch holds under ANY arrival order, which is exactly
+    * why retention streams and the strict funnel does not (see
+    * [[graft.streaming.Streams.userFirstSeen]]); StreamingSpec drives
+    * both halves as real file streams and composes them. */
+  val streamRetention: Op = Op.sql("stream_retention",
+    """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |      FROM events)
+      |SELECT f.cohort, a.wk, count(DISTINCT a.user_id) AS n_active
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY f.cohort, a.wk
+      |ORDER BY f.cohort, a.wk""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events")
+    Streams.retentionRead(Streams.userFirstSeen(e), Streams.userWeeks(e))
+      .orderBy("cohort", "wk")
+  }
+
   val streamWindowAgg: Op = Op.sql("stream_window_agg",
     """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start,
       |       event_type, count(*) AS n_events,
@@ -266,5 +288,5 @@ object Streaming {
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
     streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
     streamDrift, streamIvfAssign, streamMinhashDedup, streamContamination,
-    streamQualityMonitor)
+    streamQualityMonitor, streamRetention)
 }

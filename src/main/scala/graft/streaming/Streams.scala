@@ -337,6 +337,38 @@ object Streams {
         count(when(col("keep"), 1)).as("n_keep"),
         count(when(!col("keep"), 1)).as("n_drop"))
 
+  /** Per-user first-seen timestamp — a streaming MIN aggregate. Min
+    * is arrival-order independent, which is what makes the retention
+    * pipeline exactly streamable under ANY arrival order (a
+    * sequence-sensitive metric like the strict funnel is not: its
+    * "first click AFTER the first view" depends on an aggregate the
+    * stream is still refining). State: one timestamp per user. */
+  def userFirstSeen(events: DataFrame): DataFrame =
+    events.groupBy("user_id").agg(min("ts").as("first_ts"))
+
+  /** Distinct (user, week) activity — a streaming keyed aggregate
+    * whose KEYS are the payload (the count is discarded at read
+    * time). State: one entry per user-week, bounded by users ×
+    * horizon weeks. */
+  def userWeeks(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .groupBy("user_id", "wk")
+      .agg(count(lit(1)).as("n"))
+
+  /** Read-time composition of the two maintained tables into the
+    * cohort-retention triangle (q55's split form — the multi-query
+    * composition pattern: each half streams incrementally, the cheap
+    * join+rollup runs over aggregate-sized tables at read time, like
+    * [[rankTopTypes]] over the windowed counts). */
+  def retentionRead(firstSeen: DataFrame, weeks: DataFrame): DataFrame =
+    weeks.select("user_id", "wk")
+      .join(firstSeen.select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort")),
+        Seq("user_id"))
+      .groupBy("cohort", "wk")
+      .agg(countDistinct("user_id").as("n_active"))
+
   def minhashBucketOwners(docsDf: DataFrame): DataFrame =
     graft.operators.Dedup.bandTable(docsDf)
       .groupBy(col("band_id").cast("bigint").as("band_id"), col("band_hash"))

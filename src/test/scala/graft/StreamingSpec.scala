@@ -481,6 +481,33 @@ class StreamingSpec extends SparkSuite {
       "degenerate gate: everything passed or everything dropped")
   }
 
+  test("stream_retention: two order-free streaming aggregates compose to the batch triangle") {
+    val e = graft.sources.Tables.load(spark, sfDir, "events")
+    val src = java.nio.file.Files.createTempDirectory("ret_stream").toString
+    // deliberately NOT time-ordered chunks: min/distinct are
+    // arrival-order free, so any interleaving must converge
+    Seq(col("event_id") % 3 === 0, col("event_id") % 3 === 1,
+        col("event_id") % 3 === 2).foreach { pred =>
+      e.filter(pred).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val q1 = Streams.runFileStream(spark, src, e, Streams.userFirstSeen, "ret_first")
+    val q2 = Streams.runFileStream(spark, src, e, Streams.userWeeks, "ret_weeks")
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val composed = Streams.retentionRead(
+        spark.table("ret_first"), spark.table("ret_weeks"))
+      .orderBy("cohort", "wk").collect()
+    val batch = SparkEntry.queries("stream_retention")(spark, sfDir).collect()
+    assert(composed.toSeq == batch.toSeq,
+      "streamed retention diverges from the batch form")
+    assert(composed.nonEmpty)
+    // and the split form IS the classic triangle
+    val q55 = SparkEntry.queries("q55_retention")(spark, sfDir).collect()
+    assert(composed.map(_.toString).toSeq == q55.map(_.toString).toSeq,
+      "split retention diverges from q55's fused form")
+  }
+
   test("stream_contamination: the ingest guard runs as a real stream against the static eval set") {
     val d = graft.sources.Tables.load(spark, sfDir, "documents")
     val evalSet = Streams.evalNgramSet(d)

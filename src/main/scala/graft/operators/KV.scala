@@ -172,6 +172,45 @@ object KV {
     * the read-back merge must equal the full-log merge — which is
     * exactly the DuckDB oracle. Built once per (dir, mtime) like the
     * ANN indexes; re-runs read the committed runs. */
+  /** Column families sharing ONE sequence space (RocksDB CFs; the
+    * reference's version_set has a single seq domain —
+    * storage_engine/src/manager/version_set.rs — which is exactly
+    * what makes cross-family snapshots consistent): the log's rows
+    * split into two families by a deterministic rule (seq parity —
+    * the stand-in for "which CF the write addressed"), each family
+    * is its OWN latest-wins LSM, and both are read at a SINGLE seq
+    * cut — one consistent point across families, the property RocksDB
+    * gets from the shared WAL/sequence and a per-CF memtable. Plan:
+    * one scan, the family tag is a per-row expression, and the merge
+    * window partitions by (cf, key) — same single-shuffle shape as
+    * the plain merge, the family just widens the partition key.
+    * KVSpec proves the consistency semantics on a hand fixture where
+    * an inconsistent (per-family) cut would read a different world. */
+  val kvCf: Op = Op.sql("kv_cf",
+    s"""WITH $kvCte,
+       |mx AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS cut FROM kv),
+       |fam AS (
+       |  SELECT CASE WHEN seq % 2 = 0 THEN 'default' ELSE 'meta' END AS cf,
+       |         key, seq, v, tombstone
+       |  FROM kv, mx WHERE seq <= cut)
+       |SELECT cf, key, seq, v FROM (
+       |  SELECT cf, key, seq, v, tombstone,
+       |         row_number() OVER (PARTITION BY cf, key ORDER BY seq DESC) AS rn
+       |  FROM fam) WHERE rn = 1 AND NOT tombstone
+       |ORDER BY cf, key""".stripMargin) { (s, dir) =>
+    val t = kv(s, dir)
+    val cut = cutSeq(t)
+    // each family is its own KVTable sharing the seq space — the
+    // merge stays the established max_by HASH aggregation (never the
+    // window-sort form; SURVEY §4.1), and both families snapshot at
+    // the SAME cut
+    def fam(name: String, parity: Int) =
+      t.copy(runs = t.runs.filter(col("seq") % 2 === parity))
+        .snapshot(cut)
+        .select(lit(name).as("cf"), col("key"), col("seq"), col("v"))
+    fam("default", 0).unionAll(fam("meta", 1)).orderBy("cf", "key")
+  }
+
   /** The three-batch ingest log for a dataset, built once per (dir,
     * mtime) — shared by kv_log_ingest (which reads it back) and
     * kv_checkpoint_restore (which checkpoints it). Tag = readable
@@ -420,5 +459,5 @@ object KV {
   val all: Seq[Op] = Seq(kvPointGet, kvRangeScan, kvCompact,
     kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest,
     kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
-    kvCheckpointRestore, kvSecondaryIndex)
+    kvCheckpointRestore, kvSecondaryIndex, kvCf)
 }

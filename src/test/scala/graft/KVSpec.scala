@@ -215,6 +215,44 @@ class KVSpec extends SparkSuite {
     assert(l0._1 > l0._2, "fixture degenerate: young level has no overwrites to reclaim later")
   }
 
+  test("column families: a single seq cut reads one consistent point across families") {
+    import spark.implicits._
+    // shared sequence space (the RocksDB property); family = parity.
+    // k1 lives in BOTH families: default updates it at seq 6, meta
+    // deletes it at seq 5 — the adversarial interleaving where
+    // per-family cuts could show an impossible world.
+    val runs = Seq(
+      (1L, 2L, false, 10.0), // default: k1 v10
+      (1L, 3L, false, 99.0), // meta:    k1 v99
+      (2L, 4L, false, 20.0), // default: k2 v20
+      (1L, 5L, true, 0.0),   // meta:    k1 deleted
+      (1L, 6L, false, 11.0), // default: k1 → v11
+      (2L, 7L, false, 88.0)  // meta:    k2 v88
+    ).toDF("key", "seq", "tombstone", "v")
+    val t = graft.kv.KVTable(runs, "key", "seq", "tombstone")
+    def famAt(parity: Int, cut: Long) =
+      t.copy(runs = runs.filter(col("seq") % 2 === parity)).snapshot(cut)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(famAt(0, 5) == Set((1L, 2L, 10.0), (2L, 4L, 20.0)))
+    assert(famAt(1, 5) == Set.empty[(Long, Long, Double)])
+    assert(famAt(0, 6) == Set((1L, 6L, 11.0), (2L, 4L, 20.0)))
+    assert(famAt(1, 7) == Set((2L, 7L, 88.0)))
+    // the impossible world a shared cut rules out: default showing the
+    // seq-6 update of k1 while meta still shows k1 alive (pre-delete).
+    // No single cut exposes it — that is what "consistent across
+    // families" means and why CFs share the seq domain.
+    (0L to 8L).foreach { cut =>
+      val inconsistent = famAt(0, cut).exists(r => r._1 == 1L && r._2 == 6L) &&
+        famAt(1, cut).exists(_._1 == 1L)
+      assert(!inconsistent, s"cut=$cut exposed an inconsistent cross-family read")
+    }
+    // and the op itself runs green on the derived log
+    val rows = SparkEntry.queries("kv_cf")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cfs = rows.map(_.getString(0)).toSet
+    assert(cfs == Set("default", "meta"))
+  }
+
   test("secondary index: value predicate is pushed to the index scan and answers match the primary") {
     val op = graft.operators.KV.kvSecondaryIndex.run(spark, sfDir)
     // the whole point of the sorted materialization: the range

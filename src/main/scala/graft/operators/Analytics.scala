@@ -728,18 +728,37 @@ object Analytics {
       |nodes AS (
       |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
       |SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+    orientedTriangles(derivedGraph(s, dir))
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node")
+  }
+
+  /** The lineitem-derived undirected graph shared by the graph ops:
+    * distinct (u < v) edges. */
+  private[graft] def derivedGraph(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables.load(s, dir, "lineitem")
       .filter(col("l_quantity") < 10)
       .select((col("l_orderkey") % 300).as("a"), (col("l_suppkey") % 300).as("b"))
       .filter(col("a") =!= col("b"))
-    val e = raw.select(least(col("a"), col("b")).as("u"),
+    raw.select(least(col("a"), col("b")).as("u"),
       greatest(col("a"), col("b")).as("v")).distinct()
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+  }
+
+  /** Per-node degrees of the (u < v) edge relation — graph-sized,
+    * pinned to a keyed shuffle (never a driver hashed relation). */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-      // graph-sized side: keyed shuffle, never broadcast — the degree
-      // table and edge list are O(graph) and cannot live on the
-      // driver at 100 TB (same argument as the banded dedup joins)
       .hint("shuffle_hash")
+
+  /** Exact triangle enumeration `(ta, tb, tc)` via the degree-ordered
+    * "compact-forward" orientation — each triangle exactly once,
+    * wedge volume O(m^1.5) worst-case (see [[q70Triangles]]'s scale
+    * notes). Shared by the triangle counter and the per-edge
+    * neighbor-similarity op. */
+  private[graft] def orientedTriangles(e: DataFrame): DataFrame = {
+    val deg = degrees(e)
     // orientation key: (deg, node) packed into one long (node < 300
     // « the 1e6 multiplier, so the packing is order-preserving)
     def key(d: Column, n: Column) = d * 1000000L + n
@@ -759,9 +778,69 @@ object Analytics {
       .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
     wedges
       .join(orH.as("e3"), col("tb") === col("e3.src") && col("tc") === col("e3.dst"))
-      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-      .orderBy("node")
+      .select("ta", "tb", "tc")
+  }
+
+  /** Per-EDGE neighbor-set Jaccard similarity (round 9 — the local
+    * sparsification / tie-strength metric of Satuluri et al. 2011
+    * and neo4j's node-similarity restricted to edges; the link-weight
+    * a dedup pipeline uses to rank which near-dup edges to trust):
+    * for an edge (u, v), common = |N(u) ∩ N(v)| is exactly the
+    * number of triangles through the edge, so the ORIENTED triangle
+    * enumeration (each triangle once, O(m^1.5) wedges) yields every
+    * common-neighbor count by exploding each triangle into its three
+    * edges — the edge restriction is what keeps the metric exact AND
+    * subquadratic (all-PAIRS neighbor Jaccard is hub-quadratic by
+    * nature; production systems cap neighbor lists to approximate it,
+    * while the edge-wise form needs no cap). jaccard = c/(du+dv−c)
+    * over open neighborhoods — exact integers into ONE IEEE
+    * division. Edges on no triangle emit with c = 0 (the weakest
+    * ties — sparsification drops them first). */
+  val graphEdgeSimilarity: Op = Op.sql("graph_edge_similarity",
+    """WITH raw AS (
+      |  SELECT l_orderkey % 300 AS a, l_suppkey % 300 AS b
+      |  FROM lineitem WHERE l_quantity < 10),
+      |e AS (
+      |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+      |deg AS (
+      |  SELECT n, count(*) AS d FROM (
+      |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      |tri AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |te AS (
+      |  SELECT least(x, y) AS u, greatest(x, y) AS v FROM tri
+      |  UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+      |  UNION ALL SELECT least(y, z), greatest(y, z) FROM tri),
+      |c AS (SELECT u, v, count(*) AS common FROM te GROUP BY u, v)
+      |SELECT e.u AS u, e.v AS v, coalesce(c.common, 0) AS common,
+      |  du.d AS deg_u, dv.d AS deg_v,
+      |  CAST(coalesce(c.common, 0) AS DOUBLE)
+      |    / (du.d + dv.d - coalesce(c.common, 0)) AS jaccard
+      |FROM e
+      |JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+      |LEFT JOIN c ON c.u = e.u AND c.v = e.v
+      |ORDER BY e.u, e.v""".stripMargin) { (s, dir) =>
+    val e = derivedGraph(s, dir)
+    val tri = orientedTriangles(e)
+    val te = tri.select(least(col("ta"), col("tb")).as("u"),
+        greatest(col("ta"), col("tb")).as("v"))
+      .unionAll(tri.select(least(col("ta"), col("tc")).as("u"),
+        greatest(col("ta"), col("tc")).as("v")))
+      .unionAll(tri.select(least(col("tb"), col("tc")).as("u"),
+        greatest(col("tb"), col("tc")).as("v")))
+    val c = te.groupBy("u", "v").agg(count(lit(1)).as("common"))
+      .hint("shuffle_hash")
+    val deg = degrees(e)
+    val common = coalesce(col("common"), lit(0L))
+    e.join(deg.select(col("n").as("u"), col("d").as("deg_u")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("deg_v")), Seq("v"))
+      .join(c, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), common.as("common"),
+        col("deg_u"), col("deg_v"),
+        (common.cast("double") / (col("deg_u") + col("deg_v") - common))
+          .as("jaccard"))
+      .orderBy("u", "v")
   }
 
   /** ROBUST outlier detection via exact MAD (median absolute
@@ -1421,5 +1500,5 @@ object Analytics {
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
-    statsDrift, graphComponents, statsKs, statsChisq)
+    statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity)
 }

@@ -526,6 +526,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(ks >= 0.0 && ks <= 1.0)
   }
 
+  test("edge similarity equals an adjacency-set recompute; pendant edges score zero") {
+    val rows = Analytics.graphEdgeSimilarity.run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    assert(rows.nonEmpty)
+    // independent adjacency-set recompute over the same derived graph
+    val edges = Analytics.derivedGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    rows.foreach { case ((u, v), (common, du, dv, jacc)) =>
+      val wantCommon = (adj(u) & adj(v)).size.toLong
+      assert(common == wantCommon, s"($u,$v): common $common vs $wantCommon")
+      assert(du == adj(u).size && dv == adj(v).size)
+      assert(jacc == wantCommon.toDouble / (du + dv - wantCommon))
+    }
+    // every edge of the graph is scored exactly once
+    assert(rows.map(_._1).toSet == edges.toSet && rows.length == edges.length)
+    // the fixture must exercise both regimes
+    assert(rows.exists(_._2._1 == 0), "no pendant (zero-common) edge in fixture")
+    assert(rows.exists(_._2._1 > 0), "no embedded (triangle) edge in fixture")
+  }
+
   test("chi-square cells match a driver recompute; df and the statistic are consistent") {
     val cells = Analytics.statsChisq.run(spark, sfDir).collect()
     // independent contingency recompute from raw events

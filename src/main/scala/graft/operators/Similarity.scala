@@ -920,22 +920,26 @@ object Similarity {
     * single double on the driver. */
   def sq8InvFor(s: SparkSession, dir: String): Double = {
     val key = (dir, new java.io.File(s"$dir/embeddings.parquet").lastModified())
-    sq8Cache.computeIfAbsent(key, _ => {
-      val maxAbs = unitNorm(emb(s, dir))
-        .agg(max(aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x)))))
-        .head().getDouble(0)
-      // an all-zero corpus would make the scale infinite and every
-      // code 0 — fail loudly instead of serving degenerate rankings
-      require(maxAbs > 0.0, s"SQ8 scale undefined: corpus max|nv| = $maxAbs")
-      127.0 / maxAbs
-    })
+    sq8Cache.computeIfAbsent(key, _ => sq8Inv(unitNorm(emb(s, dir))))
+  }
+
+  /** The SQ8 scale over an arbitrary unit-normed `(vec_id, v)` frame
+    * — factored for AnnSpec's random-vector property test. */
+  private[graft] def sq8Inv(un: DataFrame): Double = {
+    val maxAbs = un
+      .agg(max(aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x)))))
+      .head().getDouble(0)
+    // an all-zero corpus would make the scale infinite and every
+    // code 0 — fail loudly instead of serving degenerate rankings
+    require(maxAbs > 0.0, s"SQ8 scale undefined: corpus max|nv| = $maxAbs")
+    127.0 / maxAbs
   }
 
   /** Symmetric per-tensor int8 codes of a unit-normed vector column
     * (the standard GEMM-style quantization: one scale for the whole
     * tensor, codes in [-127, 127]). Elements are kept LONG so the
     * integer dot product accumulates without overflow anywhere. */
-  private def sq8Codes(nv: Column, inv: Double): Column =
+  private[graft] def sq8Codes(nv: Column, inv: Double): Column =
     transform(nv, x =>
       least(greatest(floor(x * inv + 0.5).cast("int"), lit(-127)), lit(127))
         .cast("long"))
@@ -1028,10 +1032,7 @@ object Similarity {
        |  WHERE rn <= ${TopK * SqShortlist})""".stripMargin +
       rerankSql("short")) { (s, dir) =>
     val e = emb(s, dir)
-    val sig = expr(
-      s"aggregate(zip_with(v, sequence(0, ${Dim - 1}), " +
-        "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (acc, y) -> acc + y)")
-    val sigs = e.select(col("vec_id"), sig.as("sig"))
+    val sigs = e.select(col("vec_id"), binarySigExpr.as("sig"))
     val shortlist = sigs.as("c")
       .join(broadcast(sigs.filter(col("vec_id") < NumQueries).as("q")),
         col("q.vec_id") =!= col("c.vec_id"))
@@ -1043,6 +1044,12 @@ object Similarity {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id"))
     rerank(shortlist, e).orderBy("query_id", "neighbor_id")
   }
+
+  /** The 64-bit sign signature of column `v` — bit d set iff
+    * v[d] > 0. Factored for AnnSpec's property test. */
+  private[graft] def binarySigExpr: Column = expr(
+    s"aggregate(zip_with(v, sequence(0, ${Dim - 1}), " +
+      "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (acc, y) -> acc + y)")
 
   /** Exact-cosine re-rank of a `(query_id, vec_id)` shortlist against
     * the full-precision corpus — the Spark mirror of [[rerankSql]],

@@ -197,6 +197,47 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("quantization property: random vectors replay the codes/signatures driver-side, bit for bit") {
+    import spark.implicits._
+    // the property every quantized oracle rests on: unit-norm, SQ8
+    // codes and sign signatures computed by the in-plan expressions
+    // are bit-identical to a sequential driver recompute with the
+    // same fold order
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian() * 0.3)))
+    val df = vecs.toDF("vec_id", "v")
+    val un = Similarity.unitNorm(df)
+    val inv = Similarity.sq8Inv(un)
+    val viaPlan = un
+      .select(col("vec_id"), Similarity.sq8Codes(col("v"), inv).as("c"),
+        col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](2)))
+      .sortBy(_._1)
+    val sigPlan = df.select(col("vec_id"), Similarity.binarySigExpr.as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    vecs.foreach { case (id, v) =>
+      // unit-norm: the kernel's left-to-right fold order
+      val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      val nv = v.map(_ / n)
+      val (_, planCodes, planNv) = viaPlan(id.toInt)
+      assert(planNv == nv, s"vec $id: unit-norm diverged")
+      val codes = nv.map(x =>
+        math.min(127L, math.max(-127L, math.floor(x * inv + 0.5).toLong)))
+      assert(planCodes == codes, s"vec $id: SQ8 codes diverged")
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // sign signature: bit d iff v(d) > 0
+      val sig = v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x > 0) acc + (1L << i) else acc
+      }
+      assert(sigPlan(id) == sig, s"vec $id: sign signature diverged")
+    }
+    // integer code dots are exact and symmetric
+    val c0 = viaPlan(0)._2; val c1 = viaPlan(1)._2
+    val dot01 = c0.zip(c1).map { case (a, b) => a * b }.sum
+    assert(dot01 == c1.zip(c0).map { case (a, b) => a * b }.sum)
+  }
+
   test("PQ codes are the compressed representation: M small ints per vector") {
     val cb = Similarity.pqTrain(Similarity.unitNorm(emb))
     import org.apache.spark.sql.functions.{call_function, lit, typedLit}

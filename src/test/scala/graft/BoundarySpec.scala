@@ -69,4 +69,32 @@ class BoundarySpec extends SparkSuite {
     assert(out.columns.toSet == Set("grp", "id", "rank", "n"))
     assert(out.isEmpty)
   }
+
+  test("doc containment on an empty corpus is empty; an all-short corpus reports NULLs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.docContainment(empty).isEmpty)
+    // every doc below one window: reported, containment NULL, never dropped
+    val short = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.docContainment(short).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getLong(1) == 0 && r.isNullAt(3) && !r.getBoolean(4)))
+  }
+
+  test("nearest as-of with an empty right side keeps every left row unmatched") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 200L, 20L)).toDF("user_id", "ts_us", "event_id")
+    val right = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts_us", "event_id")
+    val got = graft.operators.RangeJoin
+      .asofNearest(left, right, "user_id", "event_id", "event_id")
+      .collect().map(r => (r.getLong(1), r.isNullAt(3), r.isNullAt(4))).toSet
+    assert(got == Set((10L, true, true), (20L, true, true)))
+  }
+
+  test("checkpointing an empty log fails loudly instead of publishing an empty manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_ckpt").toString
+    val log = graft.kv.KVLog(dir + "/log", "key", "seq", "tombstone")
+    intercept[IllegalArgumentException] { log.checkpointTo(dir + "/ckpt") }
+    assert(!new java.io.File(dir + "/ckpt").exists())
+  }
 }

@@ -440,6 +440,36 @@ object Analytics {
     * buckets take the remainder) and percent_rank/cume_dist are exact
     * small-integer IEEE divisions, so doubles hash-match. One shuffle
     * on o_custkey shared by both windows. */
+  /** Running DISTINCT count over a window (round 9 — the one common
+    * window-aggregate shape Spark has no native support for:
+    * `count(DISTINCT) OVER` is rejected by the analyzer): per user,
+    * the number of distinct event types seen so far, in (ts, id)
+    * order — the "behavioral breadth" feature session scoring uses.
+    * Spark-first rewrite: `size(collect_set(x))` over the running
+    * frame — collect_set's dedup inside the frame IS the distinct,
+    * and the per-frame set is bounded by |event types| (a bounded
+    * domain is the contract that makes windowed distinct sane at
+    * scale; an unbounded-domain running distinct wants the
+    * dense_rank-max rewrite or a sketch instead — both of which this
+    * library also ships). One user-keyed shuffle; DuckDB runs the
+    * native DISTINCT window aggregate as the oracle. */
+  val q78WindowDistinct: Op = Op.sql("q78_window_distinct",
+    """SELECT user_id, event_id,
+      |  count(DISTINCT event_type) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING)
+      |    AS n_types_so_far
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        size(collect_set(col("event_type")).over(w)).cast("bigint")
+          .as("n_types_so_far"))
+      .orderBy("user_id", "event_id")
+  }
+
   val q60RankingSuite: Op = Op.sql("q60_ranking_suite",
     """SELECT o_custkey, o_orderkey,
       |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drk,
@@ -1500,5 +1530,6 @@ object Analytics {
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
-    statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity)
+    statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
+    q78WindowDistinct)
 }

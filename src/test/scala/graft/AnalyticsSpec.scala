@@ -526,6 +526,26 @@ class AnalyticsSpec extends SparkSuite {
     assert(ks >= 0.0 && ks <= 1.0)
   }
 
+  test("running windowed distinct equals a sequential per-user scan") {
+    val got = Analytics.q78WindowDistinct.run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      var seen = Set.empty[String]
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, _, eid, ty) =>
+        seen += ty
+        assert(got((uid, eid)) == seen.size.toLong, s"user $uid event $eid")
+      }
+    }
+    assert(got.nonEmpty)
+    // the feature must actually grow somewhere (non-degenerate corpus)
+    assert(got.values.exists(_ > 1))
+  }
+
   test("edge similarity equals an adjacency-set recompute; pendant edges score zero") {
     val rows = Analytics.graphEdgeSimilarity.run(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),

@@ -222,6 +222,7 @@ class SqlParitySpec extends SparkSuite {
     "text_inverted_index" -> "string_split_regex() + list_filter lambda + // division + list(x ORDER BY)",
     "text_rake" -> "string_split_regex() + unnest(range()) + list_reduce lambda",
     "q77_asof_nearest" -> "epoch_us() + IGNORE NULLS argument placement",
+    "q78_window_distinct" -> "epoch_us() + DISTINCT window aggregate (Spark analyzer rejects)",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

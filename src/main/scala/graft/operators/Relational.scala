@@ -459,6 +459,43 @@ object Relational {
     ManagedTables.read(s, "graft_m1").orderBy("o_orderkey")
   }
 
+  /** UPDATE statement over the managed warehouse (round 9 — the DML
+    * face q46's MERGE/DELETE left out; reference analog: the binder's
+    * update path desugars to exactly this conditional rewrite):
+    * copy-on-write staged swap like every ManagedTables mutation, SET
+    * expressions evaluate against the PRE-update row and cast back to
+    * the stored column type so the schema cannot drift, NULL-predicate
+    * rows stay untouched. The oracle recomputes the same CASE algebra
+    * off the source parquet, so a rewrite that dropped, duplicated or
+    * double-applied rows hash-mismatches; ManagedTablesSpec pins the
+    * swap semantics (`SET a = b, b = a`) and the unknown-column
+    * rejection. Decimal-exact arithmetic until the final double cast. */
+  val q79Update: Op = Op.sql("q79_update",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price, o_orderpriority
+      |  FROM orders WHERE o_orderkey < 2000)
+      |SELECT o_orderkey, o_orderstatus,
+      |  CAST(CASE WHEN o_orderstatus = 'O' THEN price + 5.50 ELSE price END
+      |       AS DOUBLE) AS price,
+      |  CASE WHEN o_orderstatus = 'O' THEN 'X-UPDATED'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |FROM base ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val base = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        col("o_orderpriority"))
+    ManagedTables.drop("graft_u1")
+    ManagedTables.create(s, "graft_u1", base.schema)
+    ManagedTables.insert(s, "graft_u1", base)
+    ManagedTables.update(s, "graft_u1", col("o_orderstatus") === "O",
+      Seq("price" -> (col("price") + lit(BigDecimal("5.50"))),
+        "o_orderpriority" -> lit("X-UPDATED")))
+    ManagedTables.read(s, "graft_u1")
+      .withColumn("price", col("price").cast("double"))
+      .orderBy("o_orderkey")
+  }
+
   /** TIME TRAVEL (AS OF version) over the versioned warehouse
     * ([[graft.sources.VersionedTables]]): publish v0, publish a
     * price-bumped v1, then aggregate BOTH versions from their pinned
@@ -900,5 +937,5 @@ object Relational {
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
     q33SkewSaltedJoin, q36JsonExtract, q37Rollup, q38IntegrityAudit,
     q39Histogram, q46MergeUpsert, q63TimeTravel, q68SnapshotDiff, q51SaltedAgg,
-    q52ReadJsonl, q53OrcRoundtrip, q76LateralTopn)
+    q52ReadJsonl, q53OrcRoundtrip, q76LateralTopn, q79Update)
 }

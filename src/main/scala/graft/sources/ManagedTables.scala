@@ -108,6 +108,32 @@ object ManagedTables {
     rewrite(spark, name, stored.filter(!coalesce(predicate, lit(false))), wh)
   }
 
+  /** UPDATE name SET col = expr, ... WHERE predicate: copy-on-write
+    * conditional rewrite. NULL predicate rows are left unchanged (SQL
+    * UPDATE touches only rows where the predicate is TRUE), and every
+    * SET expression evaluates against the PRE-update row (standard
+    * UPDATE semantics — `SET a = b, b = a` swaps). Set columns must
+    * exist; assignment casts to the stored column's type so the table
+    * schema can never drift under updates. */
+  def update(spark: SparkSession, name: String,
+             predicate: org.apache.spark.sql.Column,
+             sets: Seq[(String, org.apache.spark.sql.Column)],
+             wh: String = defaultWarehouse): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val stored = read(spark, name, wh)
+    val bad = sets.map(_._1).filterNot(stored.columns.contains)
+    require(bad.isEmpty, s"UPDATE '$name': unknown column(s) ${bad.mkString(",")}")
+    val setMap = sets.toMap
+    val hit = coalesce(predicate, lit(false))
+    val next = stored.select(stored.schema.fields.map { f =>
+      setMap.get(f.name) match {
+        case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+    rewrite(spark, name, next, wh)
+  }
+
   /** Copy-on-write rewrite: materialize to a staging dir first, then
     * swap (the object-store analog is write-new-prefix + pointer
     * flip). The old directory is renamed ASIDE before staging renames

@@ -171,4 +171,34 @@ class ManagedTablesSpec extends SparkSuite {
     val back = ManagedTables.read(spark, "t_dup", wh).collect()
     assert(back.length == 1 && back.head.getString(1) == "a")
   }
+
+  test("update: SET reads the pre-update row (swap works), NULL predicate skips, unknown column rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("a", LongType), StructField("b", LongType)))
+    ManagedTables.drop("t_upd", wh)
+    ManagedTables.create(spark, "t_upd", sch, wh)
+    ManagedTables.insert(spark, "t_upd",
+      Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("k", "a", "b"), wh)
+    // SET a = b, b = a must SWAP (both expressions see the old row)
+    ManagedTables.update(spark, "t_upd", col("k") === 1,
+      Seq("a" -> col("b"), "b" -> col("a")), wh)
+    val rows = ManagedTables.read(spark, "t_upd", wh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 20L, 10L), (2L, 30L, 40L)))
+    // a NULL predicate row is untouched (SQL UPDATE hits TRUE only)
+    ManagedTables.update(spark, "t_upd",
+      org.apache.spark.sql.functions.when(col("k") === 1, lit(true)),
+      Seq("a" -> lit(99L)), wh)
+    val rows2 = ManagedTables.read(spark, "t_upd", wh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows2.toSeq == Seq((1L, 99L), (2L, 30L)),
+      "NULL-predicate row was modified")
+    // unknown SET column fails before any write
+    intercept[IllegalArgumentException] {
+      ManagedTables.update(spark, "t_upd", lit(true), Seq("nope" -> lit(1L)), wh)
+    }
+    ManagedTables.drop("t_upd", wh)
+  }
 }

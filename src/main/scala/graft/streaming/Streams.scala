@@ -363,8 +363,15 @@ object Streams {
     * [[rankTopTypes]] over the windowed counts). */
   def retentionRead(firstSeen: DataFrame, weeks: DataFrame): DataFrame =
     weeks.select("user_id", "wk")
+      // BOTH sides are |users|-proportional aggregate outputs — at
+      // test SF either would fit a driver hashed relation, at 10 B
+      // users neither can (SURVEY §4.3's trap class). The pin keeps
+      // the keyed join; both inputs already hash-partition on
+      // user_id from their aggregates, so the shuffle reuses that
+      // partitioning where a broadcast would ADD a driver build.
       .join(firstSeen.select(col("user_id"),
-        date_trunc("week", col("first_ts")).cast("date").as("cohort")),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort"))
+        .hint("shuffle_hash"),
         Seq("user_id"))
       .groupBy("cohort", "wk")
       .agg(countDistinct("user_id").as("n_active"))

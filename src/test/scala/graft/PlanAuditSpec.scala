@@ -447,6 +447,14 @@ class PlanAuditSpec extends SparkSuite {
       s"seen-hash verify join must stay a keyed shuffle (corpus-sized side):\n$p")
   }
 
+  test("retention read joins two user-sized aggregates keyed, never broadcast") {
+    // both join inputs are |users|-proportional aggregate outputs; a
+    // broadcast here is the test-SF mirage that OOMs at 10 B users
+    val p = plan("stream_retention")
+    assert(p.contains("ShuffledHashJoin"),
+      s"user-keyed retention join is not a shuffled hash join:\n$p")
+  }
+
   test("quantized ANN: code scan ranks with partial top-k, queries broadcast") {
     // the two-stage shape that survives 10 B vectors: the corpus is
     // scanned once against broadcast query codes, and the shortlist

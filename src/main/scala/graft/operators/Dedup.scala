@@ -1022,7 +1022,11 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"), count(col("hit")).as("n_shared"))
     val ratio = col("n_shared").cast("double") / col("n_windows")
-    corpus.select("doc_id").join(agg, Seq("doc_id"), "left")
+    // the per-doc aggregate is CORPUS-sized — at test SF it fits a
+    // driver hashed relation and the planner broadcasts it (caught in
+    // the round-9 sf0.1 plan sweep; SURVEY §4.3's class) — pin the
+    // keyed join
+    corpus.select("doc_id").join(agg.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),

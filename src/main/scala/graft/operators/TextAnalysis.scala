@@ -858,7 +858,12 @@ object TextAnalysis {
           sort_array(collect_list(struct(col("p"), col("tok")))),
           x => x.getField("tok"))).as("phrase"),
         count(lit(1)).as("plen"))
-    val ws = pt.join(ph.select("doc_id", "grp", "plen"), Seq("doc_id", "grp"))
+    // phrase-level tables are CORPUS-proportional — pin the keyed
+    // joins (caught broadcasting at the round-9 sf0.1 plan sweep;
+    // SURVEY §4.3's class). Only the |vocab|-row word-score table
+    // broadcasts, deliberately.
+    val ws = pt.join(ph.select("doc_id", "grp", "plen").hint("shuffle_hash"),
+        Seq("doc_id", "grp"))
       .groupBy("tok")
       .agg(count(lit(1)).as("freq"), sum("plen").cast("long").as("deg"))
       .select(col("tok"), (col("deg").cast("double") / col("freq")).as("wscore"))
@@ -868,7 +873,7 @@ object TextAnalysis {
         transform(sort_array(collect_list(struct(col("p"), col("wscore")))),
           x => x.getField("wscore")),
         lit(0.0), (acc, x) => acc + x).as("score"))
-    ph.join(sc, Seq("doc_id", "grp"))
+    ph.join(sc.hint("shuffle_hash"), Seq("doc_id", "grp"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("phrase"))))
       .filter(col("rnk") <= 3)

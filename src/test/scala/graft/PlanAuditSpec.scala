@@ -437,6 +437,12 @@ class PlanAuditSpec extends SparkSuite {
       s"dup-hash hit join is not a shuffled hash join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment degenerated to an unkeyed join:\n$p")
+    // EVERY side of this op is corpus-proportional (windows, dup
+    // hashes, per-doc aggregates) — nothing may broadcast (the final
+    // verdict join was caught broadcasting the per-doc aggregate in
+    // the round-9 sf0.1 sweep)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"containment broadcasts a corpus-sized side:\n$p")
   }
 
   test("bloom prefilter: the probe is in-plan codegen, the verify join stays keyed") {
@@ -445,6 +451,15 @@ class PlanAuditSpec extends SparkSuite {
       s"bloom probe expression missing — the pre-filter is not in the plan:\n$p")
     assert(p.contains("ShuffledHashJoin"),
       s"seen-hash verify join must stay a keyed shuffle (corpus-sized side):\n$p")
+  }
+
+  test("RAKE broadcasts only the vocab word scores; phrase tables join keyed") {
+    val p = plan("text_rake")
+    val nBroadcast = "\\(\\d+\\) BroadcastExchange".r.findAllIn(p).length
+    assert(nBroadcast == 1,
+      s"rake must broadcast exactly the |vocab| word-score table, found $nBroadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"phrase-level joins must stay keyed shuffles:\n$p")
   }
 
   test("retention read joins two user-sized aggregates keyed, never broadcast") {

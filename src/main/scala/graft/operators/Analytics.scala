@@ -1093,6 +1093,55 @@ object Analytics {
     * both engines (every IEEE op correctly rounded to the same bits),
     * and the six pair rows are exploded from the moments row — no
     * second scan, no join. At 100 TB: scan + 1-row exchange. */
+  /** Grouped simple OLS regression (round 9 — stats_corr's
+    * prediction-side sibling: corr answers "are they related", the
+    * regression answers "by how much per unit"): per l_returnflag,
+    * regress extendedprice on quantity — slope, intercept and R² from
+    * the SAME moments-first shape as stats_corr (n, Σx, Σy, Σxy, Σx²,
+    * Σy² as exact DECIMAL sums reduced map-side-partial; all float
+    * math AFTER the reduction, identical IEEE tree both engines, so
+    * the oracle hash-compares). ONE fact scan, the exchange carries
+    * |groups| rows. R² = corr² for simple OLS — computed through the
+    * same expression both engines. */
+  val statsLinreg: Op = Op.sql("stats_linreg",
+    """WITH e AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(l_quantity AS DECIMAL(12,2)) AS x,
+      |         CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, count(*) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x*y) AS DOUBLE) AS sxy,
+      |    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy
+      |  FROM e GROUP BY flag)
+      |SELECT flag, n,
+      |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+      |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept,
+      |  round(((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))
+      |    * ((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))), 6) AS r2
+      |FROM m ORDER BY flag""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("decimal(12,2)").as("x"),
+      col("l_extendedprice").cast("decimal(12,2)").as("y"))
+    val m = e.groupBy("flag").agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val corr = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+        sqrt(col("n") * col("syy") - col("sy") * col("sy")))
+    m.select(col("flag"), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+        round(corr * corr, 6).as("r2"))
+      .orderBy("flag")
+  }
+
   val statsCorr: Op = Op.sql("stats_corr",
     """WITH e AS (
       |  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS q,
@@ -1531,5 +1580,5 @@ object Analytics {
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
-    q78WindowDistinct)
+    q78WindowDistinct, statsLinreg)
 }

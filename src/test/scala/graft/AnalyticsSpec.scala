@@ -526,6 +526,45 @@ class AnalyticsSpec extends SparkSuite {
     assert(ks >= 0.0 && ks <= 1.0)
   }
 
+  test("grouped OLS: exact-moment driver recompute matches bit-for-bit, R2 agrees with builtin corr") {
+    val rows = Analytics.statsLinreg.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val data = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(12,2)"),
+        col("l_extendedprice").cast("decimal(12,2)"))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2))))
+    data.groupBy(_._1).foreach { case (flag, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum.toDouble; val sy = xs.map(_._3).sum.toDouble
+      val sxy = xs.map(t => t._2 * t._3).sum.toDouble
+      val sxx = xs.map(t => t._2 * t._2).sum.toDouble
+      val syy = xs.map(t => t._3 * t._3).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val corr = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val (gn, gs, gi, gr) = rows(flag)
+      // Spark round() is HALF_UP — mirror it exactly
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gn == n)
+      assert(gs == r6(slope), s"$flag slope")
+      assert(gi == r6((sy - slope * sx) / n), s"$flag intercept")
+      assert(gr == r6(corr * corr), s"$flag r2")
+      assert(gr >= 0.0 && gr <= 1.0)
+    }
+    // R2 agrees with Spark's builtin corr within the rounding grain
+    val builtin = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (flag, (_, _, _, r2)) =>
+      val c = builtin(flag)
+      assert(math.abs(r2 - c * c) <= 2e-6, s"$flag: r2 $r2 vs builtin ${c * c}")
+    }
+  }
+
   test("running windowed distinct equals a sequential per-user scan") {
     val got = Analytics.q78WindowDistinct.run(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

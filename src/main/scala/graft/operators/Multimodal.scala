@@ -570,6 +570,103 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** One selected keyframe of a video. */
+  final case class Keyframe(doc_id: Long, scene_no: Int, frame_no: Int,
+                            n_scenes: Int, mean_intensity: Double)
+
+  /** Scene-aware KEYFRAME selection (round 9 — the stage
+    * [[sceneDetect]]'s scaladoc promises sampling should become:
+    * one representative frame per SCENE instead of one per N): scene
+    * boundaries are the MAD transitions above the keyframe threshold
+    * (set below the hard-cut bar — soft cuts are what sampling wants;
+    * calibrated so the corpus genuinely splits: 22/200 transitions
+    * trip at 30.0), the keyframe is each scene's FIRST frame, and
+    * feature extraction (mean intensity) runs on selected frames
+    * only — the decode-once/extract-few shape a video featurizer
+    * runs at scale. Pure in-partition codec work; one scalar row per
+    * scene leaves the row. */
+  def keyframes(media: DataFrame, threshold: Double): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "mime", "width", "height", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.filter(_.mime == VideoMime).flatMap { r =>
+          val frames = Ppm.decodeSeq(r.payload).map(Ppm.decode)
+          val cuts = frames.sliding(2).map { pair =>
+            val (a, b) = (pair.head, pair(1))
+            var sum = 0L
+            var j = 0
+            while (j < a.pixels.length) {
+              sum += math.abs((a.pixels(j) & 0xff) - (b.pixels(j) & 0xff))
+              j += 1
+            }
+            sum.toDouble / a.pixels.length > threshold
+          }.toSeq
+          val kfIdx = 0 +: cuts.zipWithIndex.collect { case (true, i) => i + 1 }
+          kfIdx.zipWithIndex.map { case (f, sNo) =>
+            Keyframe(r.doc_id, sNo, f, kfIdx.length, Ppm.meanIntensity(frames(f)))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Oracle: composes the scene-detect closed form (cut predicate per
+    * transition) with the frame-sample closed form (per-frame
+    * intensity via the shifted cyclic-window sum), both established
+    * in round 7 — a keyframe is frame 0 plus every frame following a
+    * tripped transition. */
+  val mmVideoKeyframe: Op = Op.sql("mm_video_keyframe",
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(n_chars % 64 + 1 AS INT) AS w, CAST(n_chars % 48 + 1 AS INT) AS h,
+      |    CAST(length(text) AS BIGINT) AS L
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |g AS (
+      |  SELECT d.doc_id, t.j,
+      |    abs((ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) % 256)
+      |      - (ascii(substr(d.text, CAST((t.j + 7) % d.L + 1 AS INT), 1)) % 256)) AS gv
+      |  FROM d, unnest(range(d.L)) AS t(j)),
+      |ms AS (
+      |  SELECT doc_id, L, CAST(w AS BIGINT) * h * 3 AS N, s.s AS step
+      |  FROM d, unnest(range(2)) AS s(s)),
+      |cut AS (
+      |  SELECT ms.doc_id, ms.step,
+      |    CAST((ms.N // ms.L) * sum(g.gv)
+      |      + sum(CASE WHEN ((g.j - 7 * ms.step) % ms.L + ms.L) % ms.L < ms.N % ms.L
+      |            THEN g.gv ELSE 0 END) AS DOUBLE) / ms.N > 30.0 AS is_cut
+      |  FROM ms JOIN g USING (doc_id)
+      |  GROUP BY ms.doc_id, ms.step, ms.N, ms.L),
+      |kf AS (
+      |  SELECT doc_id, 0 AS fno FROM d
+      |  UNION ALL SELECT doc_id, step + 1 FROM cut WHERE is_cut),
+      |kn AS (
+      |  SELECT doc_id, fno,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY fno) - 1 AS scene_no,
+      |    count(*) OVER (PARTITION BY doc_id) AS n_scenes
+      |  FROM kf),
+      |m AS (
+      |  SELECT kn.doc_id, kn.fno, kn.scene_no, kn.n_scenes, d.L,
+      |    CAST(d.w AS BIGINT) * d.h * 3 AS N
+      |  FROM kn JOIN d USING (doc_id)),
+      |s AS (
+      |  SELECT m.doc_id, m.scene_no, m.fno, m.n_scenes, m.N,
+      |    (m.N // m.L) * sum((ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) % 256))
+      |      + sum(CASE WHEN ((t.j - 7 * m.fno) % m.L + m.L) % m.L < m.N % m.L
+      |            THEN (ascii(substr(d.text, CAST(t.j + 1 AS INT), 1)) % 256) ELSE 0 END) AS tot
+      |  FROM m JOIN d USING (doc_id), unnest(range(m.L)) AS t(j)
+      |  GROUP BY m.doc_id, m.scene_no, m.fno, m.n_scenes, m.N, m.L),
+      |r AS (
+      |  SELECT *, floor((CAST(tot AS DOUBLE) / N) * 10000) AS fl,
+      |    (CAST(tot AS DOUBLE) / N) * 10000
+      |      - floor((CAST(tot AS DOUBLE) / N) * 10000) AS dd FROM s)
+      |SELECT doc_id, CAST(scene_no AS INT) AS scene_no, CAST(fno AS INT) AS frame_no,
+      |  CAST(n_scenes AS INT) AS n_scenes,
+      |  (fl + CASE WHEN dd > 0.5 OR (dd = 0.5 AND CAST(fl AS BIGINT) % 2 <> 0)
+      |        THEN 1 ELSE 0 END) / 10000 AS mean_intensity
+      |FROM r ORDER BY doc_id, scene_no""".stripMargin) { (s, dir) =>
+    keyframes(mediaTable(s, dir), threshold = 30.0)
+      .orderBy("doc_id", "scene_no")
+  }
+
   /** One audio clip's voice-activity summary. */
   final case class VadRow(doc_id: Long, n_frames: Int, voiced_frames: Int,
                           n_segments: Int, voiced_ratio: Double)
@@ -852,5 +949,5 @@ object Multimodal {
 
   val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup,
     mmAudioFeatures, mmSceneDetect, mmAudioVad, pipelineMm, mmFormatSniff,
-    mmIntegrity)
+    mmIntegrity, mmVideoKeyframe)
 }

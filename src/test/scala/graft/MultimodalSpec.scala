@@ -241,6 +241,43 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.exists(!_._4), "no corrupted payload in fixture")
   }
 
+  test("keyframes: one frame per scene, boundaries from cuts, features match the frame sample") {
+    import spark.implicits._
+    // planted two-scene video: frames 0-1 near-identical (one scene),
+    // frame 2 totally different content — the keyframe set must be
+    // exactly {frame 0, frame 2}
+    val w = 8; val h = 8
+    def solid(v: Int) = Ppm.encode(Ppm.Image(w, h, Array.fill(w * h * 3)(v.toByte)))
+    val planted = Seq(Multimodal.MediaRow(1L, Multimodal.VideoMime, w, h,
+      Ppm.encodeSeq(Seq(solid(10), solid(12), solid(200))))).toDF()
+    val got = Multimodal.keyframes(planted, threshold = 30.0).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((0, 0, 2), (1, 2, 2)),
+      s"planted two-scene video selected ${got.toSeq}")
+
+    // corpus: scene count per video = tripped transitions + 1, and
+    // every keyframe's intensity equals the frame sample's value for
+    // that exact frame
+    val kf = Multimodal.mmVideoKeyframe.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    assert(kf.nonEmpty)
+    val cuts = Multimodal.sceneDetect(media, threshold = 30.0).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4))).groupBy(_._1)
+      .view.mapValues(_.count(_._2)).toMap
+    kf.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.length == cuts(id) + 1, s"video $id scene count")
+      assert(rows.forall(_._4 == rows.length))
+      assert(rows.map(_._2).sorted.toSeq == (0 until rows.length).toSeq,
+        s"video $id scene numbering")
+      assert(rows.exists(_._3 == 0), s"video $id must keep frame 0")
+    }
+    val sampled = Multimodal.frameSample(media).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(5))).toMap
+    kf.foreach { case (id, _, fno, _, mi) =>
+      assert(mi == sampled((id, fno)), s"video $id frame $fno intensity")
+    }
+  }
+
   test("integrity audit: measured statuses match the plants, and flag exactly what decode rejects") {
     val rows = Multimodal.mmIntegrity.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))

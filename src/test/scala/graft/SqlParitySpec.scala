@@ -188,6 +188,7 @@ class SqlParitySpec extends SparkSuite {
     "mm_frame_sample" -> "unnest(range()) lateral + // division",
     "mm_audio_features" -> "unnest(range()) lateral + // division",
     "mm_scene_detect" -> "unnest(range()) lateral + // division",
+    "mm_video_keyframe" -> "unnest(range()) lateral + // division",
     "mm_audio_vad" -> "unnest(range()) lateral + // division",
     "mm_phash_dedup" -> "HUGEINT bit ops + list_reduce/list_filter lambda + unnest(range())",
     "pipeline_mm" -> "HUGEINT bit ops + list_reduce lambda + unnest(range())",

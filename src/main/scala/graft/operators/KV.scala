@@ -218,13 +218,28 @@ object KV {
     * alone is not injective (same hazard and fix as
     * Similarity.ivfIndexPath), so colliding datasets with equal
     * mtimes could otherwise share a log dir and serve wrong runs. */
-  private def ingestLog(s: SparkSession, dir: String): KVLog = {
-    val t = kv(s, dir)
+  /** The three seq-range ingest batches of the derived log — one
+    * derivation shared by the ingest build and the backup op's
+    * staged timeline. */
+  private def seqBatches(t: KVTable): Seq[org.apache.spark.sql.DataFrame] = {
+    val m = t.runs.agg(max("seq")).head().getLong(0)
+    val (c1, c2) = (m / 3, 2 * m / 3)
+    Seq(t.runs.filter(col("seq") <= c1),
+      t.runs.filter(col("seq") > c1 && col("seq") <= c2),
+      t.runs.filter(col("seq") > c2))
+  }
+
+  private def logTag(dir: String): String = {
     val mtime = new java.io.File(s"$dir/events.parquet").lastModified()
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val log = KVLog(s"/root/repo/target/graft_kvlog/${tag}_${digest}_$mtime",
+    s"${tag}_${digest}_$mtime"
+  }
+
+  private def ingestLog(s: SparkSession, dir: String): KVLog = {
+    val t = kv(s, dir)
+    val log = KVLog(s"/root/repo/target/graft_kvlog/${logTag(dir)}",
       "key", "seq", "tombstone")
     logBuildLock.synchronized {
       // completeness = the run COUNT, not non-emptiness: each append
@@ -235,11 +250,7 @@ object KV {
       // policy as the _SUCCESS-gated ANN indexes).
       if (log.committedRuns.size != 3) {
         log.reset()
-        val m = t.runs.agg(max("seq")).head().getLong(0)
-        val (c1, c2) = (m / 3, 2 * m / 3)
-        log.append(t.runs.filter(col("seq") <= c1))
-        log.append(t.runs.filter(col("seq") > c1 && col("seq") <= c2))
-        log.append(t.runs.filter(col("seq") > c2))
+        seqBatches(t).foreach(log.append)
       }
     }
     log
@@ -279,6 +290,53 @@ object KV {
     }
     KVLog.openCheckpoint(ckptPath, "key", "seq", "tombstone")
       .merged(s).orderBy("key")
+  }
+
+  /** Incremental backup over the checkpoint chain (round 9;
+    * RocksDB's incremental backup — immutable runs make "backup" =
+    * "copy only the files the previous backup lacks"): the staged
+    * timeline takes a FULL checkpoint after two ingest batches, a
+    * third batch arrives, and the incremental backup copies ONLY its
+    * run while its manifest references the base; restore resolves
+    * the chain and must equal the full-log merge (the oracle).
+    * KVLogSpec proves the increment holds exactly one run, survives
+    * source deletion, and refuses loudly when the base link is gone
+    * (a chain with a missing link must never serve a seq-prefix).
+    * Cost is O(new-run bytes) — the property that makes daily
+    * backups of a 100 TB store copy the day, not the store. */
+  val kvBackupIncremental: Op = Op.sql("kv_backup_incremental",
+    s"""WITH $kvCte
+       |SELECT * FROM ${mergeSql("kv")} ORDER BY key""".stripMargin) { (s, dir) =>
+    val (_, incPath) = backupChain(s, dir)
+    KVLog.openChain(s, incPath, "key", "seq", "tombstone")
+      .merged().orderBy("key")
+  }
+
+  /** The staged full+incremental backup pair for a dataset, built
+    * once per (dir, mtime): a fresh 2-run log → full checkpoint →
+    * third batch appended → incremental checkpoint. Public so
+    * KVLogSpec can inspect the physical chain. */
+  def backupChain(s: SparkSession, dir: String): (String, String) = {
+    val staged = KVLog(s"/root/repo/target/graft_kvbk/${logTag(dir)}_src",
+      "key", "seq", "tombstone")
+    val fullPath = s"/root/repo/target/graft_kvbk/${logTag(dir)}_full"
+    val incPath = s"/root/repo/target/graft_kvbk/${logTag(dir)}_inc"
+    logBuildLock.synchronized {
+      val ok = try KVLog.chainRuns(incPath).size == 3
+               catch { case _: Exception => false }
+      if (!ok) {
+        staged.reset()
+        graft.sources.LocalDir.deleteRecursively(new java.io.File(fullPath))
+        graft.sources.LocalDir.deleteRecursively(new java.io.File(incPath))
+        val batches = seqBatches(kv(s, dir))
+        staged.append(batches(0))
+        staged.append(batches(1))
+        staged.checkpointTo(fullPath) // T0: full backup
+        staged.append(batches(2)) // T1: new data arrives
+        staged.incrementalCheckpointTo(incPath, fullPath)
+      }
+    }
+    (fullPath, incPath)
   }
 
   /** Secondary index on the VALUE column (RocksDB-style derived
@@ -459,5 +517,5 @@ object KV {
   val all: Seq[Op] = Seq(kvPointGet, kvRangeScan, kvCompact,
     kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest,
     kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
-    kvCheckpointRestore, kvSecondaryIndex, kvCf)
+    kvCheckpointRestore, kvSecondaryIndex, kvCf, kvBackupIncremental)
 }

@@ -131,6 +131,30 @@ class KVLogSpec extends SparkSuite {
     assert(restored == before, "restore diverged from the pre-checkpoint merge")
   }
 
+  test("incremental backup: only new runs copied, chain restores after source deletion, broken base refuses") {
+    val log = freshLog()
+    log.append(batch(Seq((1L, 1L, false, 10.0), (2L, 2L, false, 20.0))))
+    log.append(batch(Seq((3L, 3L, false, 30.0))))
+    val full = log.path + "_full"
+    val inc = log.path + "_inc"
+    log.checkpointTo(full) // T0: full backup of two runs
+    log.append(batch(Seq((1L, 4L, false, 11.0), (2L, 5L, true, 0.0)))) // T1
+    val before = log.merged(spark).orderBy("key").collect().toSeq
+    log.incrementalCheckpointTo(inc, full)
+    // the increment physically holds ONLY the new run
+    assert(KVLog(inc, "key", "seq", "tombstone").committedRuns.size == 1,
+      "incremental backup copied more than the new run")
+    assert(KVLog.chainRuns(inc).size == 3)
+    // restore is independent of the live log
+    log.reset()
+    val restored = KVLog.openChain(spark, inc, "key", "seq", "tombstone")
+      .merged().orderBy("key").collect().toSeq
+    assert(restored == before, "chain restore diverged from the pre-backup merge")
+    // a chain with a missing base link must refuse, never serve a prefix
+    graft.sources.LocalDir.deleteRecursively(new java.io.File(full))
+    intercept[IllegalArgumentException] { KVLog.chainRuns(inc) }
+  }
+
   test("a torn checkpoint (no manifest) and a mutilated one refuse to open") {
     val log = freshLog()
     log.append(batch(Seq((7L, 1L, false, 1.5))))

@@ -24,6 +24,15 @@ object Similarity {
   val TopK = 5
   val NumQueries = 10
 
+  /** Share of the corpus treated as the already-indexed BASE by
+    * [[annIvfAppend]] / [[annCentroidDrift]]; the remaining ids are
+    * the appended batch. Lives up here with the other constants:
+    * operator vals interpolate it into their ORACLE STRINGS at object
+    * init, so it must initialize before every op that reads it (a
+    * later-positioned val would interpolate as 0.0 — found the hard
+    * way in round 9). */
+  val AppendFrac = 0.8
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -314,28 +323,28 @@ object Similarity {
     * centroids → `cells` assigning EVERY corpus vector under them.
     * Parameterized on the training relation so ann_ivf_append can
     * train on the base slice while `cells` still covers base+batch. */
-  def ivfTrainCtesSql(train: String): String =
-    s"""seeds AS MATERIALIZED (
+  def ivfTrainCtesSql(train: String, prefix: String = ""): String =
+    s"""${prefix}seeds AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
        |  FROM $train ORDER BY vec_id LIMIT $NumCentroids),
-       |asg AS MATERIALIZED (
+       |${prefix}asg AS MATERIALIZED (
        |  SELECT t.vec_id, t.v,
-       |    (SELECT s.c FROM seeds s
+       |    (SELECT s.c FROM ${prefix}seeds s
        |     ORDER BY list_cosine_similarity(t.v, s.v) DESC, s.c ASC LIMIT 1) AS cluster
        |  FROM $train t),
-       |msum AS MATERIALIZED (
+       |${prefix}msum AS MATERIALIZED (
        |  SELECT cluster, pos,
        |    sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS s, count(*) AS n
        |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-       |        FROM asg)
+       |        FROM ${prefix}asg)
        |  GROUP BY 1, 2),
-       |cent2 AS MATERIALIZED (
+       |${prefix}cent2 AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY cluster) - 1 AS cell, cv
        |  FROM (SELECT cluster, list(CAST(s AS DOUBLE) / 1048576.0 / n ORDER BY pos) AS cv
-       |        FROM msum GROUP BY cluster)),
-       |cells AS MATERIALIZED (
+       |        FROM ${prefix}msum GROUP BY cluster)),
+       |${prefix}cells AS MATERIALIZED (
        |  SELECT e.vec_id, e.v,
-       |    (SELECT c2.cell FROM cent2 c2
+       |    (SELECT c2.cell FROM ${prefix}cent2 c2
        |     ORDER BY list_cosine_similarity(e.v, c2.cv) DESC, c2.cell ASC LIMIT 1) AS cell
        |  FROM e)""".stripMargin
 
@@ -466,6 +475,62 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Index-GEOMETRY drift between the frozen base training and a full
+    * retrain (round 9 — the cheap signal an index maintainer watches
+    * NEXT TO ann_recall_eval's expensive quality metric: centroid
+    * movement and occupancy shift tell you a retrain is due before
+    * you pay a brute-force recall sweep): per cell, the cosine
+    * between the base-trained and full-trained centroid plus the
+    * corpus occupancy under each centroid set. Cell ids correspond
+    * across trainings because both seed from the SAME K lowest-id
+    * vectors (the base slice contains them — AppendFrac ≫ K/corpus)
+    * and renumber densely in seed order. Centroids are driver-held
+    * index metadata; the occupancy pass is one corpus scan with two
+    * codegen'd assignments and two K-row aggregates. Value-exact:
+    * both trainings replay in SQL via the shared (now
+    * prefix-parameterized) ivfTrainCtesSql. */
+  val annCentroidDrift: Op = Op.sql("ann_centroid_drift",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cut AS MATERIALIZED (
+       |  SELECT CAST(floor(max(vec_id) * $AppendFrac) AS BIGINT) AS c FROM e),
+       |eb AS MATERIALIZED (
+       |  SELECT * FROM e WHERE vec_id < (SELECT c FROM cut)),
+       |""".stripMargin + ivfTrainCtesSql("e") + ",\n" +
+      ivfTrainCtesSql("eb", "b") +
+      s"""
+         |SELECT c2.cell,
+         |  round(list_cosine_similarity(b2.cv, c2.cv), 6) AS cos_drift,
+         |  coalesce(nb.n, 0) AS n_base, coalesce(nf.n, 0) AS n_full
+         |FROM cent2 c2 JOIN bcent2 b2 USING (cell)
+         |LEFT JOIN (SELECT cell, count(*) AS n FROM bcells GROUP BY cell) nb
+         |  USING (cell)
+         |LEFT JOIN (SELECT cell, count(*) AS n FROM cells GROUP BY cell) nf
+         |  USING (cell)
+         |ORDER BY cell""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val cut = math.floor(maxId * AppendFrac).toLong
+    val cFull = centroidsFor(s, dir)
+    val cBase = baseCentroidsFor(s, dir, cut)
+    val k = math.min(cFull.length, cBase.length)
+    val litF = typedLit(cFull)
+    val litB = typedLit(cBase)
+    val cellsDf = s.range(k).select(col("id").as("cell"))
+      .withColumn("cos_drift", round(cosine(
+        element_at(litB, col("cell").cast("int") + 1),
+        element_at(litF, col("cell").cast("int") + 1)), 6))
+    val assigned = e.select(
+      cellExpr(litB, col("v")).cast("bigint").as("cb"),
+      cellExpr(litF, col("v")).cast("bigint").as("cf"))
+    val nb = assigned.groupBy(col("cb").as("cell")).agg(count(lit(1)).as("nb"))
+    val nf = assigned.groupBy(col("cf").as("cell")).agg(count(lit(1)).as("nf"))
+    cellsDf.join(nb, Seq("cell"), "left").join(nf, Seq("cell"), "left")
+      .select(col("cell"), col("cos_drift"),
+        coalesce(col("nb"), lit(0L)).as("n_base"),
+        coalesce(col("nf"), lit(0L)).as("n_full"))
+      .orderBy("cell")
+  }
+
   /** Centroids for a dataset, trained once per (dir, file-mtime) and
     * reused — shared by [[annIvf]], [[annIvfPersist]] and the specs
     * so every path probes the EXACT same centroids (independent
@@ -558,10 +623,6 @@ object Similarity {
     val qv = e.filter(col("vec_id") === 0L).head().getSeq[Double](1).toSeq
     ivfPointLookup(s, dir, centroids, 0L, qv)
   }
-
-  /** Share of the corpus treated as the already-indexed BASE by
-    * [[annIvfAppend]]; the remaining ids are the appended batch. */
-  val AppendFrac = 0.8
 
   /** Base-slice centroids for the appendable index, trained once per
     * (dir, mtime) like [[centroidsFor]] but on `vec_id < cut` only —
@@ -1411,5 +1472,5 @@ object Similarity {
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
     annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered,
     annHardNegatives, annIvfAppend, annRangeSearch, annRecallEval,
-    annSq8, annBinary)
+    annSq8, annBinary, annCentroidDrift)
 }

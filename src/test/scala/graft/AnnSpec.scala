@@ -197,6 +197,20 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("centroid drift: occupancy conserved under both centroid sets, drift real but bounded") {
+    val rows = SparkEntry.queries("ann_centroid_drift")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val corpus = emb.count()
+    // every corpus vector lands in exactly one cell under EACH set
+    assert(rows.map(_._3).sum == corpus, "base occupancy not conserved")
+    assert(rows.map(_._4).sum == corpus, "full occupancy not conserved")
+    // an 80%-base retrain moves geometry measurably but not wildly
+    assert(rows.forall(r => r._2 > 0.5 && r._2 <= 1.0),
+      s"implausible drift: ${rows.map(_._2).min}..${rows.map(_._2).max}")
+    assert(rows.exists(_._2 < 1.0), "degenerate: retrain moved nothing")
+  }
+
   test("quantization property: random vectors replay the codes/signatures driver-side, bit for bit") {
     import spark.implicits._
     // the property every quantized oracle rests on: unit-norm, SQ8

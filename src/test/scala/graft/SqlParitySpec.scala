@@ -217,6 +217,7 @@ class SqlParitySpec extends SparkSuite {
     "dedup_doc_containment" -> "list slice toks[a:b] + unnest(range()) + list_transform lambda",
     "ann_sq8" -> "::DOUBLE[] cast + list_transform lambda + MATERIALIZED CTEs",
     "ann_binary" -> "::DOUBLE[] cast + list_filter lambda + MATERIALIZED CTEs",
+    "ann_centroid_drift" -> "::DOUBLE[] cast + MATERIALIZED CTEs + list_cosine_similarity",
     "stream_quality_monitor" -> "string_split_regex() + list_filter lambda",
     "stats_auc" -> "string_split_regex() + list_filter lambda (distill CTEs)",
     "text_feature_hash" -> "string_split_regex() + list_filter lambda + 0x hex-string cast",

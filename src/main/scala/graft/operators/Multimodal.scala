@@ -591,7 +591,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.filter(_.mime == VideoMime).flatMap { r =>
           val frames = Ppm.decodeSeq(r.payload).map(Ppm.decode)
-          val cuts = frames.sliding(2).map { pair =>
+          // a 1-frame video has no transitions (sliding(2) on one
+          // element yields a 1-element window, not an empty iterator)
+          val cuts = if (frames.length < 2) Seq.empty[Boolean]
+          else frames.sliding(2).map { pair =>
             val (a, b) = (pair.head, pair(1))
             var sum = 0L
             var j = 0

@@ -123,6 +123,8 @@ object ManagedTables {
     val stored = read(spark, name, wh)
     val bad = sets.map(_._1).filterNot(stored.columns.contains)
     require(bad.isEmpty, s"UPDATE '$name': unknown column(s) ${bad.mkString(",")}")
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"UPDATE '$name': duplicate SET column (the first assignment would be silently lost)")
     val setMap = sets.toMap
     val hit = coalesce(predicate, lit(false))
     val next = stored.select(stored.schema.fields.map { f =>

@@ -199,6 +199,12 @@ class ManagedTablesSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       ManagedTables.update(spark, "t_upd", lit(true), Seq("nope" -> lit(1L)), wh)
     }
+    // duplicate SET column fails loudly (the first assignment would
+    // otherwise be silently lost)
+    intercept[IllegalArgumentException] {
+      ManagedTables.update(spark, "t_upd", lit(true),
+        Seq("a" -> lit(1L), "a" -> lit(2L)), wh)
+    }
     ManagedTables.drop("t_upd", wh)
   }
 }

@@ -254,6 +254,11 @@ class MultimodalSpec extends SparkSuite {
       .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
     assert(got.toSeq == Seq((0, 0, 2), (1, 2, 2)),
       s"planted two-scene video selected ${got.toSeq}")
+    // a single-frame video has no transitions and exactly one keyframe
+    val single = Seq(Multimodal.MediaRow(2L, Multimodal.VideoMime, w, h,
+      Ppm.encodeSeq(Seq(solid(42))))).toDF()
+    val one = Multimodal.keyframes(single, threshold = 30.0).collect()
+    assert(one.length == 1 && one.head.getInt(2) == 0 && one.head.getInt(3) == 1)
 
     // corpus: scene count per video = tripped transitions + 1, and
     // every keyframe's intensity equals the frame sample's value for

@@ -255,12 +255,23 @@ class PlanAuditSpec extends SparkSuite {
     // one exchange proves the aggregate reuses the user_id
     // partitioning (grouping keys ⊇ partition key), q69's eight lags
     // share one window
+    // q78's running-distinct collect_set window is the same contract
     Seq("kv_scd2" -> 1, "q58_time_range_frame" -> 1, "q64_locf" -> 1,
         "sample_mixture" -> 1, "q67_sessionize" -> 1,
-        "q69_decay_score" -> 1, "q71_interval_merge" -> 1).foreach { case (op, want) =>
+        "q69_decay_score" -> 1, "q71_interval_merge" -> 1,
+        "q78_window_distinct" -> 1).foreach { case (op, want) =>
       val n = "hashpartitioning".r.findAllIn(plan(op)).length
       assert(n == want, s"$op: expected $want hash Exchange(s), saw $n")
     }
+  }
+
+  test("edge similarity: every join keyed, never nested-loop or cartesian") {
+    // the wedge enumeration and the count/degree joins all carry
+    // equi-conjuncts; losing one to a BNLJ would make the plan
+    // hub-quadratic — the exact failure the orientation prevents
+    val p = plan("graph_edge_similarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edge-similarity joins must stay keyed:\n$p")
   }
 
   test("snapshot diff is a keyed full-outer merge join, never nested-loop") {

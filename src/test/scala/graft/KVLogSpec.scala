@@ -155,6 +155,41 @@ class KVLogSpec extends SparkSuite {
     intercept[IllegalArgumentException] { KVLog.chainRuns(inc) }
   }
 
+  test("checkpoint-chain property: random appends and increment points always restore the full merge") {
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val log = freshLog()
+      val nRuns = 3 + rnd.nextInt(3) // 3..5 appends
+      var seq = 0L
+      (1 to nRuns).foreach { _ =>
+        val rows = (1 to 1 + rnd.nextInt(4)).map { _ =>
+          seq += 1
+          (rnd.nextInt(5).toLong, seq, rnd.nextInt(6) == 0, rnd.nextInt(100) / 4.0)
+        }
+        log.append(batch(rows))
+      }
+      // full checkpoint after a random prefix of the appends? The
+      // full checkpoint always covers the CURRENT runs; chain an
+      // increment after 1..2 more appends
+      val full = log.path + s"_p${trial}_full"
+      log.checkpointTo(full)
+      (1 to 1 + rnd.nextInt(2)).foreach { _ =>
+        val rows = (1 to 2).map { _ =>
+          seq += 1
+          (rnd.nextInt(5).toLong, seq, rnd.nextInt(6) == 0, rnd.nextInt(100) / 4.0)
+        }
+        log.append(batch(rows))
+      }
+      val inc = log.path + s"_p${trial}_inc"
+      log.incrementalCheckpointTo(inc, full)
+      val want = log.merged(spark).orderBy("key", "seq").collect().toSeq
+      log.reset()
+      val got = KVLog.openChain(spark, inc, "key", "seq", "tombstone")
+        .merged().orderBy("key", "seq").collect().toSeq
+      assert(got == want, s"trial $trial: chain restore diverged")
+    }
+  }
+
   test("a torn checkpoint (no manifest) and a mutilated one refuse to open") {
     val log = freshLog()
     log.append(batch(Seq((7L, 1L, false, 1.5))))

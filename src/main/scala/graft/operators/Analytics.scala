@@ -1259,6 +1259,60 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** ONE-WAY ANOVA F-test across ALL event-type groups (the k-group
+    * member of the stats family — `stats_ttest` compares TWO means,
+    * this asks whether ANY of the k event types' value means differ:
+    * the first gate an experimenter runs before pairwise tests).
+    * Per-group moments (n, Σv as exact DECIMAL, Σv² — ONE map-side-
+    * partial hash aggregate, |types| rows out of the scan) reduce to
+    * the classic decomposition SSB = Σ_g S_g²/n_g − S²/N and
+    * SSW = Σ_g (SS_g − S_g²/n_g). The two Σ_g sums are ORDER-DEPENDENT
+    * double folds, so both engines run them as the SAME left fold in
+    * event-type order (Spark `aggregate` over a sorted collect_list /
+    * DuckDB `list_reduce(list(.. ORDER BY g))` — the RAKE/ADC fold
+    * identity, 0.0+x₁ ≡ x₁); grand N and S stay exact integer/decimal
+    * sums, so every input to the final F division is bit-identical.
+    * At 100 TB: one scan, one |types|-row exchange, folds over a
+    * k-row frame — nothing grows with data. */
+  val statsAnova: Op = Op.sql("stats_anova",
+    """WITH e AS (
+      |  SELECT event_type AS g, CAST("value" AS DECIMAL(12,2)) AS v FROM events),
+      |m AS (
+      |  SELECT g, count(*) AS n, sum(v) AS sd,
+      |    CAST(sum(v) AS DOUBLE) AS s, CAST(sum(v*v) AS DOUBLE) AS ss
+      |  FROM e GROUP BY g),
+      |f AS (
+      |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(sd) AS DOUBLE) AS st,
+      |    list_reduce(list(ss - s*s/n ORDER BY g), (a, b) -> a + b) AS ssw,
+      |    list_reduce(list(s*s/n ORDER BY g), (a, b) -> a + b) AS sb
+      |  FROM m)
+      |SELECT k, n, round(sb - st*st/n, 4) AS ssb, round(ssw, 4) AS ssw,
+      |  round(((sb - st*st/n)/(k-1)) / (ssw/(n-k)), 4) AS f_stat,
+      |  k-1 AS df1, n-k AS df2
+      |FROM f""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select(col("event_type").as("g"),
+      col("value").cast("decimal(12,2)").as("v"))
+    val m = e.groupBy("g").agg(count(lit(1)).as("n"), sum(col("v")).as("sd"),
+      sum(col("v")).cast("double").as("s"),
+      sum(col("v") * col("v")).cast("double").as("ss"))
+    // left fold in event-type order — matches list_reduce exactly
+    def fold(x: Column) = aggregate(
+      transform(array_sort(collect_list(struct(col("g"), x.as("x")))),
+        r => r.getField("x")),
+      lit(0.0), (a, b) => a + b)
+    val f = m.agg(count(lit(1)).as("k"), sum(col("n")).cast("long").as("n"),
+      sum(col("sd")).cast("double").as("st"),
+      fold(col("ss") - col("s") * col("s") / col("n")).as("ssw"),
+      fold(col("s") * col("s") / col("n")).as("sb"))
+    val ssb = col("sb") - col("st") * col("st") / col("n")
+    f.select(col("k"), col("n"),
+      round(ssb, 4).as("ssb"), round(col("ssw"), 4).as("ssw"),
+      round((ssb / (col("k") - 1)) / (col("ssw") / (col("n") - col("k"))), 4)
+        .as("f_stat"),
+      (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"))
+  }
+
   /** First-order MARKOV TRANSITION MATRIX over per-user event
     * sequences (the session-flow model behind next-event prediction
     * and funnel diagnostics): count and row-normalized probability of
@@ -1580,5 +1634,5 @@ object Analytics {
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
-    q78WindowDistinct, statsLinreg)
+    q78WindowDistinct, statsLinreg, statsAnova)
 }

@@ -950,7 +950,65 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Shard-packing MANIFEST (webdataset/tar-shard layout — the unit a
+    * training data loader streams: blobs concatenated into ~fixed-size
+    * shards, read sequentially, no per-blob object-store round trips):
+    * blobs pack in doc_id order into byte-offset shards of
+    * [[ShardTargetBytes]] per (mime, doc-range bucket) — a blob's
+    * shard is `floor(preceding-bytes / target)`, so every shard except
+    * a bucket's last holds ≥ target bytes and packing is a pure
+    * prefix-sum, no sequential bin-packing state. The BUCKET is the
+    * load-bearing scale choice: packing is independent per (mime,
+    * doc_id DIV 100), so 10 B docs pack as millions of embarrassingly
+    * parallel window partitions — no global sort, no cross-partition
+    * carry — exactly how production shard writers run one packer per
+    * input split. Payload sizes are REAL `length(payload)` bytes (the
+    * oracle replays them in closed form — the mm_integrity catalog
+    * math); the manifest rows are what the loader's index file holds.
+    * Scale: one bounded-partition window + one hash-agg over blob-count
+    * rows; payload bytes never shuffle (the pack itself would be a
+    * partitionBy write of the same assignment). */
+  val ShardTargetBytes = 65536L
+  val mmShardManifest: Op = Op.sql("mm_shard_manifest",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN '$VideoMime' ELSE '$ImageMime' END AS mime,
+       |    n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, mime, doc_id // 100 AS bucket,
+       |    CAST(CASE WHEN doc_id % 5 = 0
+       |      THEN 8 + 3 * (4 + 9 + length(CAST(w AS STRING)) + length(CAST(h AS STRING)) + w * h * 3)
+       |      ELSE 9 + length(CAST(w AS STRING)) + length(CAST(h AS STRING)) + w * h * 3
+       |    END AS BIGINT) AS bytes
+       |  FROM m),
+       |c AS (
+       |  SELECT mime, bucket, doc_id, bytes,
+       |    COALESCE(sum(bytes) OVER (PARTITION BY mime, bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $ShardTargetBytes AS shard
+       |  FROM x)
+       |SELECT mime, bucket, shard, count(*) AS n_blobs,
+       |  CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY mime, bucket, shard
+       |ORDER BY mime, bucket, shard""".stripMargin) { (s, dir) =>
+    val sized = mediaTable(s, dir).select(col("doc_id"), col("mime"),
+      expr("doc_id DIV 100").as("bucket"),
+      length(col("payload")).cast("long").as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("mime", "bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val assigned = sized
+      .withColumn("cum_prev", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"cum_prev DIV $ShardTargetBytes"))
+    assigned.groupBy("mime", "bucket", "shard")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("bytes")).cast("long").as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("mime", "bucket", "shard")
+  }
+
   val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup,
     mmAudioFeatures, mmSceneDetect, mmAudioVad, pipelineMm, mmFormatSniff,
-    mmIntegrity, mmVideoKeyframe)
+    mmIntegrity, mmVideoKeyframe, mmShardManifest)
 }

@@ -565,6 +565,42 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("one-way ANOVA: ordered-fold driver recompute matches bit-for-bit; decomposition holds") {
+    val row = Analytics.statsAnova.run(spark, sfDir).collect().head
+    val (k, n) = (row.getLong(0), row.getLong(1))
+    val (ssb, ssw, f) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(row.getLong(5) == k - 1 && row.getLong(6) == n - k)
+    // sequential recompute: exact decimal moments per group, then the
+    // SAME left fold in event-type order as the op and its oracle
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value").cast("decimal(12,2)"))
+      .collect().map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
+    val groups = raw.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(k == groups.size && n == raw.length.toLong)
+    def gm(xs: Array[(String, BigDecimal)]) = {
+      val gn = xs.length.toLong
+      (gn, xs.map(_._2).sum.toDouble, xs.map(t => t._2 * t._2).sum.toDouble)
+    }
+    val sswDrv = groups.map { case (_, xs) =>
+      val (gn, s, ss) = gm(xs); ss - s * s / gn
+    }.foldLeft(0.0)(_ + _)
+    val sbDrv = groups.map { case (_, xs) =>
+      val (gn, s, _) = gm(xs); s * s / gn
+    }.foldLeft(0.0)(_ + _)
+    val st = raw.map(_._2).sum.toDouble
+    val ssbDrv = sbDrv - st * st / n
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ssb == r4(ssbDrv), s"ssb $ssb vs $ssbDrv")
+    assert(ssw == r4(sswDrv), s"ssw $ssw vs $sswDrv")
+    assert(f == r4((ssbDrv / (k - 1)) / (sswDrv / (n - k))), s"f_stat $f")
+    // the variance decomposition must hold: SSB + SSW = total SS
+    val sstot = groups.map { case (_, xs) =>
+      val (_, _, ss) = gm(xs); ss
+    }.foldLeft(0.0)(_ + _) - st * st / n
+    assert(math.abs((ssbDrv + sswDrv) - sstot) <= 1e-6 * math.max(1.0, sstot))
+    assert(f > 0.0 && k >= 3, "fixture must exercise a real k-group split")
+  }
+
   test("running windowed distinct equals a sequential per-user scan") {
     val got = Analytics.q78WindowDistinct.run(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -1,6 +1,7 @@
 package graft
 
 import graft.kv.KVTable
+import graft.sources.Tables
 
 /** Randomized-history property test: KVTable's distributed
   * latest-wins merge must equal a sequential in-memory replay of the
@@ -76,5 +77,57 @@ class KVPropertySpec extends SparkSuite {
       assert(collect(log.merged(spark)) == model(history, None),
         s"torn-interleaved log diverged from replay, trial $trial")
     }
+  }
+
+  test("WAL codec: roundtrip identity; truncation at EVERY offset keeps exactly the whole records") {
+    import graft.kv.Wal
+    val rnd = new scala.util.Random(13)
+    val recs = Vector.fill(5)(Wal.Record(rnd.nextLong(), rnd.nextLong().abs,
+      rnd.nextBoolean(), rnd.nextDouble() * 1000 - 500))
+    val blob = Wal.encode(recs)
+    assert(blob.length == recs.length * Wal.RecordBytes)
+    val full = Wal.decode(blob)
+    assert(full.records == recs && full.clean)
+    // crash-tail contract: cutting the blob at ANY byte offset yields
+    // exactly the preceding whole records, clean iff on a boundary
+    (0 to blob.length).foreach { cut =>
+      val r = Wal.decode(blob.take(cut))
+      assert(r.records == recs.take(cut / Wal.RecordBytes),
+        s"cut at $cut: got ${r.records.size} records")
+      assert(r.clean == (cut % Wal.RecordBytes == 0), s"cut at $cut: clean=${r.clean}")
+    }
+  }
+
+  test("WAL codec: a flipped byte anywhere in record i ends replay before i") {
+    import graft.kv.Wal
+    val rnd = new scala.util.Random(17)
+    val recs = Vector.fill(4)(Wal.Record(rnd.nextLong(), rnd.nextLong().abs,
+      rnd.nextBoolean(), rnd.nextDouble()))
+    val blob = Wal.encode(recs)
+    (0 until blob.length).foreach { pos =>
+      val dam = blob.clone()
+      dam(pos) = (dam(pos) ^ 0x41).toByte
+      val r = Wal.decode(dam)
+      val hit = pos / Wal.RecordBytes
+      assert(r.records.size <= hit, s"flip at $pos: record $hit survived")
+      assert(r.records == recs.take(r.records.size), s"flip at $pos: prefix mutated")
+      assert(!r.clean, s"flip at $pos: reported clean")
+    }
+  }
+
+  test("WAL replay op equals the closed-form merge over all-but-the-torn write") {
+    import org.apache.spark.sql.functions._
+    val viaWal = graft.operators.KV.kvWalReplay.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ev = Tables.load(spark, sfDir, "events")
+    val maxSeq = ev.agg(max("event_id")).head().getLong(0)
+    val direct = KVTable(
+      ev.select(col("user_id").as("key"), col("event_id").as("seq"),
+        (col("event_type") === "error").as("tombstone"), col("value").as("v"))
+        .filter(col("seq") < maxSeq),
+      "key", "seq", "tombstone").merged().orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaWal.toSeq == direct.toSeq)
+    assert(viaWal.nonEmpty)
   }
 }

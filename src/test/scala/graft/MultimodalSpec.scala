@@ -313,4 +313,46 @@ class MultimodalSpec extends SparkSuite {
     if (oMime == Multimodal.VideoMime) Ppm.decodeSeq(oPayload).foreach(Ppm.decode)
     else Ppm.decode(oPayload)
   }
+
+  test("shard manifest equals a sequential pack replay; shards are contiguous and boundary-aligned") {
+    val T = Multimodal.ShardTargetBytes
+    val got = Multimodal.mmShardManifest.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    // sequential replay from the real payload lengths
+    val blobs = Multimodal.mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("mime"), length(col("payload")).cast("long").as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = blobs.groupBy(r => (r._2, r._1 / 100)).toSeq.flatMap { case ((mime, bucket), xs) =>
+      var cum = 0L
+      xs.sortBy(_._1).map { case (docId, _, b) =>
+        val shard = cum / T; cum += b; (mime, bucket, shard, docId, b)
+      }.groupBy(_._3).map { case (shard, ys) =>
+        ((mime, bucket, shard),
+          (ys.length.toLong, ys.map(_._5).sum, ys.map(_._4).min, ys.map(_._4).max))
+      }
+    }.toMap
+    assert(got.toMap == want, "manifest differs from the sequential pack replay")
+    // shards within a (mime, bucket) are contiguous from 0, their doc
+    // ranges are disjoint and ordered, and each shard starts in its
+    // own byte window [shard*T, (shard+1)*T)
+    got.groupBy(k => (k._1._1, k._1._2)).foreach { case ((mime, bucket), ss) =>
+      val ordered = ss.sortBy(_._1._3)
+      assert(ordered.map(_._1._3).toSeq == (0L until ordered.length).toSeq,
+        s"($mime,$bucket): shard ids not contiguous")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._2._4 < b._2._3, s"($mime,$bucket): overlapping doc ranges")
+        case _ =>
+      }
+      var before = 0L
+      ordered.foreach { case ((_, _, shard), (_, bytes, _, _)) =>
+        assert(before >= shard * T && before < (shard + 1) * T,
+          s"($mime,$bucket,$shard): starts at byte $before outside its window")
+        before += bytes
+      }
+    }
+    // the fixture must genuinely pack: some shard holds >1 blob and
+    // some (mime, bucket) spans >1 shard
+    assert(got.exists(_._2._1 > 1) && got.groupBy(k => (k._1._1, k._1._2)).exists(_._2.length > 1))
+  }
 }

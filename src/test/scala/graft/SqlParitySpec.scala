@@ -225,6 +225,8 @@ class SqlParitySpec extends SparkSuite {
     "text_rake" -> "string_split_regex() + unnest(range()) + list_reduce lambda",
     "q77_asof_nearest" -> "epoch_us() + IGNORE NULLS argument placement",
     "q78_window_distinct" -> "epoch_us() + DISTINCT window aggregate (Spark analyzer rejects)",
+    "stats_anova" -> "list_reduce lambda + list(x ORDER BY g)",
+    "mm_shard_manifest" -> "// integer division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -496,6 +496,51 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** SCHEMA EVOLUTION — ALTER TABLE ADD COLUMN over the managed
+    * warehouse (round 10; the DDL face q23/q46/q79 left out, and the
+    * capability every long-lived table needs: Delta/Iceberg ADD
+    * COLUMN. Reference analog: the binder's catalog alteration path):
+    * create + load a table WITHOUT the priority column, ALTER ADD
+    * COLUMN (a zero-row anchor file carrying the extended schema —
+    * existing data files untouched), insert a second batch WITH it,
+    * read back merged. Pre-ALTER rows surface the new column as NULL
+    * (never a default, never a rewrite), post-ALTER rows carry their
+    * values, and the whole read is one mergeSchema scan. The oracle
+    * replays the timeline in closed form (key < split ⟹ NULL), so an
+    * evolution that rewrote old files, defaulted the column, or
+    * dropped it from new rows hash-mismatches. ManagedTablesSpec pins
+    * the rejection of duplicate ADDs and NULL-fill of post-ALTER
+    * inserts that omit the column.
+    *
+    * Scale: ALTER is O(1) — one zero-row file; NO data rewrite at any
+    * table size (the whole point vs SELECT-INTO migration). */
+  val q80SchemaEvolution: Op = Op.sql("q80_schema_evolution",
+    """WITH b AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price, o_orderpriority
+      |  FROM orders WHERE o_orderkey < 1500)
+      |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
+      |  CASE WHEN o_orderkey < 750 THEN NULL ELSE o_orderpriority END
+      |    AS o_orderpriority
+      |FROM b ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val base = t(s, dir, "orders").filter(col("o_orderkey") < 1500)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        col("o_orderpriority"))
+    ManagedTables.drop("graft_evo1")
+    val v1 = base.filter(col("o_orderkey") < 750).drop("o_orderpriority")
+    ManagedTables.create(s, "graft_evo1", v1.schema)
+    ManagedTables.insert(s, "graft_evo1", v1)
+    ManagedTables.alterAddColumn(s, "graft_evo1",
+      StructField("o_orderpriority", StringType))
+    ManagedTables.insert(s, "graft_evo1", base.filter(col("o_orderkey") >= 750))
+    ManagedTables.read(s, "graft_evo1")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("price").cast("double").as("price"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
   /** TIME TRAVEL (AS OF version) over the versioned warehouse
     * ([[graft.sources.VersionedTables]]): publish v0, publish a
     * price-bumped v1, then aggregate BOTH versions from their pinned
@@ -937,5 +982,6 @@ object Relational {
     q27Explain, q28TopNAgg, q29NullSemantics, q32CorrelatedSubquery,
     q33SkewSaltedJoin, q36JsonExtract, q37Rollup, q38IntegrityAudit,
     q39Histogram, q46MergeUpsert, q63TimeTravel, q68SnapshotDiff, q51SaltedAgg,
-    q52ReadJsonl, q53OrcRoundtrip, q76LateralTopn, q79Update)
+    q52ReadJsonl, q53OrcRoundtrip, q76LateralTopn, q79Update,
+    q80SchemaEvolution)
 }

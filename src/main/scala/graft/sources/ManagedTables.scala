@@ -61,10 +61,36 @@ object ManagedTables {
     batch.select(aligned.toSeq: _*).write.mode("append").parquet(dir(wh, name))
   }
 
-  /** SELECT * FROM name (all inserted batches). */
+  /** SELECT * FROM name (all inserted batches). `mergeSchema` because
+    * the table's schema IS the union of its file footers (the stated
+    * design above) and [[alterAddColumn]] evolves it by appending a
+    * new-schema anchor file: files written before an ALTER lack the
+    * added column and read as NULL for it — exactly Delta/Iceberg
+    * ADD COLUMN semantics without a metadata log. On a uniform table
+    * the merge is the identity. At 100 TB a production catalog holds
+    * the current schema instead of re-merging footers per read (the
+    * LATEST-pointer pattern [[VersionedTables]] uses); the semantics
+    * here are the same. */
   def read(spark: SparkSession, name: String,
            wh: String = defaultWarehouse): DataFrame =
-    spark.read.parquet(dir(wh, name))
+    spark.read.option("mergeSchema", "true").parquet(dir(wh, name))
+
+  /** ALTER TABLE name ADD COLUMN: appends a zero-row anchor file
+    * carrying the EXTENDED schema (stored fields + the new one), the
+    * same trick CREATE uses to give an empty table a schema. Existing
+    * data files are untouched — old rows surface the column as NULL —
+    * and subsequent [[insert]]s may supply or omit it like any other
+    * column. Duplicate names are rejected before any write. */
+  def alterAddColumn(spark: SparkSession, name: String,
+                     column: org.apache.spark.sql.types.StructField,
+                     wh: String = defaultWarehouse): Unit = {
+    val stored = read(spark, name, wh).schema
+    require(!stored.fieldNames.contains(column.name),
+      s"ALTER '$name': column ${column.name} already exists")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(stored.fields :+ column))
+      .write.mode("append").parquet(dir(wh, name))
+  }
 
   /** MERGE (upsert) INTO name: rows in `updates` replace stored rows
     * with the same key; unmatched update rows are inserted. Copy-on-

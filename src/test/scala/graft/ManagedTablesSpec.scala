@@ -207,4 +207,34 @@ class ManagedTablesSpec extends SparkSuite {
     }
     ManagedTables.drop("t_upd", wh)
   }
+
+  test("alter add column: old rows NULL, new rows valued, omitting inserts NULL-fill, duplicate add rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    ManagedTables.drop("t_evo", wh)
+    ManagedTables.create(spark, "t_evo", schema, wh)
+    ManagedTables.insert(spark, "t_evo", Seq((1L, "a"), (2L, "b")).toDF("k", "s"), wh)
+    ManagedTables.alterAddColumn(spark, "t_evo", StructField("tag", StringType), wh)
+    // post-ALTER insert WITH the column
+    ManagedTables.insert(spark, "t_evo", Seq((3L, "c", "new")).toDF("k", "s", "tag"), wh)
+    // post-ALTER insert WITHOUT it still works (NULL-filled like any
+    // omitted column)
+    ManagedTables.insert(spark, "t_evo", Seq((4L, "d")).toDF("k", "s"), wh)
+    val back = ManagedTables.read(spark, "t_evo", wh)
+      .select("k", "s", "tag").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(back.toSeq == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some("new")), (4L, "d", None)))
+    // the evolved column is mutable like any other
+    ManagedTables.update(spark, "t_evo", col("k") === 1L,
+      Seq("tag" -> lit("backfilled")), wh)
+    val one = ManagedTables.read(spark, "t_evo", wh)
+      .filter(col("k") === 1L).select("tag").collect().map(_.getString(0))
+    assert(one.toSeq == Seq("backfilled"))
+    // duplicate ADD fails loudly before any write
+    intercept[IllegalArgumentException] {
+      ManagedTables.alterAddColumn(spark, "t_evo", StructField("tag", StringType), wh)
+    }
+    ManagedTables.drop("t_evo", wh)
+  }
 }

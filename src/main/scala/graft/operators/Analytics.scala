@@ -1517,6 +1517,91 @@ object Analytics {
       .orderBy("event_type", "grp")
   }
 
+  /** Iterative k-core peel (Matula–Beck): repeatedly drop nodes of
+    * degree < k until fixpoint, at most `maxRounds` removal rounds —
+    * NOT converging within the bound fails loudly (the round count is
+    * part of the op contract so the unrolled SQL oracle stays exact).
+    * Each round is one keyed degree aggregate + two LEFT ANTI hash
+    * joins on the node (shuffle_hash pinned — the dropped-node set is
+    * graph-proportional and must never become a driver hashed
+    * relation); `localCheckpoint` cuts lineage per round like the
+    * transitive-closure loop. Shared by [[graphKcore]] and the
+    * cascade-fixture spec. */
+  private[graft] def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var g = edges.localCheckpoint(true)
+    var r = 0
+    var done = false
+    while (!done) {
+      val bad = degrees(g).filter(col("d") < k).select("n").localCheckpoint(true)
+      if (bad.isEmpty) done = true
+      else {
+        require(r < maxRounds,
+          s"k-core did not converge within $maxRounds peel rounds")
+        g = g
+          .join(bad.withColumnRenamed("n", "u").hint("shuffle_hash"), Seq("u"), "left_anti")
+          .join(bad.withColumnRenamed("n", "v").hint("shuffle_hash"), Seq("v"), "left_anti")
+          .select("u", "v")
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    g
+  }
+
+  /** K-CORE decomposition (round 10 — the graph-family member that
+    * finds the DENSE part: pagerank ranks, components partition,
+    * triangles count local structure, the k-core is the maximal
+    * subgraph where every node keeps ≥ k neighbors — the standard
+    * web-spam / bot-ring / community-nucleus screen, and the
+    * degeneracy-ordering primitive under triangle/clique algorithms):
+    * 4-core of the bipartite order–supplier incidence graph (node
+    * degree there is SF-invariant — items per order / orders per
+    * supplier — so peeling genuinely bites at every test SF where a
+    * mod-N projection saturates). Peel = [[kCore]] (iterate drop
+    * degree<4 until fixpoint, ≤4 rounds by contract); output is each
+    * surviving node with its WITHIN-CORE degree. The oracle unrolls
+    * the same 4 rounds as chained CTEs (a converged round removes
+    * nothing, so trailing no-op rounds are identity — the same
+    * unroll-past-fixpoint argument as BPE's 12 rounds); a peel that
+    * removed too much, too little, or mis-counted a surviving degree
+    * hash-mismatches. AnalyticsSpec drives the multi-round CASCADE on
+    * a planted chain fixture (corpus converges in one round) and pins
+    * the loud non-convergence failure.
+    *
+    * Scale (100 TB): each round is a degree hash-agg + two anti hash
+    * joins, all keyed on the node — no all-pairs, no driver state;
+    * rounds are bounded by the contract, and real web-graph peels run
+    * O(tens) of rounds of exactly this per-round plan. */
+  val graphKcore: Op = Op.sql("graph_kcore",
+    """WITH g0 AS (
+      |  SELECT DISTINCT l_orderkey AS u, 1000000000 + l_suppkey AS v FROM lineitem),
+      |d0 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g0 UNION ALL SELECT v AS n FROM g0) GROUP BY n),
+      |b0 AS (SELECT n FROM d0 WHERE d < 4),
+      |g1 AS (SELECT u, v FROM g0 WHERE u NOT IN (SELECT n FROM b0) AND v NOT IN (SELECT n FROM b0)),
+      |d1 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g1 UNION ALL SELECT v AS n FROM g1) GROUP BY n),
+      |b1 AS (SELECT n FROM d1 WHERE d < 4),
+      |g2 AS (SELECT u, v FROM g1 WHERE u NOT IN (SELECT n FROM b1) AND v NOT IN (SELECT n FROM b1)),
+      |d2 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g2 UNION ALL SELECT v AS n FROM g2) GROUP BY n),
+      |b2 AS (SELECT n FROM d2 WHERE d < 4),
+      |g3 AS (SELECT u, v FROM g2 WHERE u NOT IN (SELECT n FROM b2) AND v NOT IN (SELECT n FROM b2)),
+      |d3 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g3 UNION ALL SELECT v AS n FROM g3) GROUP BY n),
+      |b3 AS (SELECT n FROM d3 WHERE d < 4),
+      |g4 AS (SELECT u, v FROM g3 WHERE u NOT IN (SELECT n FROM b3) AND v NOT IN (SELECT n FROM b3))
+      |SELECT n AS node, count(*) AS degree
+      |FROM (SELECT u AS n FROM g4 UNION ALL SELECT v AS n FROM g4)
+      |GROUP BY n ORDER BY node""".stripMargin) { (s, dir) =>
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("u"),
+        (lit(1000000000L) + col("l_suppkey")).cast("long").as("v"))
+      .distinct()
+    val core = kCore(edges, k = 4, maxRounds = 4)
+    // within-core degrees, no join downstream (degrees()' hint would
+    // dangle here and warn)
+    core.select(col("u").as("node")).unionAll(core.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .orderBy("node")
+  }
+
   /** Large-star/small-star connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC 2014) —
     * the O(log n)-round alternative to min-label propagation
@@ -1634,5 +1719,5 @@ object Analytics {
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
-    q78WindowDistinct, statsLinreg, statsAnova)
+    q78WindowDistinct, statsLinreg, statsAnova, graphKcore)
 }

@@ -679,6 +679,48 @@ class AnalyticsSpec extends SparkSuite {
       s"op $chi2op vs driver $chi2drv")
   }
 
+  test("k-core equals a sequential peel recompute; peeling genuinely bites") {
+    val got = Analytics.graphKcore.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential peel from the same derived bipartite graph
+    val edges0 = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"))
+      .collect().map(r => (r.getLong(0), 1000000000L + r.getLong(1))).distinct
+    var e = edges0.toSet
+    var changed = true
+    while (changed) {
+      val deg = e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val bad = deg.filter(_._2 < 4).keySet
+      changed = bad.nonEmpty
+      e = e.filter(p => !bad(p._1) && !bad(p._2))
+    }
+    val want = e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.values.forall(_ >= 4))
+    // the peel must remove something, or the op is a no-op filter
+    val before = edges0.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(got.size < before, "fixture never peels")
+  }
+
+  test("k-core cascade: a planted chain peels over multiple rounds; non-convergence fails loudly") {
+    import spark.implicits._
+    // 5-cycle with a 4-node tail: the 2-core is exactly the cycle, and
+    // peeling consumes the tail one node per round (4 cascade rounds)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+    val tail = Seq((5L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val edges = (cycle ++ tail).toDF("u", "v")
+    val core = Analytics.kCore(edges, k = 2, maxRounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core == cycle.toSet, s"2-core should be the cycle, got $core")
+    // one round fewer than the cascade needs → loud failure, never a
+    // silently-unconverged result
+    intercept[IllegalArgumentException] {
+      Analytics.kCore(edges, k = 2, maxRounds = 3).collect()
+    }
+  }
+
   test("graph_components property: star labels equal propagation labels on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

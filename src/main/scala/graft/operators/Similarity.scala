@@ -1469,8 +1469,101 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Exact GRAM/COVARIANCE matrix of the embedding corpus (round 10 —
+    * the d×d second-moment statistic under PCA, whitening, OPQ
+    * rotation training and low-rank compression: every "rotate the
+    * space before quantizing" method starts from exactly this matrix;
+    * `vec_profile` is its diagonal): upper triangle of
+    * cov(i,j) = (n·G_ij − S_i·S_j)/n² in original units, where
+    * G_ij = Σ q_i·q_j and S_i = Σ q_i over the fixed-point
+    * integerization q = floor(x·2²⁰ + 0.5) — the established exact
+    * kernel (order-free integer sums, deterministic under ANY
+    * partitioning), so the oracle replays every cell bit-for-bit and
+    * all float math happens once, after the reduction.
+    *
+    * Scale (100 TB, ~10 B × 64-float vectors): the outer-product
+    * accumulation runs in-partition via mapPartitions (one d(d+1)/2
+    * long array per partition — the treeAggregate shape; a
+    * posexplode² pairing would blow every vector into 2,080 rows and
+    * shuffle the corpus ×2080), so the shuffle carries
+    * partitions × 2,145 cells, independent of corpus size; partial
+    * cells then hash-aggregate as DECIMAL(38,0) (a raw long total
+    * would overflow past ~2⁵³ rows·2⁴²) and the 2,080-row aggregate
+    * joins the 64-row sums + 1-row count — all metadata-sized. */
+  val vecGram: Op = Op.sql("vec_gram",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT e.vec_id, g.pos - 1 AS i,
+       |        CAST(floor(e.v[g.pos] * 1048576.0 + 0.5) AS BIGINT) AS qx
+       |      FROM e CROSS JOIN generate_series(1, $Dim) g(pos)),
+       |s AS (SELECT i, CAST(sum(qx) AS DECIMAL(38,0)) AS si FROM q GROUP BY i),
+       |n AS (SELECT count(*) AS n FROM e),
+       |g AS (SELECT a.i AS dim_i, b.i AS dim_j,
+       |        CAST(sum(a.qx * b.qx) AS DECIMAL(38,0)) AS gram
+       |      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |      GROUP BY 1, 2)
+       |SELECT g.dim_i, g.dim_j, CAST(g.gram AS DOUBLE) AS gram_q,
+       |  round((CAST(n.n AS DOUBLE) * CAST(g.gram AS DOUBLE)
+       |         - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE))
+       |        / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE))
+       |        / (1048576.0 * 1048576.0), 10) AS cov
+       |FROM g
+       |JOIN s sa ON sa.i = g.dim_i
+       |JOIN s sb ON sb.i = g.dim_j
+       |CROSS JOIN n
+       |ORDER BY dim_i, dim_j""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = Dim
+    val nPairs = d * (d + 1) / 2
+    val parts = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val gram = new Array[Long](nPairs)
+        val sums = new Array[Long](d)
+        var n = 0L
+        val q = new Array[Long](d)
+        it.foreach { case (_, embv) =>
+          var i = 0
+          while (i < d) {
+            q(i) = math.floor(embv(i).toDouble * 1048576.0 + 0.5).toLong
+            i += 1
+          }
+          var idx = 0
+          i = 0
+          while (i < d) {
+            sums(i) += q(i)
+            var j = i
+            while (j < d) { gram(idx) += q(i) * q(j); idx += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator((n, sums.toSeq, gram.toSeq))
+      }.toDF("pn", "psums", "pgram")
+    // exact decimal cell totals from the per-partition partials
+    val nRow = parts.agg(sum(col("pn")).cast("long").as("n"))
+    val sTot = parts.select(posexplode(col("psums")).as(Seq("i", "p")))
+      .groupBy("i").agg(sum(col("p").cast("decimal(38,0)")).as("si"))
+    val gTot = parts.select(posexplode(col("pgram")).as(Seq("idx", "p")))
+      .groupBy("idx").agg(sum(col("p").cast("decimal(38,0)")).as("gram"))
+    // triangular index → (i, j), constant 2,080-row metadata
+    val pairs = (0 until d).flatMap(i => (i until d).map(j =>
+      (i * d - i * (i - 1) / 2 + (j - i), i, j))).toDF("idx", "dim_i", "dim_j")
+    val nD = col("n").cast("double")
+    gTot.join(broadcast(pairs), "idx")
+      .join(broadcast(sTot.select(col("i").as("dim_i"), col("si").as("sa"))), "dim_i")
+      .join(broadcast(sTot.select(col("i").as("dim_j"), col("si").as("sb"))), "dim_j")
+      .crossJoin(broadcast(nRow))
+      .select(col("dim_i").cast("long").as("dim_i"),
+        col("dim_j").cast("long").as("dim_j"),
+        col("gram").cast("double").as("gram_q"),
+        round((nD * col("gram").cast("double")
+            - col("sa").cast("double") * col("sb").cast("double"))
+          / (nD * nD) / lit(1048576.0 * 1048576.0), 10).as("cov"))
+      .orderBy("dim_i", "dim_j")
+  }
+
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
     annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered,
     annHardNegatives, annIvfAppend, annRangeSearch, annRecallEval,
-    annSq8, annBinary, annCentroidDrift)
+    annSq8, annBinary, annCentroidDrift, vecGram)
 }

@@ -473,4 +473,47 @@ class AnnSpec extends SparkSuite {
     assert(rows.forall(r => expected.getOrElse(r._1, 0) == r._2),
       "n_hits diverges from the published ops' intersection")
   }
+
+  test("vec_gram: exact BigInt driver recompute matches bit-for-bit; diagonal = covar_pop") {
+    val got = Similarity.vecGram.run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    val d = Similarity.Dim
+    assert(got.size == d * (d + 1) / 2)
+    // sequential exact recompute: same fixed-point integerization,
+    // arbitrary-precision sums, the identical final IEEE tree
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).toArray.map(x =>
+        math.floor(x.toDouble * 1048576.0 + 0.5).toLong))
+    val n = vecs.length.toLong
+    val sums = Array.fill(d)(BigInt(0))
+    val gram = scala.collection.mutable.Map.empty[(Int, Int), BigInt].withDefaultValue(BigInt(0))
+    vecs.foreach { q =>
+      (0 until d).foreach { i =>
+        sums(i) += q(i)
+        (i until d).foreach(j => gram((i, j)) += BigInt(q(i)) * q(j))
+      }
+    }
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until d).foreach { i =>
+      (i until d).foreach { j =>
+        val (gq, cov) = got((i.toLong, j.toLong))
+        assert(gq == gram((i, j)).toDouble, s"gram($i,$j)")
+        val want = r10((n.toDouble * gram((i, j)).toDouble
+          - sums(i).toDouble * sums(j).toDouble)
+          / (n.toDouble * n.toDouble) / (1048576.0 * 1048576.0))
+        assert(cov == want, s"cov($i,$j): $cov vs $want")
+      }
+    }
+    // variances are non-negative and the matrix is genuinely non-degenerate
+    assert((0 until d).forall(i => got((i.toLong, i.toLong))._2 >= 0.0))
+    assert(got.exists(_._2._2 != 0.0))
+    // cross-check a few cells against Spark's builtin covar_pop (float
+    // path — agreement within the quantization grain)
+    val builtin = emb
+      .select(element_at(col("v"), 1).as("x0"), element_at(col("v"), 2).as("x1"))
+      .agg(covar_pop(col("x0"), col("x1"))).head().getDouble(0)
+    assert(math.abs(got((0L, 1L))._2 - builtin) < 1e-5,
+      s"cov(0,1) ${got((0L, 1L))._2} vs builtin $builtin")
+  }
 }

@@ -227,6 +227,7 @@ class SqlParitySpec extends SparkSuite {
     "q78_window_distinct" -> "epoch_us() + DISTINCT window aggregate (Spark analyzer rejects)",
     "stats_anova" -> "list_reduce lambda + list(x ORDER BY g)",
     "mm_shard_manifest" -> "// integer division",
+    "vec_gram" -> "::DOUBLE[] cast + generate_series table function",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -33,6 +33,27 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** The same fold over plain arrays — for executor-local sequential
+    * loops (ann_mmr's greedy re-rank). MUST stay in lockstep with the
+    * ArrayData overload: the oracle equality of every cosine-based op
+    * rests on this exact accumulation order. */
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i)
+      val y = b(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] =

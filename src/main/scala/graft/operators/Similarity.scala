@@ -1469,6 +1469,126 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** MMR diversification weight and shortlist size. */
+  val MmrShortlist = 25
+
+  /** One unrolled greedy-selection round of the MMR oracle: score
+    * every not-yet-selected shortlist candidate as
+    * λ·rel − (1−λ)·max-sim-to-selected, take the per-query argmax
+    * (ties to the smaller id — the same comparator the executor-local
+    * greedy uses). */
+  private def mmrStepSql(t: Int): String =
+    s"""p$t AS (
+       |  SELECT c.qid, c.cid, c.rel, c.v,
+       |    0.7 * c.rel - 0.3 * max(list_cosine_similarity(c.v, s.v)) AS score
+       |  FROM cand c JOIN sel${t - 1} s ON s.qid = c.qid
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+       |                    WHERE x.qid = c.qid AND x.cid = c.cid)
+       |  GROUP BY c.qid, c.cid, c.rel, c.v),
+       |s$t AS (SELECT qid, cid, rel, v, $t AS rank, score FROM p$t
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) = 1),
+       |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+
+  /** The executor-local MMR greedy over one query's shortlist:
+    * returns (rank, id, score). Exactly the comparator and IEEE tree
+    * of the unrolled SQL oracle — score strictly greater wins, equal
+    * scores go to the smaller id. Package-visible so the spec can
+    * drive planted fixtures through the IDENTICAL code path. */
+  private[graft] def mmrGreedy(cands: Array[(Long, Double, Array[Double])],
+                               k: Int): Seq[(Int, Long, Double)] = {
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val used = scala.collection.mutable.Set.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    var rank = 1
+    while (rank <= k && used.size < cands.length) {
+      var bestId = -1L
+      var bestScore = 0.0
+      var bestV: Array[Double] = null
+      var any = false
+      cands.foreach { case (cid, rel, v) =>
+        if (!used.contains(cid)) {
+          val ms =
+            if (selected.isEmpty) 0.0
+            else selected.iterator
+              .map(sv => graft.functions.VectorKernels.cosine(v, sv._2)).max
+          val score = 0.7 * rel - 0.3 * ms
+          if (!any || score > bestScore ||
+              (score == bestScore && cid < bestId)) {
+            any = true; bestId = cid; bestScore = score; bestV = v
+          }
+        }
+      }
+      used += bestId
+      selected += ((bestId, bestV))
+      out += ((rank, bestId, bestScore))
+      rank += 1
+    }
+    out.toSeq
+  }
+
+  /** MMR-DIVERSIFIED top-k (round 10; Carbonell & Goldstein 1998 —
+    * the re-rank every retrieval-for-training pipeline runs when raw
+    * top-k returns five near-copies of one document: maximal marginal
+    * relevance trades relevance against redundancy, score =
+    * λ·rel − (1−λ)·max-sim-to-already-selected, λ=0.7): per query,
+    * greedy-select [[TopK]] results from the brute [[MmrShortlist]]
+    * shortlist. The shortlist stage IS the ann_topk_brute plan
+    * (broadcast queries, ONE corpus scan, per-query partial top-k);
+    * the greedy stage is genuinely SEQUENTIAL (each pick changes the
+    * next pick's scores), so it runs executor-local per query group
+    * over the L-row shortlist via flatMapGroups — O(K·L·d) per query,
+    * driver-free, the mapGroups shape `mapGroupsWithState` streaming
+    * uses. Every float comes from the SAME IEEE tree on both engines
+    * (the shared cosine fold, 0.7/0.3 literals, ties to smaller id),
+    * so the oracle — the same greedy unrolled as [[TopK]] chained
+    * argmax CTEs — replays the selection bit-for-bit.
+    *
+    * Scale (10 B vectors): diversification cost is per-QUERY and
+    * bounded by L, independent of corpus size; the corpus-sized work
+    * is the shortlist scan, which composes with the IVF/PQ pruned
+    * layouts exactly like the kNN vote. */
+  val annMmr: Op = Op.sql("ann_mmr",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < $NumQueries),
+       |cand AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, e.vec_id AS cid,
+       |         list_cosine_similarity(q.v, e.v) AS rel, e.v AS v
+       |  FROM q JOIN e ON q.vec_id <> e.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) <= $MmrShortlist),
+       |sel1 AS MATERIALIZED (
+       |  SELECT qid, cid, rel, v, 1 AS rank, 0.7 * rel AS score FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY 0.7 * rel DESC, cid) = 1),
+       |${(2 to TopK).map(mmrStepSql).mkString(",\n")}
+       |SELECT qid AS query_id, rank, cid AS neighbor_id,
+       |  round(score, 6) AS mmr_score
+       |FROM sel$TopK ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+    val cand = e.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("rel", cosine(col("q.v"), col("c.v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("rel").desc, col("c.vec_id"))))
+      .filter(col("rn") <= MmrShortlist)
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
+        col("rel"), col("c.v").as("cv"))
+    val picked = cand.as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        mmrGreedy(it.map { case (_, cid, rel, v) => (cid, rel, v.toArray) }.toArray,
+            TopK)
+          .map { case (rank, cid, score) => (qid, rank, cid, score) }.iterator
+      }
+      .toDF("query_id", "rank", "neighbor_id", "score")
+    picked
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("mmr_score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact GRAM/COVARIANCE matrix of the embedding corpus (round 10 —
     * the d×d second-moment statistic under PCA, whitening, OPQ
     * rotation training and low-rank compression: every "rotate the
@@ -1565,5 +1685,5 @@ object Similarity {
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
     annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered,
     annHardNegatives, annIvfAppend, annRangeSearch, annRecallEval,
-    annSq8, annBinary, annCentroidDrift, vecGram)
+    annSq8, annBinary, annCentroidDrift, vecGram, annMmr)
 }

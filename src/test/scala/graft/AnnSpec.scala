@@ -474,6 +474,42 @@ class AnnSpec extends SparkSuite {
       "n_hits diverges from the published ops' intersection")
   }
 
+  test("MMR equals a sequential recompute over the shortlist; a planted near-dup pair diversifies") {
+    import graft.functions.VectorKernels.cosine
+    val got = Similarity.annMmr.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.length == Similarity.TopK))
+    // independent recompute: rebuild each query's shortlist and run
+    // the greedy sequentially from raw vectors
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qids = vecs.keys.filter(_ < Similarity.NumQueries).toSeq.sorted
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = qids.flatMap { qid =>
+      val shortlist = vecs.toSeq.filter(_._1 != qid)
+        .map { case (cid, v) => (cid, cosine(vecs(qid), v), v) }
+        .sortBy { case (cid, rel, _) => (-rel, cid) }
+        .take(Similarity.MmrShortlist).toArray
+      Similarity.mmrGreedy(shortlist, Similarity.TopK)
+        .map { case (rank, cid, score) => (qid, rank, cid, r6(score)) }
+    }
+    assert(got.toSeq.sorted == want.sorted)
+    // planted fixture: two near-identical high-rel vectors + one
+    // orthogonal-ish lower-rel third. Plain top-2 takes both copies;
+    // MMR must swap the redundant copy for the diverse candidate.
+    val a = Array(1.0, 0.0, 0.05, 0.0)
+    val aCopy = Array(0.999, 0.001, 0.05, 0.0)
+    val ortho = Array(0.0, 1.0, 0.0, 0.05)
+    val q = Array(0.75, 0.66, 0.0, 0.0)
+    val cands = Array(
+      (1L, cosine(q, a), a), (2L, cosine(q, aCopy), aCopy),
+      (3L, cosine(q, ortho), ortho))
+    val byRel = cands.sortBy(c => (-c._2, c._1)).take(2).map(_._1).toSet
+    assert(byRel == Set(1L, 2L), "fixture: plain top-2 should be the two copies")
+    val mmr = Similarity.mmrGreedy(cands, 2).map(_._2).toSet
+    assert(mmr.contains(3L) && (mmr & Set(1L, 2L)).size == 1,
+      s"MMR should keep one copy and swap in the diverse candidate, got $mmr")
+  }
+
   test("vec_gram: exact BigInt driver recompute matches bit-for-bit; diagonal = covar_pop") {
     val got = Similarity.vecGram.run(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap

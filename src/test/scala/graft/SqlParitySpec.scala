@@ -228,6 +228,7 @@ class SqlParitySpec extends SparkSuite {
     "stats_anova" -> "list_reduce lambda + list(x ORDER BY g)",
     "mm_shard_manifest" -> "// integer division",
     "vec_gram" -> "::DOUBLE[] cast + generate_series table function",
+    "ann_mmr" -> "::DOUBLE[] cast + QUALIFY + list_cosine_similarity + MATERIALIZED CTEs",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -285,8 +285,39 @@ object Streaming {
       .orderBy("doc_id")
   }
 
+  /** Batch-backfill + streaming-tail SEAM (round 10; the lambda→kappa
+    * cutover every migrating pipeline runs: history recomputed in
+    * batch, the live tail maintained by a stream, ONE served view):
+    * per-user totals composed from [[graft.streaming.Streams.backfillAgg]]
+    * (event_id ≤ the 80% seam) and [[graft.streaming.Streams.tailAgg]]
+    * (strictly above it — the tail FILTERS pre-seam redeliveries
+    * before any state, so at-least-once replay across the cutover can
+    * never double-count, structurally). Both halves are order-free
+    * exact-decimal aggregates, so stream == batch under any arrival
+    * interleaving; the serve join is keyed on user over two
+    * aggregate-sized sides. The oracle is the straight per-user
+    * aggregate with CASE provenance columns — equality PROVES the
+    * seam neither drops nor double-counts any row; StreamingSpec
+    * drives the tail as a real file stream WITH planted pre-seam
+    * redeliveries. */
+  val streamBackfillMerge: Op = Op.sql("stream_backfill_merge",
+    """WITH mx AS (SELECT CAST(floor(max(event_id) * 0.8) AS BIGINT) AS cut FROM events)
+      |SELECT user_id,
+      |  count(CASE WHEN event_id <= cut THEN 1 END) AS n_backfill,
+      |  count(CASE WHEN event_id > cut THEN 1 END) AS n_tail,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events, mx GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events")
+    val cut = e.agg(org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.max("event_id") * 0.8).cast("bigint"))
+      .head().getLong(0)
+    Streams.backfillServe(Streams.backfillAgg(e, cut), Streams.tailAgg(e, cut))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
     streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
     streamDrift, streamIvfAssign, streamMinhashDedup, streamContamination,
-    streamQualityMonitor, streamRetention)
+    streamQualityMonitor, streamRetention, streamBackfillMerge)
 }

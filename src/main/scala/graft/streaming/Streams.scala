@@ -423,6 +423,49 @@ object Streams {
     docsDf.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(explode(ngramArray).as("ng")).distinct()
 
+  /** BACKFILL half of the batch+stream seam ([[tailAgg]]'s sibling —
+    * together the lambda/kappa unification every migrating pipeline
+    * runs: history served from a batch recompute, the live tail from
+    * a stream, one view over both): the per-user aggregate of the
+    * historical log at or below the seam. State is exact DECIMAL so
+    * composition with the tail is an equality, not an approximation
+    * (the matview rule). */
+  def backfillAgg(events: DataFrame, cut: Long): DataFrame =
+    events.filter(col("event_id") <= cut)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_backfill"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_backfill"))
+
+  /** STREAMING tail half: the same aggregate over rows STRICTLY above
+    * the seam — the filter runs before any state, so at-least-once
+    * redelivery of pre-seam rows across the cutover (the classic
+    * double-count bug in lambda architectures) is dropped
+    * structurally, not by dedup state. Aggregates are order-free
+    * (count, exact decimal sum), so stream == batch under any arrival
+    * interleaving; state is one (count, decimal) pair per user. */
+  def tailAgg(events: DataFrame, cut: Long): DataFrame =
+    events.filter(col("event_id") > cut)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_tail"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_tail"))
+
+  /** Read-time composition of backfill + tail into the served view:
+    * FULL OUTER on the key (a user may exist on either side only),
+    * exact decimal addition, double only at the output boundary. Both
+    * sides are |users|-proportional aggregates — keyed shuffle join,
+    * never a driver build (the retentionRead pin). */
+  def backfillServe(backfill: DataFrame, tail: DataFrame): DataFrame = {
+    val zero = lit(0).cast("decimal(22,2)")
+    backfill.join(tail.hint("shuffle_hash"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_backfill"), lit(0L)).as("n_backfill"),
+        coalesce(col("n_tail"), lit(0L)).as("n_tail"),
+        (coalesce(col("n_backfill"), lit(0L)) +
+          coalesce(col("n_tail"), lit(0L))).as("n_events"),
+        (coalesce(col("sum_backfill"), zero) + coalesce(col("sum_tail"), zero))
+          .cast("double").as("sum_value"))
+  }
+
   def ivfAssignCounts(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
     vecs.withColumn("cell", graft.operators.Similarity.cellExpr(
         typedLit(centroids), col("v")))

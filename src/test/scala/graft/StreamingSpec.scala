@@ -535,4 +535,34 @@ class StreamingSpec extends SparkSuite {
       ratio >= 0.0 && ratio <= 1.0 && r.getLong(2) <= r.getLong(1)
     })
   }
+
+  test("stream_backfill_merge: the tail streams with planted pre-seam redeliveries and the seam never double-counts") {
+    val e = Tables.load(spark, sfDir, "events").cache()
+    val cut = e.agg(floor(max("event_id") * 0.8).cast("bigint")).head().getLong(0)
+    val src = Files.createTempDirectory("backfill_stream").toString
+    val tailRows = e.filter(col("event_id") > cut)
+    // batch 1: first half of the tail PLUS replayed pre-seam rows —
+    // the at-least-once redelivery a cutover produces; batch 2: rest
+    val mid = e.agg(max("event_id")).head().getLong(0) - (e.agg(max("event_id"))
+      .head().getLong(0) - cut) / 2
+    val replayed = e.filter(col("event_id") > cut - 50 && col("event_id") <= cut)
+    assert(replayed.count() > 0, "fixture must actually replay pre-seam rows")
+    tailRows.filter(col("event_id") <= mid).unionByName(replayed)
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    tailRows.filter(col("event_id") > mid)
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = Streams.runFileStream(spark, src, e, Streams.tailAgg(_, cut), "tail_sink")
+    q.processAllAvailable()
+    q.stop()
+    val served = Streams.backfillServe(
+        Streams.backfillAgg(e, cut), spark.table("tail_sink"))
+      .orderBy("user_id").collect()
+    val batch = SparkEntry.queries("stream_backfill_merge")(spark, sfDir).collect()
+    assert(served.toSeq == batch.toSeq,
+      "streamed backfill+tail seam diverges from the straight batch aggregate")
+    assert(served.nonEmpty)
+    // the seam genuinely split the data: both sides contribute somewhere
+    assert(served.exists(_.getLong(1) > 0) && served.exists(_.getLong(2) > 0))
+  }
 }

@@ -1313,6 +1313,98 @@ object Analytics {
       (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"))
   }
 
+  /** Poisson(1) inverse-CDF thresholds as floor(cdf(k)·2⁶⁴) for
+    * k = 0..8: a draw's weight = how many thresholds its unsigned
+    * 64-bit hash clears (clearing all nine ⟹ weight 9, the capped
+    * tail — P ≈ 1.1e-6 per draw, the truncation every practical
+    * Poisson sampler applies). Exact integers, so the weight is a
+    * pure integer comparison on both engines — no float boundary. */
+  private[graft] val PoissonT: Seq[BigInt] = Seq(
+    "6786177901268885274", "13572355802537770549", "16965444753172213186",
+    "18096474403383694065", "18379231815936564285", "18435783298447138329",
+    "18445208545532234003", "18446555009401533385", "18446723317385195808"
+  ).map(BigInt(_))
+
+  val BootReps = 20
+
+  /** POISSON BOOTSTRAP standard errors per event type (round 10;
+    * Chamandy et al. 2012 — THE distributed bootstrap: classic
+    * resampling draws n rows with replacement, which is inherently
+    * sequential, while the Poisson approximation gives every row an
+    * independent Poisson(1) multiplicity per replicate — one scan, no
+    * global coordination, exactly how uncertainty is estimated over
+    * data too big to resample). Each (row, replicate) weight derives
+    * from the seeded `xxhash64(event_id, b)` through the exact
+    * integer thresholds [[PoissonT]] (unsigned compare via the
+    * sign-bit-xor map on the Spark side; the oracle replays Spark's
+    * chained XXH64 in HUGEINT and compares unsigned directly — the
+    * count-min / epoch-order pattern). Replicate means are exact
+    * decimal sums ÷ integer weight totals; the across-replicate
+    * mean/SE run as ordered folds in b order (the ANOVA/RAKE fold
+    * identity), so the whole report is bit-exact.
+    *
+    * Scale (100 TB): one fact scan with a constant ×B in-partition
+    * expansion, map-side-partial to |types|·B rows; the folds run on
+    * a B-row frame per type. The classic bootstrap's n× resample I/O
+    * never happens — that asymmetry is the op's reason to exist. */
+  val statsBootstrap: Op = Op.sql("stats_bootstrap", {
+    import SqlReplay.{stagedSql, hashLongStages}
+    val staged = stagedSql(
+      "SELECT event_type, CAST(\"value\" AS DECIMAL(12,2)) AS v, " +
+        "CAST(event_id AS HUGEINT) AS ik, CAST(b AS HUGEINT) AS bk, b " +
+        s"FROM events, unnest([${(0 until BootReps).mkString(", ")}]) AS t(b)",
+      hashLongStages("ik", "42::HUGEINT", "s1") ++ hashLongStages("bk", "s1", "h"))
+    val w = PoissonT.map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH rep AS (
+       |  SELECT event_type, b, CAST(sum(w) AS BIGINT) AS nw, sum(w * v) AS sv
+       |  FROM (SELECT *, $w AS w FROM ($staged)) GROUP BY 1, 2),
+       |m AS (SELECT event_type, b, CAST(sv AS DOUBLE) / nw AS m FROM rep),
+       |summ AS (
+       |  SELECT event_type, count(*) AS n_reps,
+       |    list_reduce(list(m ORDER BY b), (a, c) -> a + c) AS sm,
+       |    list_reduce(list(m * m ORDER BY b), (a, c) -> a + c) AS sm2
+       |  FROM m GROUP BY 1),
+       |f AS (SELECT event_type, count(*) AS n,
+       |        CAST(sum(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS svf
+       |      FROM events GROUP BY 1)
+       |SELECT f.event_type, f.n, round(f.svf / f.n, 6) AS mean,
+       |  s.n_reps, round(s.sm / s.n_reps, 6) AS boot_mean,
+       |  round(sqrt((s.sm2 - s.sm * s.sm / s.n_reps) / (s.n_reps - 1)), 6) AS boot_se
+       |FROM f JOIN summ s USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val gh = col("h").bitwiseXOR(lit(Long.MinValue))
+    val w = PoissonT.map(tU =>
+        when(gh >= lit((tU - BigInt(2).pow(63)).toLong), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rep = ev
+      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"),
+        col("event_id"))
+      .withColumn("b", explode(typedLit((0 until BootReps).map(_.toLong))))
+      .withColumn("h", xxhash64(col("event_id"), col("b")))
+      .withColumn("w", w)
+      .groupBy("event_type", "b")
+      .agg(sum(col("w")).cast("long").as("nw"), sum(col("w") * col("v")).as("sv"))
+    val m = rep.select(col("event_type"), col("b"),
+      (col("sv").cast("double") / col("nw")).as("m"))
+    def fold(x: Column) = aggregate(
+      transform(array_sort(collect_list(struct(col("b"), x.as("x")))),
+        r => r.getField("x")),
+      lit(0.0), (a, c) => a + c)
+    val summ = m.groupBy("event_type").agg(count(lit(1)).as("n_reps"),
+      fold(col("m")).as("sm"), fold(col("m") * col("m")).as("sm2"))
+    val full = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(12,2)")).cast("double").as("svf"))
+    full.join(summ, "event_type")
+      .select(col("event_type"), col("n"), round(col("svf") / col("n"), 6).as("mean"),
+        col("n_reps"), round(col("sm") / col("n_reps"), 6).as("boot_mean"),
+        round(sqrt((col("sm2") - col("sm") * col("sm") / col("n_reps"))
+          / (col("n_reps") - 1)), 6).as("boot_se"))
+      .orderBy("event_type")
+  }
+
   /** First-order MARKOV TRANSITION MATRIX over per-user event
     * sequences (the session-flow model behind next-event prediction
     * and funnel diagnostics): count and row-normalized probability of
@@ -1719,5 +1811,5 @@ object Analytics {
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
-    q78WindowDistinct, statsLinreg, statsAnova, graphKcore)
+    q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap)
 }

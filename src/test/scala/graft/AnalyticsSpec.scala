@@ -601,6 +601,51 @@ class AnalyticsSpec extends SparkSuite {
     assert(f > 0.0 && k >= 3, "fixture must exercise a real k-group split")
   }
 
+  test("Poisson bootstrap: sequential recompute from the hashes matches bit-for-bit; SE is calibrated") {
+    val got = Analytics.statsBootstrap.run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // hashes via the same Spark kernel; everything downstream —
+    // thresholds, weights, exact sums, folds — recomputed sequentially
+    val B = Analytics.BootReps
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"),
+        col("event_id"))
+      .withColumn("b", explode(typedLit((0 until B).map(_.toLong))))
+      .withColumn("h", xxhash64(col("event_id"), col("b")))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)), r.getLong(3), r.getLong(4)))
+    val tSigned = Analytics.PoissonT.map(t => (t - BigInt(2).pow(63)).toLong)
+    def weight(h: Long): Long = tSigned.count(t => (h ^ Long.MinValue) >= t).toLong
+    rows.groupBy(_._1).foreach { case (ty, xs) =>
+      val (n, mean, nReps, bootMean, bootSe) = got(ty)
+      assert(n == xs.length.toLong / B && nReps == B.toLong)
+      val reps = xs.groupBy(_._3).toSeq.sortBy(_._1).map { case (_, ys) =>
+        val nw = ys.map(y => weight(y._4)).sum
+        val sv = ys.map(y => y._2 * BigDecimal(weight(y._4))).sum
+        sv.toDouble / nw
+      }
+      val sm = reps.foldLeft(0.0)(_ + _)
+      val sm2 = reps.map(m => m * m).foldLeft(0.0)(_ + _)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(bootMean == r6(sm / B), s"$ty boot_mean")
+      assert(bootSe == r6(math.sqrt((sm2 - sm * sm / B) / (B - 1))), s"$ty boot_se")
+      // distinct per-replicate weights actually vary (0 and >1 occur)
+      val ws = xs.map(y => weight(y._4))
+      assert(ws.contains(0L) && ws.exists(_ > 1L), s"$ty: degenerate weights")
+      // calibration: the bootstrap SE approximates sd/sqrt(n)
+      val vals = xs.filter(_._3 == 0L).map(_._2.toDouble)
+      val mu = vals.sum / vals.length
+      val classical = math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum /
+        (vals.length - 1) / vals.length)
+      assert(bootSe > classical / 3 && bootSe < classical * 3,
+        s"$ty: boot_se $bootSe vs classical $classical")
+      assert(math.abs(bootMean - mean) < 6 * classical, s"$ty: boot_mean far from mean")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("running windowed distinct equals a sequential per-user scan") {
     val got = Analytics.q78WindowDistinct.run(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

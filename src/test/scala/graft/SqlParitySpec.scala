@@ -229,6 +229,7 @@ class SqlParitySpec extends SparkSuite {
     "mm_shard_manifest" -> "// integer division",
     "vec_gram" -> "::DOUBLE[] cast + generate_series table function",
     "ann_mmr" -> "::DOUBLE[] cast + QUALIFY + list_cosine_similarity + MATERIALIZED CTEs",
+    "stats_bootstrap" -> "HUGEINT xxh64-hashLong replay + unnest() + list_reduce lambda",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -1659,6 +1659,11 @@ object Similarity {
         }
         if (n == 0) Iterator.empty else Iterator((n, sums.toSeq, gram.toSeq))
       }.toDF("pn", "psums", "pgram")
+      // eager checkpoint: three aggregates consume the partials below,
+      // and without it each one re-runs the corpus outer-product pass
+      // (4 full scans at 100 TB). The checkpoint is partitions×2,145
+      // longs — metadata-sized.
+      .localCheckpoint(true)
     // exact decimal cell totals from the per-partition partials
     val nRow = parts.agg(sum(col("pn")).cast("long").as("n"))
     val sTot = parts.select(posexplode(col("psums")).as(Seq("i", "p")))

@@ -494,4 +494,63 @@ class PlanAuditSpec extends SparkSuite {
         s"$q: query codes must broadcast:\n$p")
     }
   }
+
+  test("backfill seam: the serve join over two user-sized aggregates stays keyed") {
+    // both sides are |users|-proportional aggregate outputs — the
+    // same trap class as retention; a broadcast OOMs at 10 B users
+    val p = plan("stream_backfill_merge")
+    assert(p.contains("ShuffledHashJoin"),
+      s"backfill serve join is not a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a user-sized side broadcast in the serve join:\n$p")
+  }
+
+  test("shard manifest: the packing window is bucket-partitioned, never a global sort") {
+    val p = plan("mm_shard_manifest")
+    assert(p.contains("Window"), "no window operator")
+    // the window partitions on (mime, bucket) — its exchange is a
+    // hashpartitioning on those keys, not a singleton/range partition
+    assert(p.contains("hashpartitioning(mime"),
+      s"packing window is not bucket-hash-partitioned:\n$p")
+  }
+
+  test("vec_gram: ONE corpus pass — the partials checkpoint feeds all three aggregates") {
+    val p = plan("vec_gram")
+    // after the eager checkpoint the plan must read the materialized
+    // partials RDD, not re-run the mapPartitions outer product per
+    // consumer (4 corpus scans at 100 TB)
+    assert(!p.contains("Scan parquet"),
+      s"vec_gram re-scans the corpus downstream of the partials:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+      s"aggregates do not share the checkpointed partials:\n$p")
+  }
+
+  test("ann_mmr: shortlist is the brute plan (broadcast queries, partial top-k)") {
+    val p = plan("ann_mmr")
+    assert(p.contains("WindowGroupLimit"),
+      s"shortlist rank is not partial per partition:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+  }
+
+  test("k-core peel round: the dropped-node anti joins stay shuffled, never driver builds") {
+    // the drop set is graph-proportional — the same class as the
+    // banded dedup self-joins. kCore checkpoints each round, so audit
+    // one round's join plan directly through the same code path.
+    import org.apache.spark.sql.functions._
+    val edges = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("u"),
+        (lit(1000000000L) + col("l_suppkey")).cast("long").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d")).hint("shuffle_hash")
+    val bad = deg.filter(col("d") < 4).select("n")
+    val round = edges
+      .join(bad.withColumnRenamed("n", "u").hint("shuffle_hash"), Seq("u"), "left_anti")
+      .join(bad.withColumnRenamed("n", "v").hint("shuffle_hash"), Seq("v"), "left_anti")
+    val p = round.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("ShuffledHashJoin LeftAnti".r.findAllIn(p).size == 2,
+      s"peel anti joins are not shuffled hash joins:\n$p")
+  }
 }

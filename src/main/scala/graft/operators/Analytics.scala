@@ -1665,20 +1665,20 @@ object Analytics {
     * rounds are bounded by the contract, and real web-graph peels run
     * O(tens) of rounds of exactly this per-round plan. */
   val graphKcore: Op = Op.sql("graph_kcore",
-    """WITH g0 AS (
+    """WITH g0 AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS u, 1000000000 + l_suppkey AS v FROM lineitem),
-      |d0 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g0 UNION ALL SELECT v AS n FROM g0) GROUP BY n),
-      |b0 AS (SELECT n FROM d0 WHERE d < 4),
-      |g1 AS (SELECT u, v FROM g0 WHERE u NOT IN (SELECT n FROM b0) AND v NOT IN (SELECT n FROM b0)),
-      |d1 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g1 UNION ALL SELECT v AS n FROM g1) GROUP BY n),
-      |b1 AS (SELECT n FROM d1 WHERE d < 4),
-      |g2 AS (SELECT u, v FROM g1 WHERE u NOT IN (SELECT n FROM b1) AND v NOT IN (SELECT n FROM b1)),
-      |d2 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g2 UNION ALL SELECT v AS n FROM g2) GROUP BY n),
-      |b2 AS (SELECT n FROM d2 WHERE d < 4),
-      |g3 AS (SELECT u, v FROM g2 WHERE u NOT IN (SELECT n FROM b2) AND v NOT IN (SELECT n FROM b2)),
-      |d3 AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g3 UNION ALL SELECT v AS n FROM g3) GROUP BY n),
-      |b3 AS (SELECT n FROM d3 WHERE d < 4),
-      |g4 AS (SELECT u, v FROM g3 WHERE u NOT IN (SELECT n FROM b3) AND v NOT IN (SELECT n FROM b3))
+      |d0 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g0 UNION ALL SELECT v AS n FROM g0) GROUP BY n),
+      |b0 AS MATERIALIZED (SELECT n FROM d0 WHERE d < 4),
+      |g1 AS MATERIALIZED (SELECT u, v FROM g0 g WHERE NOT EXISTS (SELECT 1 FROM b0 x WHERE x.n = g.u) AND NOT EXISTS (SELECT 1 FROM b0 y WHERE y.n = g.v)),
+      |d1 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g1 UNION ALL SELECT v AS n FROM g1) GROUP BY n),
+      |b1 AS MATERIALIZED (SELECT n FROM d1 WHERE d < 4),
+      |g2 AS MATERIALIZED (SELECT u, v FROM g1 g WHERE NOT EXISTS (SELECT 1 FROM b1 x WHERE x.n = g.u) AND NOT EXISTS (SELECT 1 FROM b1 y WHERE y.n = g.v)),
+      |d2 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g2 UNION ALL SELECT v AS n FROM g2) GROUP BY n),
+      |b2 AS MATERIALIZED (SELECT n FROM d2 WHERE d < 4),
+      |g3 AS MATERIALIZED (SELECT u, v FROM g2 g WHERE NOT EXISTS (SELECT 1 FROM b2 x WHERE x.n = g.u) AND NOT EXISTS (SELECT 1 FROM b2 y WHERE y.n = g.v)),
+      |d3 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM g3 UNION ALL SELECT v AS n FROM g3) GROUP BY n),
+      |b3 AS MATERIALIZED (SELECT n FROM d3 WHERE d < 4),
+      |g4 AS MATERIALIZED (SELECT u, v FROM g3 g WHERE NOT EXISTS (SELECT 1 FROM b3 x WHERE x.n = g.u) AND NOT EXISTS (SELECT 1 FROM b3 y WHERE y.n = g.v))
       |SELECT n AS node, count(*) AS degree
       |FROM (SELECT u AS n FROM g4 UNION ALL SELECT v AS n FROM g4)
       |GROUP BY n ORDER BY node""".stripMargin) { (s, dir) =>
@@ -1692,6 +1692,53 @@ object Analytics {
     core.select(col("u").as("node")).unionAll(core.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
       .orderBy("node")
+  }
+
+  /** BIPARTITE PROJECTION with co-occurrence weights (round 10 — the
+    * graph-construction primitive under "related items": project the
+    * order–supplier incidence onto suppliers, weighting each supplier
+    * pair by shared orders, normalized to a Jaccard over their order
+    * sets — the co-purchase graph every recommender bootstrap builds,
+    * and the projection step that feeds graph_kcore/graph_components
+    * style analysis). ONE order-keyed self-join generates per-order
+    * pairs (s1 < s2), a hash-agg folds them map-side to the pair
+    * weights, and the |suppliers|-row degree aggregate joins back for
+    * the normalization; w ≥ 2 drops the noise floor.
+    *
+    * Scale (100 TB): projection volume is Σ_orders C(k_o, 2) — k is
+    * the per-order item fan-out (≤16 on this corpus, bounded by order
+    * size, NOT by data volume), so the pair stream is a small
+    * constant × the fact table. A marketplace with genuine hub
+    * entities caps or salts k first (the standard guard); the join
+    * itself is keyed on the order and pinned shuffle-hash on both
+    * corpus-proportional sides — a driver hashed relation of the
+    * incidence list is the test-SF mirage that cannot exist at scale,
+    * and the degree join is the retention-read aggregate-join class
+    * (pinned for the same reason). */
+  val graphBipartiteProject: Op = Op.sql("graph_bipartite_project",
+    """WITH e AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+      |d AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+      |p AS (SELECT a.s AS s1, b.s AS s2, count(*) AS w
+      |      FROM e a JOIN e b ON a.o = b.o AND a.s < b.s GROUP BY 1, 2)
+      |SELECT p.s1, p.s2, p.w,
+      |  round(CAST(p.w AS DOUBLE) / (d1.deg + d2.deg - p.w), 6) AS cooc_jaccard
+      |FROM p JOIN d d1 ON d1.s = p.s1 JOIN d d2 ON d2.s = p.s2
+      |WHERE p.w >= 2
+      |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    val d = e.groupBy("s").agg(count(lit(1)).as("deg")).hint("shuffle_hash")
+    val p = e.select(col("o"), col("s").as("s1"))
+      .join(e.select(col("o"), col("s").as("s2")).hint("shuffle_hash"), Seq("o"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    p.join(d.select(col("s").as("s1"), col("deg").as("deg1")), Seq("s1"))
+      .join(d.select(col("s").as("s2"), col("deg").as("deg2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("w"),
+        round(col("w").cast("double") / (col("deg1") + col("deg2") - col("w")), 6)
+          .as("cooc_jaccard"))
+      .orderBy("s1", "s2")
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
@@ -1811,5 +1858,6 @@ object Analytics {
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
-    q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap)
+    q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
+    graphBipartiteProject)
 }

@@ -766,6 +766,26 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("bipartite projection equals an order-set recompute; weights and jaccard exact") {
+    val got = Analytics.graphBipartiteProject.run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val inc = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val orders = inc.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val want = orders.keys.toSeq.sorted.combinations(2).flatMap { case Seq(s1, s2) =>
+      val w = (orders(s1) & orders(s2)).size.toLong
+      if (w >= 2)
+        Some((s1, s2) -> (w,
+          BigDecimal(w.toDouble / (orders(s1).size + orders(s2).size - w))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.keys.forall { case (a, b) => a < b })
+    assert(got.values.forall { case (w, j) => w >= 2 && j > 0.0 && j <= 1.0 })
+  }
+
   test("graph_components property: star labels equal propagation labels on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

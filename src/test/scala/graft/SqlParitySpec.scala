@@ -230,6 +230,7 @@ class SqlParitySpec extends SparkSuite {
     "vec_gram" -> "::DOUBLE[] cast + generate_series table function",
     "ann_mmr" -> "::DOUBLE[] cast + QUALIFY + list_cosine_similarity + MATERIALIZED CTEs",
     "stats_bootstrap" -> "HUGEINT xxh64-hashLong replay + unnest() + list_reduce lambda",
+    "graph_kcore" -> "AS MATERIALIZED CTEs (the unrolled peel re-expands exponentially without them)",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -1008,7 +1008,51 @@ object Multimodal {
       .orderBy("mime", "bucket", "shard")
   }
 
+  /** Per-image COLOR HISTOGRAM (round 10 — the classic cheap visual
+    * feature under dedup-by-palette, day/night splits and
+    * stock-vs-photo screens; `mm_metadata`'s mean intensity is this
+    * histogram's first moment): per (doc, RGB channel) the 4-bin
+    * (byte DIV 64) pixel counts of the decoded first frame — REAL
+    * bytes through the REAL parser (videos: container parsed, frame 0
+    * decoded), counted in one in-partition pass, only non-empty cells
+    * emitted. Pure codec work in the mm mapPartitions shape — payload
+    * bytes never shuffle, 12 scalar cells per doc do. The oracle
+    * replays the cyclic pixel synthesis in closed form per pixel
+    * position (the mm_metadata `ascii(substr) % 256` idiom): channel
+    * = p mod 3, bin = byte DIV 64 — so a decoder that mis-framed a
+    * row, mixed channels, or read the wrong frame hash-mismatches. */
+  val mmColorHist: Op = Op.sql("mm_color_hist",
+    """WITH m AS (
+      |  SELECT doc_id, text, length(text) AS L,
+      |    (n_chars % 64 + 1) * (n_chars % 48 + 1) * 3 AS npx
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, g.p % 3 AS channel,
+      |    (ascii(substr(text, CAST(g.p % L AS INT) + 1, 1)) % 256) // 64 AS bin
+      |  FROM m, unnest(range(npx)) AS g(p))
+      |SELECT doc_id, channel, bin, count(*) AS n
+      |FROM px GROUP BY doc_id, channel, bin
+      |ORDER BY doc_id, channel, bin""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    mediaTable(s, dir).select("doc_id", "mime", "payload")
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (docId, mime, payload) =>
+        val img = Ppm.decode(
+          if (mime == VideoMime) Ppm.decodeSeq(payload).head else payload)
+        val counts = Array.ofDim[Long](3, 4)
+        var p = 0
+        while (p < img.pixels.length) {
+          counts(p % 3)((img.pixels(p) & 0xFF) / 64) += 1
+          p += 1
+        }
+        for (c <- 0 until 3; bin <- 0 until 4 if counts(c)(bin) > 0)
+          yield (docId, c.toLong, bin.toLong, counts(c)(bin))
+      }
+      .toDF("doc_id", "channel", "bin", "n")
+      .orderBy("doc_id", "channel", "bin")
+  }
+
   val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup,
     mmAudioFeatures, mmSceneDetect, mmAudioVad, pipelineMm, mmFormatSniff,
-    mmIntegrity, mmVideoKeyframe, mmShardManifest)
+    mmIntegrity, mmVideoKeyframe, mmShardManifest, mmColorHist)
 }

@@ -314,6 +314,35 @@ class MultimodalSpec extends SparkSuite {
     else Ppm.decode(oPayload)
   }
 
+  test("color histogram: bins partition every pixel; counts match a direct payload recompute") {
+    val got = Multimodal.mmColorHist.run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+    // per-doc totals must equal 3 * w * h (every pixel binned once)
+    val dims = media.select("doc_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    got.groupBy(_._1._1).foreach { case (docId, cells) =>
+      val (w, h) = dims(docId)
+      assert(cells.map(_._2).sum == 3L * w * h, s"doc $docId: pixels lost or doubled")
+    }
+    // direct recompute from the raw payload bytes for a sample of docs
+    // (images AND the frame-0-of-video path)
+    val sample = media.filter(col("doc_id") < 20)
+      .select("doc_id", "mime", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    assert(sample.exists(_._2 == Multimodal.VideoMime))
+    sample.foreach { case (docId, mime, payload) =>
+      val img = Ppm.decode(
+        if (mime == Multimodal.VideoMime) Ppm.decodeSeq(payload).head else payload)
+      val want = img.pixels.zipWithIndex
+        .groupBy { case (b, p) => (p % 3, (b & 0xFF) / 64) }
+        .view.mapValues(_.length.toLong).toMap
+      want.foreach { case ((c, bin), n) =>
+        assert(got.toMap.get((docId, c.toLong, bin.toLong)).contains(n),
+          s"doc $docId cell ($c,$bin)")
+      }
+    }
+  }
+
   test("shard manifest equals a sequential pack replay; shards are contiguous and boundary-aligned") {
     val T = Multimodal.ShardTargetBytes
     val got = Multimodal.mmShardManifest.run(spark, sfDir).collect()

@@ -231,6 +231,7 @@ class SqlParitySpec extends SparkSuite {
     "ann_mmr" -> "::DOUBLE[] cast + QUALIFY + list_cosine_similarity + MATERIALIZED CTEs",
     "stats_bootstrap" -> "HUGEINT xxh64-hashLong replay + unnest() + list_reduce lambda",
     "graph_kcore" -> "AS MATERIALIZED CTEs (the unrolled peel re-expands exponentially without them)",
+    "mm_color_hist" -> "unnest(range()) lateral + // division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -1405,6 +1405,85 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  val PermReps = 49
+
+  /** MONTE-CARLO PERMUTATION TEST of the A/B mean difference per
+    * event type (round 10 — the NONPARAMETRIC companion to
+    * `stats_ttest`: the t-test's p-value assumes normal-ish tails,
+    * the randomization test earns its p-value by re-running the
+    * experiment under the null, and at scale the random-REASSIGNMENT
+    * variant is the standard because an exact permutation needs a
+    * global shuffle per replicate): each of [[PermReps]] permutations
+    * reassigns every USER a group by bit 0 of the seeded
+    * `xxhash64(user_id, 7000+b)` (Spark tests the bit with `& 1` —
+    * a signed `%` would differ on negative hashes; the oracle's
+    * replayed HUGEINT is unsigned so `% 2` is the same bit), the
+    * per-(type, perm) mean difference comes from exact decimal sums
+    * with ONE division per group, and the p-value is the add-one rule
+    * (1 + #{|d_b| ≥ |d_obs|}) / (B + 1) — integer counts from
+    * identical IEEE comparisons, so the whole report is bit-exact.
+    *
+    * Scale (100 TB): one fact scan with a constant ×B in-partition
+    * expansion, map-side-partial to |types|·B rows — the same
+    * Poisson-bootstrap shape; nothing re-shuffles per permutation,
+    * which is exactly why the Monte-Carlo variant is the one that
+    * runs at scale. */
+  val statsPermutation: Op = Op.sql("stats_permutation", {
+    import SqlReplay.{stagedSql, hashLongStages}
+    val staged = stagedSql(
+      "SELECT event_type, CAST(\"value\" AS DECIMAL(12,2)) AS v, " +
+        "CAST(user_id AS HUGEINT) AS uk, CAST(7000 + b AS HUGEINT) AS bk, b " +
+        s"FROM events, unnest([${(0 until PermReps).mkString(", ")}]) AS t(b)",
+      hashLongStages("uk", "42::HUGEINT", "s1") ++ hashLongStages("bk", "s1", "h"))
+    s"""WITH obs AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST("value" AS DECIMAL(12,2)) END) AS DOUBLE)
+       |      / count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+       |    - CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST("value" AS DECIMAL(12,2)) END) AS DOUBLE)
+       |      / count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS d_obs
+       |  FROM events GROUP BY 1),
+       |perm AS (
+       |  SELECT event_type, b,
+       |    CAST(sum(CASE WHEN h % 2 = 0 THEN v END) AS DOUBLE)
+       |      / count(CASE WHEN h % 2 = 0 THEN 1 END)
+       |    - CAST(sum(CASE WHEN h % 2 = 1 THEN v END) AS DOUBLE)
+       |      / count(CASE WHEN h % 2 = 1 THEN 1 END) AS d
+       |  FROM ($staged) GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT p.event_type, count(*) AS n_perms,
+       |    count(CASE WHEN abs(p.d) >= abs(o.d_obs) THEN 1 END) AS n_extreme
+       |  FROM perm p JOIN obs o USING (event_type) GROUP BY 1)
+       |SELECT e.event_type, round(o.d_obs, 6) AS d_obs, e.n_perms, e.n_extreme,
+       |  round(CAST(1 + e.n_extreme AS DOUBLE) / (e.n_perms + 1), 6) AS p_value
+       |FROM ex e JOIN obs o USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    def grpDiff(g: Column) =
+      sum(when(g === 0, col("v"))).cast("double") / count(when(g === 0, 1)) -
+        sum(when(g === 1, col("v"))).cast("double") / count(when(g === 1, 1))
+    val obs = ev
+      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"),
+        col("user_id"))
+      .groupBy("event_type").agg(grpDiff(col("user_id") % 2).as("d_obs"))
+    val perm = ev
+      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"),
+        col("user_id"))
+      .withColumn("b", explode(typedLit((0 until PermReps).map(_.toLong))))
+      .withColumn("h", xxhash64(col("user_id"), lit(7000L) + col("b")))
+      .groupBy("event_type", "b")
+      .agg(grpDiff(col("h").bitwiseAND(lit(1L))).as("d"))
+    val ex = perm.join(broadcast(obs), "event_type")
+      .groupBy("event_type").agg(count(lit(1)).as("n_perms"),
+        count(when(abs(col("d")) >= abs(col("d_obs")), 1)).as("n_extreme"))
+    ex.join(broadcast(obs), "event_type")
+      .select(col("event_type"), round(col("d_obs"), 6).as("d_obs"),
+        col("n_perms"), col("n_extreme"),
+        round((lit(1) + col("n_extreme")).cast("double") / (col("n_perms") + 1), 6)
+          .as("p_value"))
+      .orderBy("event_type")
+  }
+
   /** First-order MARKOV TRANSITION MATRIX over per-user event
     * sequences (the session-flow model behind next-event prediction
     * and funnel diagnostics): count and row-normalized probability of
@@ -1859,5 +1938,5 @@ object Analytics {
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
-    graphBipartiteProject)
+    graphBipartiteProject, statsPermutation)
 }

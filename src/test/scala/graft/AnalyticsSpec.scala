@@ -646,6 +646,45 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("permutation test: sequential recompute from the hashes matches bit-for-bit") {
+    val got = Analytics.statsPermutation.run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val B = Analytics.PermReps
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"),
+        col("user_id"))
+      .withColumn("b", explode(typedLit((0 until B).map(_.toLong))))
+      .withColumn("h", xxhash64(col("user_id"), lit(7000L) + col("b")))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_._1).foreach { case (ty, xs) =>
+      val (dObs, nPerms, nExtreme, p) = got(ty)
+      assert(nPerms == B.toLong)
+      val base = xs.filter(_._4 == 0L)
+      def diff(group: ((String, BigDecimal, Long, Long, Long)) => Long) = {
+        val a = base.filter(r => group(r) == 0L)
+        val bg = base.filter(r => group(r) == 1L)
+        a.map(_._2).sum.toDouble / a.length - bg.map(_._2).sum.toDouble / bg.length
+      }
+      val dObsDrv = diff(r => r._3 % 2)
+      assert(dObs == r6(dObsDrv), s"$ty d_obs")
+      val extremes = (0 until B).count { b =>
+        val perm = xs.filter(_._4 == b.toLong)
+        val a = perm.filter(r => (r._5 & 1L) == 0L)
+        val bg = perm.filter(r => (r._5 & 1L) == 1L)
+        val d = a.map(_._2).sum.toDouble / a.length - bg.map(_._2).sum.toDouble / bg.length
+        math.abs(d) >= math.abs(dObsDrv)
+      }
+      assert(nExtreme == extremes.toLong, s"$ty n_extreme")
+      assert(p == r6((1.0 + extremes) / (B + 1)), s"$ty p_value")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("running windowed distinct equals a sequential per-user scan") {
     val got = Analytics.q78WindowDistinct.run(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -232,6 +232,7 @@ class SqlParitySpec extends SparkSuite {
     "stats_bootstrap" -> "HUGEINT xxh64-hashLong replay + unnest() + list_reduce lambda",
     "graph_kcore" -> "AS MATERIALIZED CTEs (the unrolled peel re-expands exponentially without them)",
     "mm_color_hist" -> "unnest(range()) lateral + // division",
+    "stats_permutation" -> "HUGEINT xxh64-hashLong replay + unnest()",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -1405,6 +1405,98 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** CUPED variance reduction for the A/B experiment (round 10; Deng
+    * et al. 2013 — the adjustment every experimentation platform
+    * applies: a user's PRE-period activity predicts their POST-period
+    * metric, so regressing it out shrinks the variance of the
+    * treatment-effect estimate by corr² without biasing it). The
+    * timeline splits at the epoch midpoint; per user, X = pre-period
+    * value sum and Y = post-period value sum as EXACT DECIMALS (sums,
+    * not means — the choice that keeps every cross-moment Σ X·Y, Σ X²
+    * an exact order-free decimal; a per-user mean would put rationals
+    * into the moment sums), users active in both periods only.
+    * θ = cov(X,Y)/var(X) from the global moments, and the group
+    * adjustment needs only GROUP-level aggregates:
+    * mean_g(Y − θ(X − X̄)) = Σ_g Y/n_g − θ(Σ_g X/n_g − X̄) — so no
+    * per-user float ever sums across rows; every double is computed
+    * once, after the reduction, through the identical IEEE tree. One
+    * row out: θ, raw vs adjusted A−B difference, and the variance
+    * reduction corr²(X,Y).
+    *
+    * Scale (100 TB): one fact scan → user-keyed hash-agg (the
+    * retention shape) → a 5-double exchange; the moments discipline
+    * of stats_corr extended to the experiment-adjustment workhorse. */
+  val statsCuped: Op = Op.sql("stats_cuped",
+    """WITH b AS (
+      |  SELECT CAST((epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS BIGINT) AS cut
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, user_id % 2 AS grp,
+      |    CAST(sum(CASE WHEN epoch_us(ts) <= cut
+      |                  THEN CAST("value" AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS sx,
+      |    CAST(sum(CASE WHEN epoch_us(ts) > cut
+      |                  THEN CAST("value" AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS sy
+      |  FROM events, b GROUP BY 1, 2
+      |  HAVING count(CASE WHEN epoch_us(ts) <= cut THEN 1 END) > 0
+      |     AND count(CASE WHEN epoch_us(ts) > cut THEN 1 END) > 0),
+      |g AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(sx) AS DOUBLE) AS tx, CAST(sum(sy) AS DOUBLE) AS ty,
+      |    CAST(sum(sx*sy) AS DOUBLE) AS txy,
+      |    CAST(sum(sx*sx) AS DOUBLE) AS txx,
+      |    CAST(sum(sy*sy) AS DOUBLE) AS tyy
+      |  FROM u),
+      |gg AS (SELECT grp, count(*) AS ng,
+      |         CAST(sum(sx) AS DOUBLE) AS gx, CAST(sum(sy) AS DOUBLE) AS gy
+      |       FROM u GROUP BY grp)
+      |SELECT g.n AS n_users,
+      |  round((g.n*g.txy - g.tx*g.ty) / (g.n*g.txx - g.tx*g.tx), 6) AS theta,
+      |  round(a.gy/a.ng - c.gy/c.ng, 6) AS raw_diff,
+      |  round((a.gy/a.ng - (g.n*g.txy - g.tx*g.ty) / (g.n*g.txx - g.tx*g.tx)
+      |           * (a.gx/a.ng - g.tx/g.n))
+      |      - (c.gy/c.ng - (g.n*g.txy - g.tx*g.ty) / (g.n*g.txx - g.tx*g.tx)
+      |           * (c.gx/c.ng - g.tx/g.n)), 6) AS adj_diff,
+      |  round(((g.n*g.txy - g.tx*g.ty) * (g.n*g.txy - g.tx*g.ty))
+      |        / ((g.n*g.txx - g.tx*g.tx) * (g.n*g.tyy - g.ty*g.ty)), 6) AS var_reduction
+      |FROM g, gg a, gg c WHERE a.grp = 0 AND c.grp = 1""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("tus"),
+      col("value").cast("decimal(12,2)").as("v"))
+    val cut = ev.agg(expr("(min(tus) + max(tus)) DIV 2")).head().getLong(0)
+    val u = ev.groupBy(col("user_id"), (col("user_id") % 2).as("grp"))
+      .agg(sum(when(col("tus") <= cut, col("v"))).cast("decimal(18,2)").as("sx"),
+        sum(when(col("tus") > cut, col("v"))).cast("decimal(18,2)").as("sy"),
+        count(when(col("tus") <= cut, 1)).as("nx"),
+        count(when(col("tus") > cut, 1)).as("ny"))
+      .filter(col("nx") > 0 && col("ny") > 0)
+      .select("grp", "sx", "sy")
+    val g = u.agg(count(lit(1)).as("n"),
+      sum(col("sx")).cast("double").as("tx"), sum(col("sy")).cast("double").as("ty"),
+      sum(col("sx") * col("sy")).cast("double").as("txy"),
+      sum(col("sx") * col("sx")).cast("double").as("txx"),
+      sum(col("sy") * col("sy")).cast("double").as("tyy"))
+    val gg = u.groupBy("grp").agg(count(lit(1)).as("ng"),
+      sum(col("sx")).cast("double").as("gx"), sum(col("sy")).cast("double").as("gy"))
+    val a = gg.filter(col("grp") === 0)
+      .select(col("ng").as("nga"), col("gx").as("gxa"), col("gy").as("gya"))
+    val c = gg.filter(col("grp") === 1)
+      .select(col("ng").as("ngc"), col("gx").as("gxc"), col("gy").as("gyc"))
+    val theta = (col("n") * col("txy") - col("tx") * col("ty")) /
+      (col("n") * col("txx") - col("tx") * col("tx"))
+    g.crossJoin(broadcast(a)).crossJoin(broadcast(c))
+      .select(col("n").as("n_users"),
+        round(theta, 6).as("theta"),
+        round(col("gya") / col("nga") - col("gyc") / col("ngc"), 6).as("raw_diff"),
+        round((col("gya") / col("nga") - theta * (col("gxa") / col("nga") - col("tx") / col("n")))
+          - (col("gyc") / col("ngc") - theta * (col("gxc") / col("ngc") - col("tx") / col("n"))), 6)
+          .as("adj_diff"),
+        round(((col("n") * col("txy") - col("tx") * col("ty"))
+            * (col("n") * col("txy") - col("tx") * col("ty")))
+          / ((col("n") * col("txx") - col("tx") * col("tx"))
+            * (col("n") * col("tyy") - col("ty") * col("ty"))), 6)
+          .as("var_reduction"))
+  }
+
   val PermReps = 49
 
   /** MONTE-CARLO PERMUTATION TEST of the A/B mean difference per
@@ -1938,5 +2030,5 @@ object Analytics {
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
-    graphBipartiteProject, statsPermutation)
+    graphBipartiteProject, statsPermutation, statsCuped)
 }

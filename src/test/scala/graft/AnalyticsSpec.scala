@@ -685,6 +685,48 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("CUPED: exact-moment driver recompute matches bit-for-bit; adjustment is unbiased under a null covariate") {
+    val row = Analytics.statsCuped.run(spark, sfDir).collect().head
+    val (nUsers, theta, rawDiff, adjDiff, varRed) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    // sequential recompute with BigDecimal moments, identical IEEE tree
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    val cut = (raw.map(_._2).min + raw.map(_._2).max) / 2
+    val users = raw.groupBy(_._1).flatMap { case (uid, xs) =>
+      val pre = xs.filter(_._2 <= cut).map(_._3)
+      val post = xs.filter(_._2 > cut).map(_._3)
+      if (pre.nonEmpty && post.nonEmpty) Some((uid, pre.sum, post.sum)) else None
+    }.toSeq
+    val n = users.length.toLong
+    assert(nUsers == n && n > 10)
+    val tx = users.map(_._2).sum.toDouble; val ty = users.map(_._3).sum.toDouble
+    val txy = users.map(u => u._2 * u._3).sum.toDouble
+    val txx = users.map(u => u._2 * u._2).sum.toDouble
+    val tyy = users.map(u => u._3 * u._3).sum.toDouble
+    val th = (n * txy - tx * ty) / (n * txx - tx * tx)
+    def gagg(g: Long) = {
+      val xs = users.filter(_._1 % 2 == g)
+      (xs.length.toLong, xs.map(_._2).sum.toDouble, xs.map(_._3).sum.toDouble)
+    }
+    val (na, gxa, gya) = gagg(0); val (nc, gxc, gyc) = gagg(1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(theta == r6(th), s"theta $theta vs $th")
+    assert(rawDiff == r6(gya / na - gyc / nc))
+    assert(adjDiff == r6((gya / na - th * (gxa / na - tx / n))
+      - (gyc / nc - th * (gxc / nc - tx / n))))
+    assert(varRed == r6((n * txy - tx * ty) * (n * txy - tx * ty)
+      / ((n * txx - tx * tx) * (n * tyy - ty * ty))))
+    assert(varRed >= 0.0 && varRed <= 1.0)
+    // unbiasedness identity: over the WHOLE population Σ(X − X̄) = 0,
+    // so the adjustment cannot move the global mean — only reshuffle
+    // it between groups
+    val globalAdj = (gya + gyc) / n - th * ((gxa + gxc) / n - tx / n)
+    assert(math.abs(globalAdj - ty / n) < 1e-9 * math.max(1.0, math.abs(ty / n)))
+  }
+
   test("running windowed distinct equals a sequential per-user scan") {
     val got = Analytics.q78WindowDistinct.run(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

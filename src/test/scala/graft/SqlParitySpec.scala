@@ -233,6 +233,7 @@ class SqlParitySpec extends SparkSuite {
     "graph_kcore" -> "AS MATERIALIZED CTEs (the unrolled peel re-expands exponentially without them)",
     "mm_color_hist" -> "unnest(range()) lateral + // division",
     "stats_permutation" -> "HUGEINT xxh64-hashLong replay + unnest()",
+    "stats_cuped" -> "epoch_us() + // division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -1497,6 +1497,42 @@ object Analytics {
           .as("var_reduction"))
   }
 
+  /** SAMPLE-RATIO-MISMATCH guardrail (round 10 — the FIRST check
+    * every experimentation platform runs before reading any metric: a
+    * 50/50 assignment whose realized counts drift beyond chance means
+    * the assignment or logging pipeline is broken and every
+    * downstream result is invalid; Fabijan et al. 2019 document it as
+    * the most common silent experiment killer). Per event type, the
+    * realized A/B user counts (users, not events — assignment is
+    * per-user) against the expected 50/50: the 1-df chi-square
+    * statistic (n_a − n_b)²/(n_a + n_b) from exact integers — one
+    * IEEE division — and the verdict at the exact 3.841 (α=0.05)
+    * literal, an identical double comparison on both engines. Two
+    * hash-aggs (distinct users, then counts) — the cheapest possible
+    * plan; at 100 TB the distinct is the only corpus-sized step. */
+  val statsSrm: Op = Op.sql("stats_srm",
+    """WITH u AS (SELECT DISTINCT event_type, user_id, user_id % 2 AS grp FROM events),
+      |c AS (SELECT event_type,
+      |        count(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+      |        count(CASE WHEN grp = 1 THEN 1 END) AS n_b
+      |      FROM u GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) AS chi2,
+      |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841 AS srm_flag
+      |FROM c ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val u = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"), (col("user_id") % 2).as("grp"))
+      .distinct()
+    val chi = ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double") /
+      (col("n_a") + col("n_b"))
+    u.groupBy("event_type")
+      .agg(count(when(col("grp") === 0, 1)).as("n_a"),
+        count(when(col("grp") === 1, 1)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(chi, 6).as("chi2"), (chi > 3.841).as("srm_flag"))
+      .orderBy("event_type")
+  }
+
   val PermReps = 49
 
   /** MONTE-CARLO PERMUTATION TEST of the A/B mean difference per
@@ -2030,5 +2066,5 @@ object Analytics {
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
-    graphBipartiteProject, statsPermutation, statsCuped)
+    graphBipartiteProject, statsPermutation, statsCuped, statsSrm)
 }

@@ -685,6 +685,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("SRM guardrail: counts are per-user, chi2 matches, and a planted 90/10 split flags") {
+    val got = Analytics.statsSrm.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val users = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    users.groupBy(_._1).foreach { case (ty, xs) =>
+      val (na, nb, chi2, flag) = got(ty)
+      val wantA = xs.count(_._2 % 2 == 0).toLong
+      assert(na == wantA && nb == xs.length - wantA, s"$ty counts")
+      val want = ((na - nb) * (na - nb)).toDouble / (na + nb)
+      assert(chi2 == BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(flag == (want > 3.841))
+    }
+    // the even user_id split is balanced by construction — no flag
+    assert(got.values.forall(!_._4), "balanced assignment should not flag")
+    // a planted 90/10 mismatch MUST flag through the same formula
+    val (pa, pb) = (900L, 100L)
+    val planted = ((pa - pb) * (pa - pb)).toDouble / (pa + pb)
+    assert(planted > 3.841)
+  }
+
   test("CUPED: exact-moment driver recompute matches bit-for-bit; adjustment is unbiased under a null covariate") {
     val row = Analytics.statsCuped.run(spark, sfDir).collect().head
     val (nUsers, theta, rawDiff, adjDiff, varRed) =

@@ -97,4 +97,45 @@ class BoundarySpec extends SparkSuite {
     intercept[IllegalArgumentException] { log.checkpointTo(dir + "/ckpt") }
     assert(!new java.io.File(dir + "/ckpt").exists())
   }
+
+  test("MMR with fewer candidates than k returns them all, ranked — never pads or loops") {
+    import graft.functions.VectorKernels.cosine
+    val q = Array(1.0, 0.0)
+    val cands = Array(
+      (10L, cosine(q, Array(0.9, 0.1)), Array(0.9, 0.1)),
+      (20L, cosine(q, Array(0.1, 0.9)), Array(0.1, 0.9)))
+    val picked = graft.operators.Similarity.mmrGreedy(cands, k = 5)
+    assert(picked.map(_._1) == Seq(1, 2), "ranks must stay contiguous")
+    assert(picked.map(_._2).toSet == Set(10L, 20L))
+    assert(graft.operators.Similarity.mmrGreedy(Array.empty, k = 5).isEmpty)
+  }
+
+  test("k-core on an empty or sub-threshold graph converges immediately to empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(graft.operators.Analytics.kCore(empty, k = 2, maxRounds = 3).collect().isEmpty)
+    // a single edge can never sustain a 2-core; one peel round ends it
+    val single = Seq((1L, 2L)).toDF("u", "v")
+    assert(graft.operators.Analytics.kCore(single, k = 2, maxRounds = 3).collect().isEmpty)
+  }
+
+  test("backfill serve with an EMPTY tail side serves the backfill unchanged") {
+    import spark.implicits._
+    val e = Seq((1L, 10L, java.math.BigDecimal.valueOf(250, 2)),
+        (1L, 11L, java.math.BigDecimal.valueOf(150, 2)),
+        (2L, 12L, java.math.BigDecimal.valueOf(500, 2)))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("value", col("value").cast("double"))
+    val cut = 100L // everything is backfill; the tail stream has seen nothing
+    val served = Streams.backfillServe(
+        Streams.backfillAgg(e, cut), Streams.tailAgg(e, cut))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(served.toSeq == Seq((1L, 2L, 0L, 2L, 4.0), (2L, 1L, 0L, 1L, 5.0)))
+  }
+
+  test("WAL replay of an all-torn segment (shorter than one record) recovers nothing, cleanly typed") {
+    val r = graft.kv.Wal.decode(Array.fill[Byte](graft.kv.Wal.RecordBytes - 1)(0x7F))
+    assert(r.records.isEmpty && !r.clean)
+  }
 }

@@ -1932,8 +1932,12 @@ object Analytics {
       |FROM p JOIN d d1 ON d1.s = p.s1 JOIN d d2 ON d2.s = p.s2
       |WHERE p.w >= 2
       |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+    // the distinct incidence feeds THREE consumers (both self-join
+    // sides + the degree agg); materialize it once instead of paying
+    // three scan+distinct passes — the vec_gram multi-consumer rule
     val e = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+      .localCheckpoint(true)
     val d = e.groupBy("s").agg(count(lit(1)).as("deg")).hint("shuffle_hash")
     val p = e.select(col("o"), col("s").as("s1"))
       .join(e.select(col("o"), col("s").as("s2")).hint("shuffle_hash"), Seq("o"))

@@ -1533,6 +1533,68 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** WINSORIZED + TRIMMED robust means per event type (round 10 — the
+    * outlier-capped metric every revenue dashboard reports: a single
+    * whale order moves a raw mean for a quarter; winsorizing clamps
+    * the tails at exact order statistics, trimming drops them): the
+    * p5/p95 boundaries are EXACT order statistics — the value at rank
+    * (5n DIV 100)+1 / n−(5n DIV 100) in (v, event_id) order, pure
+    * integer rank arithmetic, no interpolation — so clamped values
+    * stay exact decimals and every mean is one division of an exact
+    * decimal sum. Ranks come from [[RankSelect.groupRanks]] (the
+    * few-huge-groups shape: a per-type window would put corpus/|types|
+    * rows on single tasks at 100 TB; the oracle's window formulation
+    * is bit-identical by the pinned RankSelect equality); the
+    * |types|-row boundary frame broadcasts back legitimately. */
+  val statsWinsorize: Op = Op.sql("stats_winsorize",
+    """WITH e AS (
+      |  SELECT event_type, CAST("value" AS DECIMAL(12,2)) AS v, event_id FROM events),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rank,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |k AS (SELECT *, (5 * n) // 100 AS kcut FROM r),
+      |b AS (SELECT event_type,
+      |        max(CASE WHEN rank = kcut + 1 THEN v END) AS lo,
+      |        max(CASE WHEN rank = n - kcut THEN v END) AS hi
+      |      FROM k GROUP BY 1)
+      |SELECT k.event_type, CAST(max(k.n) AS BIGINT) AS n,
+      |  CAST(max(b.lo) AS DOUBLE) AS lo, CAST(max(b.hi) AS DOUBLE) AS hi,
+      |  round(CAST(sum(k.v) AS DOUBLE) / max(k.n), 6) AS mean_raw,
+      |  round(CAST(sum(CASE WHEN k.v < b.lo THEN b.lo
+      |                      WHEN k.v > b.hi THEN b.hi ELSE k.v END) AS DOUBLE)
+      |        / max(k.n), 6) AS mean_winsor,
+      |  round(CAST(sum(CASE WHEN k.rank > k.kcut AND k.rank <= k.n - k.kcut
+      |                      THEN k.v END) AS DOUBLE)
+      |        / count(CASE WHEN k.rank > k.kcut AND k.rank <= k.n - k.kcut
+      |                     THEN 1 END), 6) AS mean_trimmed
+      |FROM k JOIN b USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select(col("event_type"),
+      col("value").cast("decimal(12,2)").as("v"), col("event_id"))
+    val ranked = RankSelect
+      .groupRanks(e, "event_type", Seq(col("v"), col("event_id")))
+      .withColumn("kcut", expr("(5 * n) DIV 100"))
+    val b = ranked.groupBy("event_type").agg(
+      max(when(col("rank") === col("kcut") + 1, col("v"))).as("lo"),
+      max(when(col("rank") === col("n") - col("kcut"), col("v"))).as("hi"))
+    val inTrim = col("rank") > col("kcut") && col("rank") <= col("n") - col("kcut")
+    ranked.join(broadcast(b), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).cast("long").as("n"),
+        max(col("lo")).cast("double").as("lo"),
+        max(col("hi")).cast("double").as("hi"),
+        round(sum(col("v")).cast("double") / max(col("n")), 6).as("mean_raw"),
+        round(sum(when(col("v") < col("lo"), col("lo"))
+            .when(col("v") > col("hi"), col("hi"))
+            .otherwise(col("v"))).cast("double") / max(col("n")), 6)
+          .as("mean_winsor"),
+        round(sum(when(inTrim, col("v"))).cast("double") /
+          count(when(inTrim, 1)), 6).as("mean_trimmed"))
+      .orderBy("event_type")
+  }
+
   val PermReps = 49
 
   /** MONTE-CARLO PERMUTATION TEST of the A/B mean difference per
@@ -2070,5 +2132,5 @@ object Analytics {
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
-    graphBipartiteProject, statsPermutation, statsCuped, statsSrm)
+    graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize)
 }

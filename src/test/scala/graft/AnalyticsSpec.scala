@@ -685,6 +685,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("winsorized/trimmed means equal a sequential order-statistics recompute") {
+    val got = Analytics.statsWinsorize.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value").cast("decimal(12,2)"), col("event_id"))
+      .collect().map(r => (r.getString(0), BigDecimal(r.getDecimal(1)), r.getLong(2)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    raw.groupBy(_._1).foreach { case (ty, xs) =>
+      val (n, lo, hi, mRaw, mWin, mTrim) = got(ty)
+      val sorted = xs.sortBy(r => (r._2, r._3)).map(_._2)
+      assert(n == sorted.length.toLong)
+      val kcut = (5 * sorted.length) / 100
+      val (wantLo, wantHi) = (sorted(kcut), sorted(sorted.length - kcut - 1))
+      assert(lo == wantLo.toDouble && hi == wantHi.toDouble, s"$ty bounds")
+      assert(mRaw == r6(sorted.sum.toDouble / n))
+      val win = sorted.map(v => if (v < wantLo) wantLo else if (v > wantHi) wantHi else v)
+      assert(mWin == r6(win.sum.toDouble / n), s"$ty winsor")
+      val trim = sorted.slice(kcut, sorted.length - kcut)
+      assert(mTrim == r6(trim.sum.toDouble / trim.length), s"$ty trim")
+      // the robust means are genuinely tail-resistant: both sit inside
+      // [lo, hi], and clamping really bit (bounds are interior values)
+      assert(mWin >= lo && mWin <= hi && mTrim >= lo && mTrim <= hi)
+      assert(wantLo > sorted.head && wantHi < sorted.last, s"$ty: tails never clamped")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("SRM guardrail: counts are per-user, chi2 matches, and a planted 90/10 split flags") {
     val got = Analytics.statsSrm.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))

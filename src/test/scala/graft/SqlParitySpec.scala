@@ -234,6 +234,7 @@ class SqlParitySpec extends SparkSuite {
     "mm_color_hist" -> "unnest(range()) lateral + // division",
     "stats_permutation" -> "HUGEINT xxh64-hashLong replay + unnest()",
     "stats_cuped" -> "epoch_us() + // division",
+    "stats_winsorize" -> "// integer division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -918,6 +918,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.values.forall { case (w, j) => w >= 2 && j > 0.0 && j <= 1.0 })
   }
 
+  test("k-core property: distributed peel equals sequential peel on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val nNodes = 30 + trial * 15
+      val edges = (1 to nNodes * 2)
+        .map(_ => (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val k = 2 + trial % 2
+      // sequential peel to fixpoint
+      var es = edges.toSet
+      var changed = true
+      var rounds = 0
+      while (changed) {
+        val deg = es.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val bad = deg.filter(_._2 < k).keySet
+        changed = bad.nonEmpty
+        if (changed) { es = es.filter(p => !bad(p._1) && !bad(p._2)); rounds += 1 }
+      }
+      val core = Analytics.kCore(edges.toDF("u", "v"), k, maxRounds = rounds + 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(core == es, s"trial $trial (n=$nNodes, k=$k, rounds=$rounds)")
+    }
+  }
+
   test("graph_components property: star labels equal propagation labels on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

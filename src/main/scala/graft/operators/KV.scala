@@ -514,6 +514,52 @@ object KV {
       .orderBy("key")
   }
 
+  /** KEYSET PAGINATION over the merged state (round 10; the
+    * reference's iterator `seek(key)` + bounded `next()` loop —
+    * `storage_engine/src/iterator/db_iter.rs` — as the API every
+    * paged reader runs: page N+1 = "keys AFTER the last key I saw,
+    * limit P"): three successive pages of 10, each a fresh query
+    * whose `key > cursor` predicate PUSHES to the scan (min/max +
+    * bloom pruning — the reason keyset pagination scales where
+    * OFFSET pagination pays a growing TakeOrdered: the cursor
+    * predicate skips everything already served) followed by the
+    * latest-wins merge and an ordered LIMIT. The cursor round trips
+    * are inherent to the API (each page result IS the next cursor);
+    * the 30 returned rows are client-visible output, not driver
+    * state. A short table ends early (page 2 may be partial, page 3
+    * empty — the sf0.001 regime). The oracle replays the pages as
+    * row_number buckets over the merged state, so a page that
+    * skipped, duplicated or re-served a key hash-mismatches. */
+  val kvSeekScan: Op = Op.sql("kv_seek_scan",
+    s"""WITH $kvCte,
+       |m AS (SELECT key, seq, v FROM (
+       |   SELECT key, seq, v, tombstone,
+       |          row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |   FROM kv) WHERE rn = 1 AND NOT tombstone),
+       |r AS (SELECT key, seq, v, row_number() OVER (ORDER BY key) AS rnk FROM m)
+       |SELECT CAST((rnk - 1) // 10 + 1 AS BIGINT) AS page, key, seq, v
+       |FROM r WHERE rnk <= 30 ORDER BY key""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t0 = kv(s, dir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    var cursor = Long.MinValue
+    var page = 1
+    var done = false
+    while (page <= 3 && !done) {
+      val rows = t0.copy(runs = t0.runs.filter(col("key") > cursor)).merged()
+        .orderBy("key").limit(10)
+        .select(col("key"), col("seq"), col("v"))
+        .collect()
+      if (rows.isEmpty) done = true
+      else {
+        out ++= rows.map(r => (page.toLong, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        cursor = rows.map(_.getLong(0)).max
+        page += 1
+      }
+    }
+    out.toSeq.toDF("page", "key", "seq", "v").orderBy("key")
+  }
+
   /** Records per WAL segment — a segment is one seq range's framed
     * blob, so recovery parallelizes per segment. */
   val WalSegmentRecords = 500L
@@ -571,5 +617,5 @@ object KV {
     kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest,
     kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
     kvCheckpointRestore, kvSecondaryIndex, kvCf, kvBackupIncremental,
-    kvWalReplay)
+    kvWalReplay, kvSeekScan)
 }

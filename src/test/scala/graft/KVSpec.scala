@@ -285,4 +285,30 @@ class KVSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("seek scan: pages compose to exactly the ordered merge prefix, cursor predicate reaches the scan") {
+    val pages = graft.operators.KV.kvSeekScan.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val full = graft.operators.KV.kvCompact.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // pages = the first min(30, |keys|) rows of the ordered merge,
+    // no key skipped, duplicated or re-served across page boundaries
+    val served = pages.map(p => (p._2, p._3, p._4)).toSeq
+    assert(served == full.take(30).toSeq)
+    // page numbering is the rank bucket
+    pages.zipWithIndex.foreach { case ((page, _, _, _), i) =>
+      assert(page == i / 10 + 1, s"row $i on page $page")
+    }
+    // a mid-scan page's cursor predicate is pushed to the parquet scan
+    val cursor = full(9)._1
+    val t = graft.sources.Tables.load(spark, sfDir, "events")
+    val plan = graft.kv.KVTable(
+        t.select(col("user_id").as("key"), col("event_id").as("seq"),
+          (col("event_type") === "error").as("tombstone"), col("value").as("v")),
+        "key", "seq", "tombstone")
+      .copy().runs.filter(col("key") > cursor)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains(s"GreaterThan(user_id,$cursor)"),
+      s"cursor predicate not pushed:\n$plan")
+  }
 }

@@ -235,6 +235,7 @@ class SqlParitySpec extends SparkSuite {
     "stats_permutation" -> "HUGEINT xxh64-hashLong replay + unnest()",
     "stats_cuped" -> "epoch_us() + // division",
     "stats_winsorize" -> "// integer division",
+    "kv_seek_scan" -> "// integer division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -1681,6 +1681,44 @@ object TextAnalysis {
       .orderBy("epoch", "pos")
   }
 
+  /** FLESCH–KINCAID READABILITY per document (round 10 — the
+    * "textbook quality" feature: readability-banded filtering and
+    * curriculum ordering both start from exactly this grade; Gopher's
+    * rules gate on composition, this scores reading LEVEL). Words,
+    * sentences and syllables are pure regexp COUNTS (`\S+` runs,
+    * `[.!?]+` runs, `[aeiouy]+` vowel groups on the lowercased text —
+    * the standard syllable approximation), so both engines produce
+    * identical integers and the grade
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59 is one
+    * identical IEEE tree; sentence count floors at 1 (headlines have
+    * no terminator). Stateless per-row codegen — the cheapest scan
+    * shape there is; composes with `text_distill_filter` as one more
+    * teacher feature. */
+  val textReadability: Op = Op.sql("text_readability",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |      + 11.8 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1))
+      |      - 15.59, 4) AS fk_grade
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val c = docs(s, dir).select(col("doc_id"),
+      regexp_count(col("text"), lit("\\S+")).cast("bigint").as("n_words"),
+      greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("bigint")
+        .as("n_sentences"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("bigint")
+        .as("n_syllables"))
+    c.select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast("double") / greatest(col("n_words"), lit(1L)))
+          - lit(15.59), 4).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
@@ -1688,5 +1726,5 @@ object TextAnalysis {
     sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
     sampleTemperature, textCorpusCard, textDistillFilter, textPerplexityBucket,
     sampleBalanced, sampleEpochOrder, statsAuc, textFeatureHash,
-    textInvertedIndex, textRake)
+    textInvertedIndex, textRake, textReadability)
 }

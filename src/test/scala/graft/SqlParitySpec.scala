@@ -236,6 +236,7 @@ class SqlParitySpec extends SparkSuite {
     "stats_cuped" -> "epoch_us() + // division",
     "stats_winsorize" -> "// integer division",
     "kv_seek_scan" -> "// integer division",
+    "text_readability" -> "len(regexp_extract_all())",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -558,4 +558,25 @@ class TextSpec extends SparkSuite {
       assert(sizes.sum == n)
     }
   }
+
+  test("readability: counts match a java-regex recompute, grade formula exact, corpus non-degenerate") {
+    import graft.sources.Tables
+    val got = TextAnalysis.textReadability.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val docsRaw = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def cnt(s: String, p: String) = p.r.findAllIn(s).length.toLong
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docsRaw.foreach { case (id, text) =>
+      val (w, sn, sy, fk) = got(id)
+      val (ww, ss, yy) = (cnt(text, "\\S+"), math.max(cnt(text, "[.!?]+"), 1L),
+        cnt(text.toLowerCase, "[aeiouy]+"))
+      assert((w, sn, sy) == ((ww, ss, yy)), s"doc $id counts")
+      assert(fk == r4(0.39 * (ww.toDouble / ss) + 11.8 * (yy.toDouble / math.max(ww, 1L)) - 15.59),
+        s"doc $id grade")
+    }
+    // the corpus must spread across grades, or the feature is useless
+    assert(got.values.map(_._4).toSet.size > 10)
+  }
 }

@@ -560,6 +560,68 @@ object KV {
     out.toSeq.toDF("page", "key", "seq", "v").orderBy("key")
   }
 
+  /** PER-BATCH CDC FEED from the KV log (round 10; the LSM face of
+    * q68's warehouse snapshot-diff, and what RocksDB users build from
+    * sequence-ranged iterators — the reference's version_set pins the
+    * same seq cuts: "what did ingest batch N change, NET of
+    * intra-batch churn?"): for each of the ingest timeline's batch
+    * boundaries (the seqBatches thirds), the full-outer diff of the
+    * MVCC snapshots on either side — insert (key absent before),
+    * delete (winner became a tombstone), update (value changed);
+    * unchanged keys drop, so output size is CHANGE volume. Every
+    * snapshot is the standard keyed hash-agg merge and each diff is
+    * one key-keyed full-outer join over two |keys|-proportional
+    * aggregates — pinned shuffle-hash, the retention/backfill
+    * aggregate-join class. The oracle replays both diffs from the
+    * same seq cuts, so a feed that leaked intra-batch churn, missed a
+    * tombstone transition, or re-emitted an unchanged key
+    * hash-mismatches. */
+  val kvCdcBatches: Op = Op.sql("kv_cdc_batches",
+    s"""WITH $kvCte,
+       |mx AS (SELECT max(seq) AS m FROM kv),
+       |s1 AS (SELECT key, v FROM (
+       |  SELECT key, v, tombstone, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |  FROM kv, mx WHERE seq <= m // 3) WHERE rn = 1 AND NOT tombstone),
+       |s2 AS (SELECT key, v FROM (
+       |  SELECT key, v, tombstone, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |  FROM kv, mx WHERE seq <= 2 * m // 3) WHERE rn = 1 AND NOT tombstone),
+       |s3 AS (SELECT key, v FROM (
+       |  SELECT key, v, tombstone, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |  FROM kv) WHERE rn = 1 AND NOT tombstone),
+       |d2 AS (SELECT 2 AS batch, coalesce(b.key, a.key) AS key,
+       |         CASE WHEN b.key IS NULL THEN 'insert'
+       |              WHEN a.key IS NULL THEN 'delete' ELSE 'update' END AS op,
+       |         b.v AS before_v, a.v AS after_v
+       |       FROM s1 b FULL JOIN s2 a ON b.key = a.key
+       |       WHERE b.key IS NULL OR a.key IS NULL OR b.v <> a.v),
+       |d3 AS (SELECT 3 AS batch, coalesce(b.key, a.key) AS key,
+       |         CASE WHEN b.key IS NULL THEN 'insert'
+       |              WHEN a.key IS NULL THEN 'delete' ELSE 'update' END AS op,
+       |         b.v AS before_v, a.v AS after_v
+       |       FROM s2 b FULL JOIN s3 a ON b.key = a.key
+       |       WHERE b.key IS NULL OR a.key IS NULL OR b.v <> a.v)
+       |SELECT CAST(batch AS BIGINT) AS batch, key, op, before_v, after_v
+       |FROM (SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+       |ORDER BY batch, key""".stripMargin) { (s, dir) =>
+    val t0 = kv(s, dir)
+    val m = t0.runs.agg(max("seq")).head().getLong(0)
+    def snap(cut: Long) = t0.snapshot(cut).select("key", "v")
+    def diff(batch: Int, before: org.apache.spark.sql.DataFrame,
+             after: org.apache.spark.sql.DataFrame) =
+      before.select(col("key").as("bk"), col("v").as("bv"))
+        .join(after.select(col("key").as("ak"), col("v").as("av"))
+          .hint("shuffle_hash"), col("bk") === col("ak"), "full_outer")
+        .filter(col("bk").isNull || col("ak").isNull || col("bv") =!= col("av"))
+        .select(lit(batch.toLong).as("batch"),
+          coalesce(col("bk"), col("ak")).as("key"),
+          when(col("bk").isNull, "insert")
+            .when(col("ak").isNull, "delete").otherwise("update").as("op"),
+          col("bv").as("before_v"), col("av").as("after_v"))
+    diff(2, snap(m / 3), snap(2 * m / 3))
+      .unionAll(diff(3, snap(2 * m / 3), snap(m)))
+      .orderBy("batch", "key")
+  }
+
   /** Records per WAL segment — a segment is one seq range's framed
     * blob, so recovery parallelizes per segment. */
   val WalSegmentRecords = 500L
@@ -617,5 +679,5 @@ object KV {
     kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest,
     kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
     kvCheckpointRestore, kvSecondaryIndex, kvCf, kvBackupIncremental,
-    kvWalReplay, kvSeekScan)
+    kvWalReplay, kvSeekScan, kvCdcBatches)
 }

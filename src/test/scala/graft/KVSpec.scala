@@ -311,4 +311,47 @@ class KVSpec extends SparkSuite {
     assert(plan.contains(s"GreaterThan(user_id,$cursor)"),
       s"cursor predicate not pushed:\n$plan")
   }
+
+  test("CDC feed: applying the batches to the first snapshot replays the last; ops match a sequential diff") {
+    val feed = graft.operators.KV.kvCdcBatches.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(feed.nonEmpty)
+    // sequential snapshots from the raw log
+    val raw = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        (col("event_type") === "error").as("tomb"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    val m = raw.map(_._2).max
+    def snap(cut: Long): Map[Long, Double] =
+      raw.filter(_._2 <= cut).groupBy(_._1).flatMap { case (k, vs) =>
+        val w = vs.maxBy(_._2)
+        if (w._3) None else Some(k -> w._4)
+      }
+    val (s1, s2, s3) = (snap(m / 3), snap(2 * m / 3), snap(m))
+    // per-batch ops equal the sequential diff
+    def wantDiff(b: Long, before: Map[Long, Double], after: Map[Long, Double]) =
+      (before.keySet ++ after.keySet).toSeq.flatMap { k =>
+        (before.get(k), after.get(k)) match {
+          case (None, Some(a)) => Some((b, k, "insert", None, Some(a)))
+          case (Some(x), None) => Some((b, k, "delete", Some(x), None))
+          case (Some(x), Some(a)) if x != a => Some((b, k, "update", Some(x), Some(a)))
+          case _ => None
+        }
+      }
+    val want = (wantDiff(2, s1, s2) ++ wantDiff(3, s2, s3)).sortBy(r => (r._1, r._2))
+    assert(feed.toSeq.sortBy(r => (r._1, r._2)) == want)
+    // THE change-feed property: s1 + feed == s3
+    var state = s1
+    feed.sortBy(_._1).foreach {
+      case (_, k, "insert", _, Some(a)) => state += k -> a
+      case (_, k, "update", _, Some(a)) => state += k -> a
+      case (_, k, "delete", _, _) => state -= k
+      case other => fail(s"malformed feed row $other")
+    }
+    assert(state == s3, "replaying the feed does not reproduce the final snapshot")
+    // all three op kinds genuinely occur
+    assert(feed.map(_._3).toSet == Set("insert", "delete", "update"))
+  }
 }

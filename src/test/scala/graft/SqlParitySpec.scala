@@ -237,6 +237,7 @@ class SqlParitySpec extends SparkSuite {
     "stats_winsorize" -> "// integer division",
     "kv_seek_scan" -> "// integer division",
     "text_readability" -> "len(regexp_extract_all())",
+    "kv_cdc_batches" -> "// integer division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

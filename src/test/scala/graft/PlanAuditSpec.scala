@@ -533,6 +533,22 @@ class PlanAuditSpec extends SparkSuite {
       s"query side must broadcast:\n$p")
   }
 
+  test("bipartite projection: incidence self-join and degree joins all stay shuffled") {
+    val p = plan("graph_bipartite_project")
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 3,
+      s"projection joins degraded from shuffled hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a corpus-proportional side broadcast in the projection:\n$p")
+  }
+
+  test("CDC feed: both snapshot diffs are keyed full-outer shuffled hash joins") {
+    val p = plan("kv_cdc_batches")
+    assert("ShuffledHashJoin FullOuter".r.findAllIn(p).size == 2,
+      s"snapshot diffs are not keyed shuffled joins:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a keys-proportional snapshot broadcast in the diff:\n$p")
+  }
+
   test("k-core peel round: the dropped-node anti joins stay shuffled, never driver builds") {
     // the drop set is graph-proportional — the same class as the
     // banded dedup self-joins. kCore checkpoints each round, so audit

@@ -1595,6 +1595,68 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** A/B POWER ANALYSIS per event type (round 10 — the question asked
+    * BEFORE the experiment the rest of the suite reads out: "how
+    * small an effect could this traffic detect?" MDE at α=0.05 /
+    * power 0.8 = (z_{α/2}+z_β)·√(σ²/n_a + σ²/n_b), pooled σ² from
+    * the same exact moments as `stats_ttest`): per-group n and the
+    * pooled variance come from ONE map-side-partial hash-agg of exact
+    * decimal sums, the z constants are the standard literals
+    * (1.959964, 0.841621 — fixed doubles, not transcendental calls),
+    * and every float op runs once after the reduction through the
+    * identical IEEE tree. Output also rates the MDE against the
+    * current mean (relative MDE — the number a PM actually reads).
+    * Completes the experimentation suite: srm (is the split valid) →
+    * power (what can it detect) → ttest/permutation (did it move) →
+    * cuped (tighter readout). */
+  val statsPower: Op = Op.sql("stats_power",
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS grp,
+      |    CAST("value" AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |m AS (SELECT event_type, grp, count(*) AS n,
+      |        CAST(sum(v) AS DOUBLE) AS s, CAST(sum(v*v) AS DOUBLE) AS ss
+      |      FROM e GROUP BY 1, 2),
+      |ab AS (SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+      |         a.s AS s_a, b.s AS s_b, a.ss AS ss_a, b.ss AS ss_b
+      |       FROM m a JOIN m b
+      |         ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1)
+      |SELECT event_type, n_a, n_b,
+      |  round(((ss_a - s_a*s_a/n_a) + (ss_b - s_b*s_b/n_b)) / (n_a + n_b - 2), 6)
+      |    AS pooled_var,
+      |  round((1.959964 + 0.841621)
+      |    * sqrt(((ss_a - s_a*s_a/n_a) + (ss_b - s_b*s_b/n_b)) / (n_a + n_b - 2) / n_a
+      |         + ((ss_a - s_a*s_a/n_a) + (ss_b - s_b*s_b/n_b)) / (n_a + n_b - 2) / n_b), 6)
+      |    AS mde_abs,
+      |  round((1.959964 + 0.841621)
+      |    * sqrt(((ss_a - s_a*s_a/n_a) + (ss_b - s_b*s_b/n_b)) / (n_a + n_b - 2) / n_a
+      |         + ((ss_a - s_a*s_a/n_a) + (ss_b - s_b*s_b/n_b)) / (n_a + n_b - 2) / n_b)
+      |    / ((s_a + s_b) / (n_a + n_b)), 6) AS mde_rel
+      |FROM ab ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select(col("event_type"),
+      (col("user_id") % 2).as("grp"),
+      col("value").cast("decimal(12,2)").as("v"))
+    val m = e.groupBy("event_type", "grp").agg(count(lit(1)).as("n"),
+      sum(col("v")).cast("double").as("s"),
+      sum(col("v") * col("v")).cast("double").as("ss"))
+    val a = m.filter(col("grp") === 0).select(col("event_type"),
+      col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+    val b = m.filter(col("grp") === 1).select(col("event_type"),
+      col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+    val pooled = ((col("ss_a") - col("s_a") * col("s_a") / col("n_a"))
+      + (col("ss_b") - col("s_b") * col("s_b") / col("n_b"))) /
+      (col("n_a") + col("n_b") - 2)
+    val mde = lit(1.959964 + 0.841621) *
+      sqrt(pooled / col("n_a") + pooled / col("n_b"))
+    a.join(b, "event_type")
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(pooled, 6).as("pooled_var"),
+        round(mde, 6).as("mde_abs"),
+        round(mde / ((col("s_a") + col("s_b")) / (col("n_a") + col("n_b"))), 6)
+          .as("mde_rel"))
+      .orderBy("event_type")
+  }
+
   val PermReps = 49
 
   /** MONTE-CARLO PERMUTATION TEST of the A/B mean difference per
@@ -2132,5 +2194,5 @@ object Analytics {
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
-    graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize)
+    graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower)
 }

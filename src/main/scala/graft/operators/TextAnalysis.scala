@@ -1681,6 +1681,33 @@ object TextAnalysis {
       .orderBy("epoch", "pos")
   }
 
+  /** ONE readability-counts derivation shared by [[textReadability]]
+    * and [[sampleCurriculum]] — the curriculum's bands are only
+    * meaningful if they bucket the exact grades the readability op
+    * reports, so neither may own a private copy (the gopherKeepCol
+    * rule). SQL twin + Column twins kept in lockstep. */
+  private[graft] val readCountsCteSql =
+    """c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)""".stripMargin
+  private[graft] val fkGradeSql =
+    "0.39 * (CAST(n_words AS DOUBLE) / n_sentences)" +
+      " + 11.8 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)) - 15.59"
+  private[graft] def readCounts(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      regexp_count(col("text"), lit("\\S+")).cast("bigint").as("n_words"),
+      greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("bigint")
+        .as("n_sentences"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("bigint")
+        .as("n_syllables"))
+  private[graft] def fkGradeCol: Column =
+    lit(0.39) * (col("n_words").cast("double") / col("n_sentences")) +
+      lit(11.8) * (col("n_syllables").cast("double") / greatest(col("n_words"), lit(1L))) -
+      lit(15.59)
+
   /** FLESCH–KINCAID READABILITY per document (round 10 — the
     * "textbook quality" feature: readability-banded filtering and
     * curriculum ordering both start from exactly this grade; Gopher's
@@ -1695,28 +1722,58 @@ object TextAnalysis {
     * shape there is; composes with `text_distill_filter` as one more
     * teacher feature. */
   val textReadability: Op = Op.sql("text_readability",
-    """WITH c AS (
-      |  SELECT doc_id,
-      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
-      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
-      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
-      |  FROM documents)
-      |SELECT doc_id, n_words, n_sentences, n_syllables,
-      |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
-      |      + 11.8 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1))
-      |      - 15.59, 4) AS fk_grade
-      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val c = docs(s, dir).select(col("doc_id"),
-      regexp_count(col("text"), lit("\\S+")).cast("bigint").as("n_words"),
-      greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("bigint")
-        .as("n_sentences"),
-      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("bigint")
-        .as("n_syllables"))
-    c.select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
-        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
-          + lit(11.8) * (col("n_syllables").cast("double") / greatest(col("n_words"), lit(1L)))
-          - lit(15.59), 4).as("fk_grade"))
+    s"""WITH $readCountsCteSql
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  round($fkGradeSql, 4) AS fk_grade
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    readCounts(docs(s, dir))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(fkGradeCol, 4).as("fk_grade"))
       .orderBy("doc_id")
+  }
+
+  /** CURRICULUM ORDERING (round 10 — easy→hard training order,
+    * Bengio et al. 2009 made practical: band documents by their
+    * [[textReadability]] grade, then give each band a reproducible
+    * seeded-hash shuffle — the curriculum a loader consumes is
+    * "ordered BETWEEN bands, unbiased WITHIN them", exactly
+    * `sample_epoch_order`'s reproducibility contract composed with
+    * the readability feature, both single-sourced). Band =
+    * floor(grade) clamped to [0, 20]; within-band order = the seeded
+    * `xxhash64(doc_id)` rank via [[RankSelect.groupRanks]] (bands are
+    * the few-huge-groups shape); the global position adds per-band
+    * prefix offsets computed over the ≤21-row band-count aggregate.
+    * The oracle replays grade, band, the XXH64 chain and one global
+    * row_number — so a curriculum that mis-banded one doc or broke
+    * within-band reproducibility hash-mismatches. */
+  val sampleCurriculum: Op = Op.sql("sample_curriculum", {
+    import SqlReplay.{stagedSql, hashLongStages, toSignedBigint}
+    val staged = stagedSql(
+      s"""SELECT doc_id, band, CAST(doc_id AS HUGEINT) AS dk FROM (
+         |  WITH $readCountsCteSql
+         |  SELECT doc_id,
+         |    least(greatest(CAST(floor($fkGradeSql) AS BIGINT), 0), 20) AS band
+         |  FROM c)""".stripMargin,
+      hashLongStages("dk", "42::HUGEINT", "h"))
+    s"""SELECT doc_id, band,
+       |  row_number() OVER (ORDER BY band, ${toSignedBigint("h")}, doc_id) AS pos
+       |FROM ($staged)
+       |ORDER BY pos""".stripMargin
+  }) { (s, dir) =>
+    val banded = readCounts(docs(s, dir))
+      .select(col("doc_id"),
+        least(greatest(floor(fkGradeCol).cast("bigint"), lit(0L)), lit(20L)).as("band"),
+        xxhash64(col("doc_id")).as("h"))
+    val ranked = RankSelect.groupRanks(banded, "band", Seq(col("h"), col("doc_id")))
+    // per-band prefix offsets over the ≤21-row aggregate
+    val w = org.apache.spark.sql.expressions.Window.orderBy("band")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy("band").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(w), lit(0L)))
+      .select("band", "off")
+    ranked.join(broadcast(offs), "band")
+      .select(col("doc_id"), col("band"), (col("rank") + col("off")).as("pos"))
+      .orderBy("pos")
   }
 
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
@@ -1726,5 +1783,5 @@ object TextAnalysis {
     sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
     sampleTemperature, textCorpusCard, textDistillFilter, textPerplexityBucket,
     sampleBalanced, sampleEpochOrder, statsAuc, textFeatureHash,
-    textInvertedIndex, textRake, textReadability)
+    textInvertedIndex, textRake, textReadability, sampleCurriculum)
 }

@@ -713,6 +713,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("power analysis: exact-moment recompute matches bit-for-bit; MDE scales as 1/sqrt(n)") {
+    val got = Analytics.statsPower.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), (col("user_id") % 2).as("g"),
+        col("value").cast("decimal(12,2)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    raw.groupBy(_._1).foreach { case (ty, xs) =>
+      val (na, nb, pooledVar, mdeAbs, mdeRel) = got(ty)
+      val a = xs.filter(_._2 == 0L); val b = xs.filter(_._2 == 1L)
+      assert(na == a.length.toLong && nb == b.length.toLong)
+      val (sa, sb) = (a.map(_._3).sum.toDouble, b.map(_._3).sum.toDouble)
+      val (ssa, ssb) = (a.map(x => x._3 * x._3).sum.toDouble, b.map(x => x._3 * x._3).sum.toDouble)
+      val pooled = ((ssa - sa * sa / na) + (ssb - sb * sb / nb)) / (na + nb - 2)
+      val mde = (1.959964 + 0.841621) * math.sqrt(pooled / na + pooled / nb)
+      assert(pooledVar == r6(pooled), s"$ty pooled_var")
+      assert(mdeAbs == r6(mde), s"$ty mde_abs")
+      assert(mdeRel == r6(mde / ((sa + sb) / (na + nb))), s"$ty mde_rel")
+      assert(mdeAbs > 0 && mdeRel > 0)
+      // MDE at quadruple traffic is half — the 1/sqrt(n) law through
+      // the same formula
+      val mde4 = (1.959964 + 0.841621) * math.sqrt(pooled / (4 * na) + pooled / (4 * nb))
+      assert(math.abs(mde4 - mde / 2) < 1e-12 * mde)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("SRM guardrail: counts are per-user, chi2 matches, and a planted 90/10 split flags") {
     val got = Analytics.statsSrm.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))

@@ -238,6 +238,7 @@ class SqlParitySpec extends SparkSuite {
     "kv_seek_scan" -> "// integer division",
     "text_readability" -> "len(regexp_extract_all())",
     "kv_cdc_batches" -> "// integer division",
+    "sample_curriculum" -> "len(regexp_extract_all()) + HUGEINT xxh64-hashLong replay",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

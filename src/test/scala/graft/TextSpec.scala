@@ -579,4 +579,37 @@ class TextSpec extends SparkSuite {
     // the corpus must spread across grades, or the feature is useless
     assert(got.values.map(_._4).toSet.size > 10)
   }
+
+  test("curriculum: bands bucket the published grades, order is non-decreasing and hash-reproducible") {
+    import graft.sources.Tables
+    val cur = TextAnalysis.sampleCurriculum.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positions are a contiguous 1..N permutation, bands non-decreasing
+    assert(cur.map(_._3).sorted.toSeq == (1L to cur.length).toSeq)
+    val byPos = cur.sortBy(_._3)
+    byPos.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2, s"band order broken at pos ${b._3}")
+      case _ =>
+    }
+    // bands bucket exactly the readability op's grades (single-sourcing)
+    val grades = TextAnalysis.textReadability.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    cur.foreach { case (id, band, _) =>
+      // band derives from the UNROUNDED grade; the published grade is
+      // rounded to 4 decimals, so only check consistency within grain
+      val approx = math.min(math.max(math.floor(grades(id)).toLong, 0L), 20L)
+      assert(math.abs(band - approx) <= 1, s"doc $id band $band vs grade ${grades(id)}")
+    }
+    // within-band order is the seeded hash rank — recompute directly
+    val hashes = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), xxhash64(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byPos.groupBy(_._2).foreach { case (band, xs) =>
+      val inPos = xs.sortBy(_._3).map(_._1).toSeq
+      val byHash = xs.map(_._1).sortBy(id => (hashes(id), id)).toSeq
+      assert(inPos == byHash, s"band $band: within-band order is not the hash rank")
+    }
+    // a real curriculum has multiple bands
+    assert(cur.map(_._2).distinct.length > 3)
+  }
 }

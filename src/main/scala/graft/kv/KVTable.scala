@@ -70,6 +70,51 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
     copy(runs = runs.filter(col(keyCol).between(lo, hi))).merged()
       .orderBy(keyCol)
 
+  /** Batched point lookups — the MultiGet API face (reference:
+    * `db_impl`'s multi-key read; RocksDB exposes it because a batch
+    * of gets amortizes one scan/iterator setup across keys instead
+    * of paying it per key). The whole batch becomes ONE `IN`-list
+    * predicate applied pre-merge, so it reaches the parquet scan as
+    * a single pushed filter (min/max + bloom pruning reject row
+    * groups holding none of the keys) and the latest-wins merge runs
+    * once over the union of survivors — k point gets for the price
+    * of one pruned scan. Missing keys simply produce no row. */
+  def multiGet(keys: Seq[Any]): DataFrame =
+    copy(runs = runs.filter(col(keyCol).isin(keys: _*))).merged()
+      .orderBy(keyCol)
+
+  /** Read overlaying RANGE tombstones — RocksDB `DeleteRange`
+    * semantics (the reference's storage engine deletes point keys;
+    * RocksDB generalized the tombstone to a key interval because
+    * deleting a key range by enumerating members costs a full scan
+    * at write time). A range tombstone `[lo, hi) @ seq` deletes
+    * every covered key version with a SMALLER seq; a put written
+    * after the tombstone is visible again. Reads resolve exactly as
+    * RocksDB's fragmented-tombstone overlay: per key take the
+    * latest put/point-delete entry, then drop it if any covering
+    * range tombstone is newer.
+    *
+    * `rts` is `(lo, hi, seq)` with `hi` EXCLUSIVE. Scale: the
+    * tombstone list is index metadata (RocksDB keeps it in-memory
+    * per SSTable), orders of magnitude smaller than the data — the
+    * coverage check is a broadcast anti join against it, never a
+    * data-sized shuffle. */
+  def mergedWithRangeDeletes(rts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    // latest entry per key INCLUDING point tombstones — the range
+    // overlay must compare against the newest entry of any kind
+    val aggs = max(col(seqCol)).as(seqCol) +:
+      (tombstoneCol +: payloadCols).map(c => max_by(col(c), col(seqCol)).as(c))
+    val latest = runs.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    latest
+      .join(broadcast(rts),
+        col(keyCol) >= rts("lo") && col(keyCol) < rts("hi") &&
+          rts("seq") > latest(seqCol),
+        "left_anti")
+      .filter(!col(tombstoneCol))
+      .select((keyCol +: seqCol +: payloadCols).map(col): _*)
+  }
+
   /** MVCC snapshot read as-of a sequence number (reference:
     * `manager/version_set.rs` + snapshots pin a sequence). */
   def snapshot(asOf: Long): DataFrame = merged(Some(asOf))

@@ -1657,6 +1657,62 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** DISTRIBUTION-FREE CONFIDENCE INTERVAL for the median per event
+    * type (the robust companion to `stats_power`'s mean-based MDE:
+    * order-statistic CIs need NO tail assumption — the binomial
+    * argument says the values at ranks n/2 ± z·√n/2 bracket the true
+    * median with ≈95% coverage regardless of the distribution):
+    * the median and both CI endpoints are EXACT order statistics —
+    * values at integer ranks in (v, event_id) order, median at rank
+    * (n+1) DIV 2, CI at ranks ⌊(n − 1.96·√n)/2⌋ (clamped ≥ 1) and
+    * ⌈1 + (n + 1.96·√n)/2⌉ (clamped ≤ n) — the standard large-sample
+    * rank formula from exact integer n through one identical IEEE
+    * sqrt/mul/floor chain on both engines, so the whole report
+    * hash-compares. Ranks via [[RankSelect.groupRanks]] (the
+    * few-huge-groups shape, same as `stats_winsorize`; the oracle's
+    * window formulation is bit-identical by the pinned RankSelect
+    * equality); one |types|-row aggregate after the ranking pass. */
+  val statsQuantileCi: Op = Op.sql("stats_quantile_ci",
+    """WITH e AS (
+      |  SELECT event_type, CAST("value" AS DECIMAL(12,2)) AS v, event_id FROM events),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rank,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |k AS (SELECT *,
+      |        (n + 1) // 2 AS med_rank,
+      |        greatest(1, CAST(floor((n - 1.96 * sqrt(n)) / 2) AS BIGINT)) AS lo_rank,
+      |        least(n, CAST(ceil(1 + (n + 1.96 * sqrt(n)) / 2) AS BIGINT)) AS hi_rank
+      |      FROM r)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(CASE WHEN rank = med_rank THEN v END) AS DOUBLE) AS median,
+      |  CAST(max(CASE WHEN rank = lo_rank THEN v END) AS DOUBLE) AS ci_lo,
+      |  CAST(max(CASE WHEN rank = hi_rank THEN v END) AS DOUBLE) AS ci_hi,
+      |  max(lo_rank) AS lo_rank, max(hi_rank) AS hi_rank
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select(col("event_type"),
+      col("value").cast("decimal(12,2)").as("v"), col("event_id"))
+    val ranked = RankSelect
+      .groupRanks(e, "event_type", Seq(col("v"), col("event_id")))
+    val nD = col("n").cast("double")
+    val zr = lit(1.96) * sqrt(nD)
+    val medRank = expr("(n + 1) DIV 2")
+    val loRank = greatest(lit(1L), floor((nD - zr) / 2).cast("long"))
+    val hiRank = least(col("n"), ceil(lit(1) + (nD + zr) / 2).cast("long"))
+    ranked
+      .withColumn("med_rank", medRank)
+      .withColumn("lo_rank", loRank)
+      .withColumn("hi_rank", hiRank)
+      .groupBy("event_type")
+      .agg(max(col("n")).cast("long").as("n"),
+        max(when(col("rank") === col("med_rank"), col("v"))).cast("double").as("median"),
+        max(when(col("rank") === col("lo_rank"), col("v"))).cast("double").as("ci_lo"),
+        max(when(col("rank") === col("hi_rank"), col("v"))).cast("double").as("ci_hi"),
+        max(col("lo_rank")).as("lo_rank"), max(col("hi_rank")).as("hi_rank"))
+      .orderBy("event_type")
+  }
+
   val PermReps = 49
 
   /** MONTE-CARLO PERMUTATION TEST of the A/B mean difference per
@@ -2194,5 +2250,6 @@ object Analytics {
     q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
-    graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower)
+    graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
+    statsQuantileCi)
 }

@@ -163,6 +163,59 @@ object KV {
       .orderBy("level")
   }
 
+  /** Batched point lookups — the MultiGet API face (reference:
+    * `db_impl`'s read path; RocksDB's MultiGet). The whole key batch
+    * travels as ONE `IN`-list predicate applied before the merge, so
+    * it reaches the parquet scan as a single pushed filter (min/max
+    * + bloom pruning) and the latest-wins merge runs once over the
+    * pruned survivors — k point reads for the price of one scan
+    * setup. Key 7 is point-deleted territory at some SFs and 99999
+    * never exists: both "absent" shapes (tombstoned vs never
+    * written) must yield no row, which the oracle's shared merge
+    * form checks. PlanAuditSpec pins the pushed In filter. */
+  val kvMultiGet: Op = Op.sql("kv_multi_get",
+    s"""WITH $kvCte
+       |SELECT * FROM ${mergeSql("kv", "key IN (2, 7, 11, 99999)")}
+       |ORDER BY key""".stripMargin) { (s, dir) =>
+    kv(s, dir).multiGet(Seq(2L, 7L, 11L, 99999L))
+  }
+
+  /** Range tombstones — RocksDB `DeleteRange` semantics layered on
+    * the reference's point-tombstone LSM (deleting an interval by
+    * enumerating its members costs a write-time scan; the range
+    * tombstone is O(1) to write and resolves at read). Three
+    * tombstones at fixed fractions of the max seq: `[2,6) @ 0.7·m`,
+    * `[10,13) @ 0.4·m`, and `[5,7) @ 0.9·m` overlapping the first —
+    * a key in [5,6) must fall to the NEWEST covering tombstone, and
+    * keys whose latest put outruns every covering tombstone come
+    * back (the reappear-after-delete case leveled compaction must
+    * preserve). The tombstone list is index metadata (RocksDB holds
+    * it in memory per SSTable), so the coverage check is a broadcast
+    * anti join — never a data-sized shuffle; the oracle replays the
+    * overlay as NOT EXISTS over the same VALUES list. */
+  val kvRangeDelete: Op = Op.sql("kv_range_delete",
+    s"""WITH $kvCte,
+       |mx AS (SELECT max(seq) AS m FROM kv),
+       |rt AS (SELECT lo, hi, CAST(floor(m * f) AS BIGINT) AS seq
+       |       FROM (VALUES (2, 6, 0.7), (10, 13, 0.4), (5, 7, 0.9)) t(lo, hi, f), mx),
+       |latest AS (SELECT key, seq, v, tombstone FROM (
+       |  SELECT key, seq, v, tombstone,
+       |         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |  FROM kv) WHERE rn = 1)
+       |SELECT key, seq, v FROM latest l
+       |WHERE NOT tombstone AND NOT EXISTS (
+       |  SELECT 1 FROM rt WHERE l.key >= rt.lo AND l.key < rt.hi
+       |                      AND rt.seq > l.seq)
+       |ORDER BY key""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = kv(s, dir)
+    val m = t.runs.agg(max("seq")).head().getLong(0)
+    val rts = Seq((2L, 6L, math.floor(m * 0.7).toLong),
+      (10L, 13L, math.floor(m * 0.4).toLong),
+      (5L, 7L, math.floor(m * 0.9).toLong)).toDF("lo", "hi", "seq")
+    t.mergedWithRangeDeletes(rts).orderBy("key")
+  }
+
   private val logBuildLock = new Object
 
   /** Durable batched ingest through [[graft.kv.KVLog]] (the
@@ -679,5 +732,5 @@ object KV {
     kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest,
     kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
     kvCheckpointRestore, kvSecondaryIndex, kvCf, kvBackupIncremental,
-    kvWalReplay, kvSeekScan, kvCdcBatches)
+    kvWalReplay, kvSeekScan, kvCdcBatches, kvMultiGet, kvRangeDelete)
 }

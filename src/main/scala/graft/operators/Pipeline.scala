@@ -126,5 +126,102 @@ object Pipeline {
       .orderBy("split")
   }
 
-  val all: Seq[Op] = Seq(pipelineE2e, pipelinePack)
+  /** Per-document LINEAGE through the pipeline — the drop-reason
+    * attribution a pipeline operator reads when the corpus shrinks
+    * unexpectedly (`pipeline_e2e` reports the funnel's AGGREGATE;
+    * this op answers "why did doc X disappear, and who shadowed
+    * it"): every document gets its stage metrics (post-normalize
+    * word/char counts), its FIRST failing stage as `reason`
+    * (`short` → `duplicate` → `kept`, in pipeline order), the
+    * canonical owner that shadowed it when deduped, and its split
+    * assignment when kept — so the e2e funnel is exactly a GROUP BY
+    * over this output. The dedup ownership join is keyed on the
+    * md5 of the normalized text, not the text itself (fixed-width
+    * shuffle keys at 100 TB — the dedup_exact discipline); one
+    * content-keyed hash-agg + one content-keyed join, per-row
+    * stages fused into the scan.
+    *
+    * The driver corpus is clean (every doc passes every stage), so
+    * the op plants two fixture docs ABOVE the id range — an exact
+    * duplicate of the min-id doc and a too-short doc — the
+    * kv_write_batch discipline: both drop paths execute and
+    * hash-check at every SF, and because planted ids lose the
+    * min-doc_id ownership race, the kept set (hence the e2e funnel)
+    * is unchanged. */
+  val pipelineLineage: Op = Op.sql("pipeline_lineage",
+    s"""WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT (SELECT max(doc_id) + 1 FROM documents), text
+      |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
+      |  UNION ALL
+      |  SELECT (SELECT max(doc_id) + 2 FROM documents), 'tiny'),
+      |scrubbed AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+      |                   '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text
+      |  FROM docs),
+      |norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         ' +', ' ', 'g')) AS t
+      |  FROM scrubbed),
+      |meta AS (
+      |  SELECT doc_id, md5(t) AS h,
+      |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+      |    CAST(length(t) AS BIGINT) AS n_chars
+      |  FROM norm),
+      |gate AS (SELECT *, n_words >= 5 AND n_chars >= 20 AS passed FROM meta),
+      |own AS (SELECT h, min(doc_id) AS owner FROM gate WHERE passed GROUP BY h)
+      |SELECT g.doc_id, g.n_words, g.n_chars,
+      |  CASE WHEN NOT g.passed THEN 'short'
+      |       WHEN g.doc_id <> o.owner THEN 'duplicate'
+      |       ELSE 'kept' END AS reason,
+      |  CASE WHEN g.passed AND g.doc_id = o.owner THEN
+      |    CASE WHEN CAST(('0x' || substr(g.h, 1, 1)) AS BIGINT) < 13 THEN 'train'
+      |         WHEN CAST(('0x' || substr(g.h, 1, 1)) AS BIGINT) < 15 THEN 'val'
+      |         ELSE 'test' END END AS split,
+      |  CASE WHEN g.passed THEN o.owner END AS canonical_id
+      |FROM gate g LEFT JOIN own o ON g.h = o.h
+      |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ids = base.agg(min("doc_id"), max("doc_id")).head()
+    val (minId, maxId) = (ids.getLong(0), ids.getLong(1))
+    val planted = base.filter(col("doc_id") === minId)
+      .select(lit(maxId + 1).as("doc_id"), col("text"))
+      .unionByName(Seq((maxId + 2, "tiny")).toDF("doc_id", "text"))
+    val scrubbed = base.unionByName(planted).select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
+        TextAnalysis.PhoneRe, "<PHONE>").as("text"))
+    val norm = scrubbed.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")).as("t"))
+    val meta = norm.select(col("doc_id"),
+      md5(col("t").cast("binary")).as("h"),
+      size(split(col("t"), " ")).cast("bigint").as("n_words"),
+      length(col("t")).cast("bigint").as("n_chars"))
+    val gate = meta.withColumn("passed",
+      col("n_words") >= 5 && col("n_chars") >= 20)
+    // shuffle_hash: the ownership table is corpus-proportional
+    // (one row per distinct content) — at test SF it fits under the
+    // broadcast threshold, at 100 TB it cannot exist on the driver;
+    // pin the keyed shuffle join like the banded dedup self-joins
+    val own = gate.filter(col("passed"))
+      .groupBy("h").agg(min("doc_id").as("owner"))
+      .hint("shuffle_hash")
+    val hv = conv(substring(col("h"), 1, 1), 16, 10).cast("bigint")
+    gate.join(own, Seq("h"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        when(!col("passed"), "short")
+          .when(col("doc_id") =!= col("owner"), "duplicate")
+          .otherwise("kept").as("reason"),
+        when(col("passed") && col("doc_id") === col("owner"),
+          when(hv < 13, "train").when(hv < 15, "val").otherwise("test"))
+          .as("split"),
+        when(col("passed"), col("owner")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Op] = Seq(pipelineE2e, pipelinePack, pipelineLineage)
 }

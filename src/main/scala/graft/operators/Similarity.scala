@@ -967,6 +967,59 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** PQ QUANTIZATION-ERROR report, per subspace (the index-quality
+    * number that sizes the M/K trade: recall_eval measures the END
+    * effect on one query set, distortion measures the CAUSE — how
+    * much of each subvector the codebook fails to represent — and is
+    * what you watch when deciding to retrain or re-split; Jégou et
+    * al.'s PQ paper tunes on exactly this). Per subspace m: vectors,
+    * distinct codes actually used (dead codes = wasted codebook
+    * capacity), mean and max squared reconstruction error against
+    * the REFINED codebook. The per-vector error uses the kernel's
+    * exact left-assoc 4-term distance; the corpus mean accumulates
+    * FIXED-POINT (floor(err·2³⁰+0.5) longs — order-free exact sums,
+    * the ivfCentroids discipline), max is order-free on raw doubles,
+    * so the report hash-compares bit-exact while the oracle
+    * re-trains the whole codebook in SQL. Scale: one corpus scan,
+    * map-side-partial to M=16 rows; the codebook is driver metadata.
+    */
+  val annPqDistortion: Op = Op.sql("ann_pq_distortion",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)" +
+      pqAdcCteSql +
+      s""",
+         |derr AS (
+         |  SELECT cd.m, cd.code, ${distSql("u", "c", "cd.m")} AS err
+         |  FROM codes cd JOIN un u USING (vec_id)
+         |  JOIN cbf c ON c.m = cd.m AND c.k = cd.code)
+         |SELECT m, count(*) AS n_vecs,
+         |  count(DISTINCT code) AS n_codes_used,
+         |  CAST(sum(CAST(floor(err * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1073741824.0 / count(*) AS mse,
+         |  max(err) AS max_err
+         |FROM derr GROUP BY m ORDER BY m""".stripMargin) { (s, dir) =>
+    val cb = codebookFor(s, dir)
+    val cbLit = typedLit(cb)
+    val coded = unitNorm(emb(s, dir)).select(col("vec_id"), col("v"),
+      posexplode(call_function("graft_pq_encode", col("v"), cbLit,
+        lit(PqM), lit(PqK))).as(Seq("m", "code")))
+    // left-fold over d mirrors the oracle's left-assoc 4-term tree
+    // (fold seed 0.0 + t1 == t1 exactly, so the IEEE orders agree)
+    val err = aggregate(sequence(lit(1), lit(PqSubDim)), lit(0.0),
+      (acc, d) => {
+        val diff = element_at(col("v"), (col("m") * PqSubDim + d).cast("int")) -
+          element_at(cbLit, ((col("m") * PqK + col("code")) * PqSubDim + d).cast("int"))
+        acc + diff * diff
+      })
+    coded.withColumn("err", err)
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("code")).as("n_codes_used"),
+        (sum(floor(col("err") * lit(1073741824.0) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1073741824.0) / count(lit(1))).as("mse"),
+        max(col("err")).as("max_err"))
+      .orderBy("m")
+  }
+
   // ---- scalar quantization (SQ8) + binary (1-bit) ------------------
 
   /** Shortlist factor for the two quantized scan paths below. */
@@ -1690,5 +1743,5 @@ object Similarity {
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
     annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered,
     annHardNegatives, annIvfAppend, annRangeSearch, annRecallEval,
-    annSq8, annBinary, annCentroidDrift, vecGram, annMmr)
+    annSq8, annBinary, annCentroidDrift, vecGram, annMmr, annPqDistortion)
 }

@@ -316,8 +316,37 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Streaming as-of enrichment (q31's stateful stream face): each
+    * purchase is enriched with the user's latest click SO FAR — a
+    * per-EVENT Append emission from `flatMapGroupsWithState`, the
+    * one stateful shape (bounded per-key state, immediate output)
+    * the window/aggregate stream ops don't cover. The oracle
+    * replays the fold as a `last_value IGNORE NULLS` window over
+    * `(ts_us, event_id)` order — including the NULL enrichment of
+    * purchases that precede every click; StreamingSpec drives the
+    * same code as a real file stream split at a time boundary and
+    * proves the cross-batch state carry. See
+    * [[graft.streaming.Streams.asofEnrich]] for the scale/ordering
+    * contract. */
+  val streamAsofEnrich: Op = Op.sql("stream_asof_enrich",
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |                  event_type, "value" AS v FROM events),
+      |w AS (SELECT user_id, event_id, ts_us, event_type, v,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS click_ts,
+      |    last_value(CASE WHEN event_type = 'click' THEN v END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS click_value
+      |  FROM e)
+      |SELECT user_id, event_id AS purch_id, ts_us AS purch_ts,
+      |       v AS purch_value, click_ts, click_value
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY user_id, purch_id""".stripMargin) { (s, dir) =>
+    Streams.asofEnrich(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "purch_id")
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
     streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
     streamDrift, streamIvfAssign, streamMinhashDedup, streamContamination,
-    streamQualityMonitor, streamRetention, streamBackfillMerge)
+    streamQualityMonitor, streamRetention, streamBackfillMerge, streamAsofEnrich)
 }

@@ -85,6 +85,55 @@ object Streams {
       .orderBy("win_start", "rnk")
   }
 
+  /** Last-click state carried per user by [[asofEnrich]]. */
+  final case class AsofState(ts_us: Long, v: Double)
+  final case class AsofRow(user_id: Long, purch_id: Long, purch_ts: Long,
+                           purch_value: Double, click_ts: Option[Long],
+                           click_value: Option[Double])
+
+  /** Streaming AS-OF ENRICHMENT — the stateful face of q31's batch
+    * as-of join (the enrichment every event pipeline runs online:
+    * attach "the latest dimension value so far" to each fact as it
+    * arrives, without re-joining history): per user, a
+    * `flatMapGroupsWithState` state machine holds ONLY the latest
+    * click `(ts, value)` and each purchase emits enriched
+    * immediately — per-EVENT emission (Append), not the cumulative
+    * per-KEY aggregates the other stateful ops produce. Rows within
+    * a group are folded in `(ts_us, event_id)` order (the batch
+    * iterator and each micro-batch are sorted in-memory — per-user
+    * volumes, the same bound every per-user window op assumes), so
+    * a click at the same microsecond as a purchase counts iff its
+    * event_id is lower — the exact tie rule the oracle's
+    * `last_value IGNORE NULLS` window replays. Purchases before any
+    * click emit NULL enrichment. Cross-batch correctness assumes
+    * in-order arrival per key (the kappa-pipeline discipline;
+    * StreamingSpec feeds time-split files and proves stream ==
+    * batch including state carried across batches). State is one
+    * 16-byte struct per user — bounded regardless of history. */
+  def asofEnrich(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[AsofState]) =>
+          var last = state.getOption
+          val out = Vector.newBuilder[AsofRow]
+          rows.toVector.sortBy(r => (r._3, r._2)).foreach { r =>
+            if (r._4 == "click") last = Some(AsofState(r._3, r._5))
+            else if (r._4 == "purchase")
+              out += AsofRow(user, r._2, r._3, r._5,
+                last.map(_.ts_us), last.map(_.v))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Per-user running aggregate state for [[statefulTrack]]. */
   final case class UserState(n_events: Long, sum_value: Double, last_ts: Long)
   final case class UserTrack(user_id: Long, n_events: Long,

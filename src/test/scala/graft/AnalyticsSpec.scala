@@ -742,6 +742,32 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("median CI: endpoints are the exact order statistics at the binomial ranks and bracket the median") {
+    val got = Analytics.statsQuantileCi.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6))).toMap
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value").cast("decimal(12,2)"), col("event_id"))
+      .collect().map(r => (r.getString(0), BigDecimal(r.getDecimal(1)), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (ty, xs) =>
+      val (n, median, ciLo, ciHi, loRank, hiRank) = got(ty)
+      val sorted = xs.sortBy(r => (r._2, r._3)).map(_._2)
+      assert(n == sorted.length.toLong)
+      val zr = 1.96 * math.sqrt(n.toDouble)
+      val wantLo = math.max(1L, math.floor((n - zr) / 2).toLong)
+      val wantHi = math.min(n, math.ceil(1 + (n + zr) / 2).toLong)
+      assert(loRank == wantLo && hiRank == wantHi, s"$ty ranks")
+      assert(median == sorted(((n + 1) / 2).toInt - 1).toDouble, s"$ty median")
+      assert(ciLo == sorted(wantLo.toInt - 1).toDouble, s"$ty ci_lo")
+      assert(ciHi == sorted(wantHi.toInt - 1).toDouble, s"$ty ci_hi")
+      // the interval is a genuine bracket, and at these group sizes a
+      // proper (non-degenerate) one
+      assert(ciLo <= median && median <= ciHi, s"$ty bracket")
+      assert(loRank >= 1 && hiRank <= n && loRank < hiRank, s"$ty rank bounds")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("SRM guardrail: counts are per-user, chi2 matches, and a planted 90/10 split flags") {
     val got = Analytics.statsSrm.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))

@@ -354,4 +354,42 @@ class KVSpec extends SparkSuite {
     // all three op kinds genuinely occur
     assert(feed.map(_._3).toSet == Set("insert", "delete", "update"))
   }
+
+  test("multi get: one IN-pruned merge answers the batch; absent and deleted keys yield no row") {
+    val got = fixture.multiGet(Seq(1L, 2L, 3L, 99L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // k2 is point-deleted, k99 never written — both absent
+    assert(got.toSeq == Seq((1L, 11.0), (3L, 31.0)))
+  }
+
+  test("range delete: tombstone covers older puts, newer puts survive, newest covering tombstone wins") {
+    import spark.implicits._
+    val runs = Seq(
+      (1L, 1L, false, 10.0), // k1 put, later point-deleted
+      (2L, 2L, false, 20.0), // k2 old put (covered by RT1)
+      (3L, 3L, false, 30.0), // k3 put (covered by RT1@5 and RT2@2)
+      (4L, 4L, false, 40.0), // k4: RT1's hi=4 is EXCLUSIVE; RT2@2 is older
+      (1L, 6L, true, 0.0),   // point tombstone still applies
+      (2L, 7L, false, 21.0)  // k2 re-put AFTER RT1 — reappears
+    ).toDF("key", "seq", "tombstone", "v")
+    val t = KVTable(runs, "key", "seq", "tombstone")
+    val rts = Seq((2L, 4L, 5L), (3L, 5L, 2L)).toDF("lo", "hi", "seq")
+    val got = t.mergedWithRangeDeletes(rts).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // k1: point-deleted; k2: re-put seq7 > RT1 seq5 → visible;
+    // k3: latest seq3 < newest covering RT seq5 → deleted (RT2@2
+    // alone would NOT delete it — the newest covering tombstone is
+    // the one that decides); k4: only RT2@2 covers, put seq4 > 2.
+    assert(got.toSeq == Seq((2L, 7L, 21.0), (4L, 4L, 40.0)))
+  }
+
+  test("range delete: empty tombstone list degrades to the plain merge") {
+    import spark.implicits._
+    val rts = Seq.empty[(Long, Long, Long)].toDF("lo", "hi", "seq")
+    val got = fixture.mergedWithRangeDeletes(rts).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val want = fixture.merged().orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
 }

@@ -569,4 +569,46 @@ class PlanAuditSpec extends SparkSuite {
     assert("ShuffledHashJoin LeftAnti".r.findAllIn(p).size == 2,
       s"peel anti joins are not shuffled hash joins:\n$p")
   }
+
+  test("multi get pushes the whole key batch as one In filter") {
+    val p = plan("kv_multi_get")
+    assert(p.contains("In(user_id, [") && p.contains("99999"),
+      s"the MultiGet batch is not one pushed In filter:\n$p")
+    assert(!p.contains("SortAggregate"), "merge fell back to SortAggregate")
+  }
+
+  test("range delete: the tombstone overlay broadcasts the METADATA side only") {
+    // the tombstone list is index metadata (tiny, fixed); the data
+    // side must never become the broadcast build of the anti join
+    val p = plan("kv_range_delete")
+    assert(p.contains("BroadcastNestedLoopJoin LeftAnti BuildRight"),
+      s"tombstone overlay is not a broadcast anti join on the rts side:\n$p")
+    assert(!p.contains("SortAggregate"), "merge fell back to SortAggregate")
+  }
+
+  test("lineage ownership join is a keyed shuffle, never a corpus-sized driver build") {
+    val p = plan("pipeline_lineage")
+    assert(p.contains("ShuffledHashJoin"),
+      s"ownership join is not a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a corpus-proportional ownership broadcast:\n$p")
+  }
+
+  test("as-of enrichment is one user-keyed stateful operator") {
+    // in batch execution flatMapGroupsWithState lowers to MapGroups
+    // over ONE group-key hash exchange (streaming swaps in the state
+    // store; StreamingSpec drives that face)
+    val p = plan("stream_asof_enrich")
+    assert(p.contains("MapGroups"),
+      s"as-of enrichment lost its per-group stateful operator:\n$p")
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      s"expected exactly one group-key exchange:\n$p")
+  }
+
+  test("PQ distortion is a map-side-partial aggregate to M rows") {
+    val p = plan("ann_pq_distortion")
+    assert(p.contains("HashAggregate"), "distortion agg lost hash aggregation")
+    assert(!p.contains("Join"),
+      s"distortion must be join-free (codebook is a literal):\n$p")
+  }
 }

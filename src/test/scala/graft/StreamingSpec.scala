@@ -136,6 +136,33 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("as-of enrichment streams per-event emissions; state carries the last click across batches") {
+    withEventsStream { (src, events) =>
+      val q = Streams.runFileStream(spark, src, events, Streams.asofEnrich,
+        "asof_sink", outputMode = "append")
+      q.processAllAvailable()
+      q.stop()
+      // append mode: each purchase emitted exactly once, enriched with
+      // state at its batch — equal to batch iff the last-click state
+      // survives batch boundaries
+      val streamed = spark.table("asof_sink").orderBy("user_id", "purch_id").collect()
+      val batch = Streams.asofEnrich(events).orderBy("user_id", "purch_id").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.nonEmpty)
+      // the carry genuinely happened: some purchase in a LATER file
+      // is enriched by a click from an EARLIER one (else this test
+      // would pass with per-batch state resets)
+      val quartiles = events.stat.approxQuantile("event_id",
+        Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
+      val crossBatch = spark.table("asof_sink")
+        .join(events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("click_ts")), Seq("user_id", "click_ts"))
+        .filter(col("purch_id") > quartiles(0) && col("click_id") <= quartiles(0))
+      assert(crossBatch.count() > 0, "no purchase was enriched across a batch boundary")
+    }
+  }
+
   test("stream-stream interval join runs as two real streams and matches batch") {
     withEventsStream { (src, events) =>
       val mk = () => spark.readStream.schema(events.schema)

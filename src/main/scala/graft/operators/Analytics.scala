@@ -1713,6 +1713,81 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** MANN–WHITNEY U rank-sum test of the A/B split per event type
+    * (the RANK-based nonparametric member of the stats family —
+    * stats_permutation re-randomizes assignments, Mann–Whitney asks
+    * whether one group's values stochastically dominate, immune to
+    * any monotone transform of the metric): tie-averaged ranks are
+    * computed WITHOUT ranking any row — one map-side-partial
+    * hash-agg to per-(type, value, group) counts, then a window over
+    * that |distinct values|-sized aggregate gives each value's
+    * cumulative position, and 2·avgrank = 2·min_rank + cnt − 1 keeps
+    * the rank sum an exact INTEGER (DECIMAL(38,0) accumulation — a
+    * doubled rank sum reaches ~2N² and overflows int64 past ~10⁹
+    * rows). U, the normal approximation's mean and the tie-corrected
+    * variance all derive from those exact integers through one
+    * identical IEEE tree, so z hash-compares bit-exact. Scale: the
+    * corpus touches ONE hash-agg; everything after runs on
+    * aggregate-sized frames (the sanctioned |distinct values| window
+    * class). */
+  val statsMannWhitney: Op = Op.sql("stats_mannwhitney",
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS grp,
+      |    CAST("value" AS DECIMAL(12,2)) AS v FROM events),
+      |pv AS (
+      |  SELECT event_type, v,
+      |    count(CASE WHEN grp = 0 THEN 1 END) AS ca,
+      |    count(CASE WHEN grp = 1 THEN 1 END) AS cb
+      |  FROM e GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT event_type, v, ca, cb, ca + cb AS cnt,
+      |    sum(ca + cb) OVER (PARTITION BY event_type ORDER BY v) AS cum
+      |  FROM pv),
+      |ag AS (
+      |  SELECT event_type,
+      |    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+      |    sum(CAST(ca AS HUGEINT) * (2 * (cum - cnt + 1) + cnt - 1)) AS r2a,
+      |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS t3t
+      |  FROM rk GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2 AS u,
+      |  round((CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2
+      |         - CAST(n_a * n_b AS DOUBLE) / 2)
+      |    / sqrt(CAST(n_a * n_b AS DOUBLE) / 12
+      |        * (CAST(n_a + n_b + 1 AS DOUBLE)
+      |           - CAST(t3t AS DOUBLE)
+      |             / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z
+      |FROM ag ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("event_type"),
+      (col("user_id") % 2).as("grp"),
+      col("value").cast("decimal(12,2)").as("v"))
+    val pv = e.groupBy("event_type", "v").agg(
+      count(when(col("grp") === 0, 1)).as("ca"),
+      count(when(col("grp") === 1, 1)).as("cb"))
+    val rk = pv
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("cum", sum(col("ca") + col("cb")).over(
+        Window.partitionBy("event_type").orderBy("v")))
+    val ag = rk.groupBy("event_type").agg(
+      sum(col("ca")).cast("long").as("n_a"),
+      sum(col("cb")).cast("long").as("n_b"),
+      sum(col("ca").cast("decimal(38,0)") *
+        (lit(2) * (col("cum") - col("cnt") + 1) + col("cnt") - 1)).as("r2a"),
+      sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt") - col("cnt"))
+        .as("t3t"))
+    val u = (col("r2a") - col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1)))
+      .cast("double") / 2
+    val mu = (col("n_a") * col("n_b")).cast("double") / 2
+    val nTot = col("n_a") + col("n_b")
+    val sig2 = (col("n_a") * col("n_b")).cast("double") / 12 *
+      ((nTot + 1).cast("double") -
+        col("t3t").cast("double") / (nTot * (nTot - 1)).cast("double"))
+    ag.select(col("event_type"), col("n_a"), col("n_b"),
+        u.as("u"), round((u - mu) / sqrt(sig2), 6).as("z"))
+      .orderBy("event_type")
+  }
+
   val PermReps = 49
 
   /** MONTE-CARLO PERMUTATION TEST of the A/B mean difference per
@@ -1736,14 +1811,79 @@ object Analytics {
     * Poisson-bootstrap shape; nothing re-shuffles per permutation,
     * which is exactly why the Monte-Carlo variant is the one that
     * runs at scale. */
-  val statsPermutation: Op = Op.sql("stats_permutation", {
+  /** TOST EQUIVALENCE test per event type (the experimentation
+    * question the rest of the suite cannot answer: ttest/permutation
+    * detect a DIFFERENCE — "no significant difference" is NOT
+    * evidence of equivalence; Schuirmann's two one-sided tests
+    * establish that the A/B gap lies INSIDE ±δ, the non-inferiority
+    * readout every do-no-harm launch gate needs): margin δ = 10% of
+    * the grand mean, Welch standard error from the SAME exact
+    * decimal moments as stats_ttest/stats_power (one
+    * map-side-partial hash-agg), t_lower = (d+δ)/se and t_upper =
+    * (δ−d)/se, equivalent iff BOTH clear the fixed z-critical 1.645
+    * (α=0.05 one-sided, large-sample — a literal, not a
+    * transcendental call). Every float derives from exact integers
+    * through one identical IEEE tree, so the verdict hash-compares.
+    */
+  val statsTost: Op = Op.sql("stats_tost",
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS grp,
+      |    CAST("value" AS DECIMAL(12,2)) AS v FROM events),
+      |m AS (SELECT event_type, grp, count(*) AS n,
+      |        CAST(sum(v) AS DOUBLE) AS s, CAST(sum(v*v) AS DOUBLE) AS ss
+      |      FROM e GROUP BY 1, 2),
+      |ab AS (SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+      |         a.s AS s_a, b.s AS s_b, a.ss AS ss_a, b.ss AS ss_b
+      |       FROM m a JOIN m b
+      |         ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1),
+      |x AS (SELECT event_type, n_a, n_b,
+      |        s_a / n_a - s_b / n_b AS d,
+      |        0.1 * ((s_a + s_b) / (n_a + n_b)) AS delta,
+      |        sqrt((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+      |           + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b) AS se
+      |      FROM ab)
+      |SELECT event_type, n_a, n_b,
+      |  round(d, 6) AS d, round(delta, 6) AS delta, round(se, 6) AS se,
+      |  round((d + delta) / se, 6) AS t_lower,
+      |  round((delta - d) / se, 6) AS t_upper,
+      |  (d + delta) / se > 1.645 AND (delta - d) / se > 1.645 AS equivalent
+      |FROM x ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select(col("event_type"),
+      (col("user_id") % 2).as("grp"),
+      col("value").cast("decimal(12,2)").as("v"))
+    val m = e.groupBy("event_type", "grp").agg(count(lit(1)).as("n"),
+      sum(col("v")).cast("double").as("s"),
+      sum(col("v") * col("v")).cast("double").as("ss"))
+    val a = m.filter(col("grp") === 0).select(col("event_type"),
+      col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+    val b = m.filter(col("grp") === 1).select(col("event_type"),
+      col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+    val d = col("s_a") / col("n_a") - col("s_b") / col("n_b")
+    val delta = lit(0.1) * ((col("s_a") + col("s_b")) / (col("n_a") + col("n_b")))
+    val se = sqrt((col("ss_a") - col("s_a") * col("s_a") / col("n_a")) /
+        (col("n_a") - 1) / col("n_a") +
+      (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) /
+        (col("n_b") - 1) / col("n_b"))
+    a.join(b, "event_type")
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(d, 6).as("d"), round(delta, 6).as("delta"), round(se, 6).as("se"),
+        round((d + delta) / se, 6).as("t_lower"),
+        round((delta - d) / se, 6).as("t_upper"),
+        ((d + delta) / se > 1.645 && (delta - d) / se > 1.645).as("equivalent"))
+      .orderBy("event_type")
+  }
+
+  /** The permutation report's oracle CTE chain ending in `pv` (the
+    * per-type exact p-values) — shared verbatim by stats_permutation
+    * and stats_fdr so the BH pass consumes bit-identical inputs. */
+  private def permOracleCtes: String = {
     import SqlReplay.{stagedSql, hashLongStages}
     val staged = stagedSql(
       "SELECT event_type, CAST(\"value\" AS DECIMAL(12,2)) AS v, " +
         "CAST(user_id AS HUGEINT) AS uk, CAST(7000 + b AS HUGEINT) AS bk, b " +
         s"FROM events, unnest([${(0 until PermReps).mkString(", ")}]) AS t(b)",
       hashLongStages("uk", "42::HUGEINT", "s1") ++ hashLongStages("bk", "s1", "h"))
-    s"""WITH obs AS (
+    s"""obs AS (
        |  SELECT event_type,
        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST("value" AS DECIMAL(12,2)) END) AS DOUBLE)
        |      / count(CASE WHEN user_id % 2 = 0 THEN 1 END)
@@ -1760,12 +1900,16 @@ object Analytics {
        |ex AS (
        |  SELECT p.event_type, count(*) AS n_perms,
        |    count(CASE WHEN abs(p.d) >= abs(o.d_obs) THEN 1 END) AS n_extreme
-       |  FROM perm p JOIN obs o USING (event_type) GROUP BY 1)
-       |SELECT e.event_type, round(o.d_obs, 6) AS d_obs, e.n_perms, e.n_extreme,
-       |  round(CAST(1 + e.n_extreme AS DOUBLE) / (e.n_perms + 1), 6) AS p_value
-       |FROM ex e JOIN obs o USING (event_type)
-       |ORDER BY event_type""".stripMargin
-  }) { (s, dir) =>
+       |  FROM perm p JOIN obs o USING (event_type) GROUP BY 1),
+       |pv AS (
+       |  SELECT e.event_type, round(o.d_obs, 6) AS d_obs, e.n_perms, e.n_extreme,
+       |    round(CAST(1 + e.n_extreme AS DOUBLE) / (e.n_perms + 1), 6) AS p_value
+       |  FROM ex e JOIN obs o USING (event_type))""".stripMargin
+  }
+
+  /** The permutation report without its output ordering — shared by
+    * stats_permutation and stats_fdr. */
+  private def permutationReport(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     def grpDiff(g: Column) =
       sum(when(g === 0, col("v"))).cast("double") / count(when(g === 0, 1)) -
@@ -1789,7 +1933,64 @@ object Analytics {
         col("n_perms"), col("n_extreme"),
         round((lit(1) + col("n_extreme")).cast("double") / (col("n_perms") + 1), 6)
           .as("p_value"))
-      .orderBy("event_type")
+  }
+
+  val statsPermutation: Op = Op.sql("stats_permutation",
+    s"""WITH $permOracleCtes
+       |SELECT * FROM pv ORDER BY event_type""".stripMargin) { (s, dir) =>
+    permutationReport(s, dir).orderBy("event_type")
+  }
+
+  /** BENJAMINI–HOCHBERG FDR correction across the per-type p-value
+    * family (the MULTIPLE-TESTING guardrail the suite was missing:
+    * reading |types| permutation p-values at α=0.05 each inflates
+    * the family-wise false-discovery rate; BH is the standard
+    * control every experimentation platform applies before flagging
+    * winners): consumes [[statsPermutation]]'s EXACT p-values
+    * (bit-identical on both engines by construction), ranks them,
+    * flags every test at or below the largest i with
+    * p·m ≤ α·i, and reports the step-up adjusted p-value
+    * min_{j≥i}(m·p_(j)/j) clamped to 1 — products/divisions through
+    * one identical IEEE tree, running min order-free, so the whole
+    * report hash-compares. Scale: everything after the (shared)
+    * permutation aggregate runs on the |types|-row frame — the
+    * sanctioned aggregate-sized window class. */
+  val statsFdr: Op = Op.sql("stats_fdr",
+    s"""WITH $permOracleCtes,
+       |ranked AS (
+       |  SELECT event_type, p_value,
+       |    row_number() OVER (ORDER BY p_value, event_type) AS i,
+       |    count(*) OVER () AS m
+       |  FROM pv),
+       |adj AS (
+       |  SELECT event_type, p_value, i, m,
+       |    least(1.0, min(p_value * m / i) OVER
+       |      (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |      AS p_adj,
+       |    max(CASE WHEN p_value * m <= 0.05 * i THEN i END) OVER () AS k
+       |  FROM ranked)
+       |SELECT event_type, p_value, i AS rank, m,
+       |  round(p_adj, 6) AS p_adj,
+       |  coalesce(i <= k, false) AS reject
+       |FROM adj ORDER BY rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pv = permutationReport(s, dir).select(col("event_type"), col("p_value"))
+    val gw = Window.partitionBy()
+    val ranked = pv
+      .withColumn("i", row_number().over(
+        Window.orderBy("p_value", "event_type")))
+      .withColumn("m", count(lit(1)).over(gw))
+    val adj = ranked
+      .withColumn("p_adj", least(lit(1.0),
+        min(col("p_value") * col("m") / col("i")).over(
+          Window.orderBy("i").rowsBetween(Window.currentRow, Window.unboundedFollowing))))
+      .withColumn("k", max(when(col("p_value") * col("m") <= lit(0.05) * col("i"),
+        col("i"))).over(gw))
+    adj.select(col("event_type"), col("p_value"),
+        col("i").cast("long").as("rank"), col("m"),
+        round(col("p_adj"), 6).as("p_adj"),
+        coalesce(col("i") <= col("k"), lit(false)).as("reject"))
+      .orderBy("rank")
   }
 
   /** First-order MARKOV TRANSITION MATRIX over per-user event
@@ -2251,5 +2452,5 @@ object Analytics {
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
-    statsQuantileCi)
+    statsQuantileCi, statsMannWhitney, statsFdr, statsTost)
 }

@@ -345,8 +345,36 @@ object Streaming {
       .orderBy("user_id", "purch_id")
   }
 
+  /** Streaming funnel (q54's online face): the per-user view →
+    * click → purchase progression maintained as three timestamps of
+    * `flatMapGroupsWithState` state, folded in time order so each
+    * stage lands on exactly the batch funnel's min-qualifying event
+    * — the oracle IS q54's algebra. StreamingSpec proves the
+    * streamed final states equal the batch run. */
+  val streamFunnel: Op = Op.sql("stream_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+      |SELECT u.user_id,
+      |  v.user_id IS NOT NULL AS reached_view,
+      |  c.user_id IS NOT NULL AS reached_click,
+      |  p.user_id IS NOT NULL AS reached_purchase
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id
+      |ORDER BY u.user_id""".stripMargin) { (s, dir) =>
+    Streams.funnelTrack(Tables.load(s, dir, "events")).orderBy("user_id")
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
     streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
     streamDrift, streamIvfAssign, streamMinhashDedup, streamContamination,
-    streamQualityMonitor, streamRetention, streamBackfillMerge, streamAsofEnrich)
+    streamQualityMonitor, streamRetention, streamBackfillMerge, streamAsofEnrich,
+    streamFunnel)
 }

@@ -134,6 +134,55 @@ object Streams {
       .toDF()
   }
 
+  /** Funnel progression state carried per user by [[funnelTrack]]
+    * (Long.MinValue = stage not reached). */
+  final case class FunnelState(tv: Long, tc: Long, tp: Long)
+  final case class FunnelRow(user_id: Long, reached_view: Boolean,
+                             reached_click: Boolean, reached_purchase: Boolean)
+
+  /** Streaming FUNNEL tracking — q54's online face (the conversion
+    * dashboard every growth team keeps live; recomputing the batch
+    * funnel per refresh re-reads history, the state machine holds
+    * three timestamps per user and never looks back): per user,
+    * fold events in `(ts_us, event_id)` order through the strict
+    * view → click-after → purchase-after progression. Folding in
+    * time order makes each stage's timestamp exactly q54's "min
+    * qualifying" (the first qualifying event IS the minimum), and
+    * the strict `>` comparisons run on the VALUES, so equal-µs
+    * events resolve identically to the batch joins — the shared
+    * oracle is q54's algebra verbatim. Update-mode emissions are
+    * monotone (a reached flag never unsets), so the last emission
+    * per user is the final funnel — what StreamingSpec pins against
+    * batch. State: three longs per user, bounded forever. */
+  def funnelTrack(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val Unset = Long.MinValue
+    val typed = events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          val init = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+          val next = rows.toVector.sortBy(r => (r._3, r._2)).foldLeft(init) {
+            (st, r) => r._4 match {
+              case "view" if st.tv == Unset => st.copy(tv = r._3)
+              case "click" if st.tv != Unset && st.tc == Unset && r._3 > st.tv =>
+                st.copy(tc = r._3)
+              case "purchase" if st.tc != Unset && st.tp == Unset && r._3 > st.tc =>
+                st.copy(tp = r._3)
+              case _ => st
+            }
+          }
+          state.update(next)
+          Iterator.single(FunnelRow(user, next.tv != Unset,
+            next.tc != Unset, next.tp != Unset))
+      }
+      .toDF()
+  }
+
   /** Per-user running aggregate state for [[statefulTrack]]. */
   final case class UserState(n_events: Long, sum_value: Double, last_ts: Long)
   final case class UserTrack(user_id: Long, n_events: Long,

@@ -768,6 +768,118 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("Mann-Whitney U: sequential tie-averaged rank recompute matches; U_a + U_b = n_a*n_b") {
+    val got = Analytics.statsMannWhitney.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), (col("user_id") % 2).as("g"),
+        col("value").cast("decimal(12,2)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    raw.groupBy(_._1).foreach { case (ty, xs) =>
+      val (na, nb, u, z) = got(ty)
+      assert(na == xs.count(_._2 == 0L).toLong && nb == xs.length - na)
+      // sequential tie-averaged ranks over the combined sample,
+      // doubled to stay integer (2*avgrank = 2*minrank + cnt - 1)
+      val sorted = xs.sortBy(_._3)
+      val byV = sorted.map(_._3).zipWithIndex.groupBy(_._1)
+      val rank2 = byV.map { case (v, occ) =>
+        v -> (2L * (occ.map(_._2).min + 1) + occ.length - 1)
+      }
+      val r2a = xs.filter(_._2 == 0L).map(x => rank2(x._3)).sum
+      val wantU = (r2a - na * (na + 1)).toDouble / 2
+      assert(u == wantU, s"$ty U")
+      // the symmetric identity: U_a + U_b = n_a * n_b (tie-robust)
+      val r2b = xs.filter(_._2 == 1L).map(x => rank2(x._3)).sum
+      val uB = (r2b - nb * (nb + 1)).toDouble / 2
+      assert(u + uB == (na * nb).toDouble, s"$ty U_a + U_b")
+      // z from the same exact integers, tolerance only for fold order
+      val t3t = byV.values.map(o => { val c = o.length.toLong; c * c * c - c }).sum
+      val n = na + nb
+      val sig2 = (na * nb).toDouble / 12 *
+        ((n + 1).toDouble - t3t.toDouble / (n * (n - 1)).toDouble)
+      val wantZ = (wantU - (na * nb).toDouble / 2) / math.sqrt(sig2)
+      assert(z == BigDecimal(wantZ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$ty z")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("FDR: BH adjusted p-values are monotone, dominate raw p, and reject iff p_adj <= alpha") {
+    val got = Analytics.statsFdr.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    val pRaw = Analytics.statsPermutation.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val m = got.length.toLong
+    assert(got.forall(_._4 == m))
+    assert(got.map(_._3).sorted.toSeq == (1L to m).toSeq, "ranks are 1..m")
+    // consumes exactly the permutation op's p-values
+    got.foreach { case (ty, p, _, _, _, _) => assert(p == pRaw(ty), s"$ty p") }
+    // step-up recompute
+    val byRank = got.sortBy(_._3)
+    val wantAdj = byRank.map { case (_, p, i, _, _, _) => p * m / i }
+      .scanRight(Double.MaxValue)(math.min).init.map(x => math.min(1.0, x))
+    byRank.zip(wantAdj).foreach { case ((ty, _, _, _, adj, _), want) =>
+      assert(adj == BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$ty p_adj")
+    }
+    // monotone in rank and dominates raw p (up to output rounding)
+    assert(byRank.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    byRank.foreach { case (ty, p, _, _, adj, _) =>
+      assert(adj + 5e-7 >= p, s"$ty p_adj >= p")
+    }
+    // reject set recomputed from the raw step-up rule
+    val k = byRank.filter { case (_, p, i, _, _, _) => p * m <= 0.05 * i }
+      .map(_._3).maxOption.getOrElse(0L)
+    byRank.foreach { case (ty, _, i, _, _, rej) =>
+      assert(rej == (i <= k), s"$ty reject")
+    }
+  }
+
+  test("TOST equivalence: exact-moment recompute matches; a planted shift breaks equivalence") {
+    val got = Analytics.statsTost.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getBoolean(8))).toMap
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), (col("user_id") % 2).as("g"),
+        col("value").cast("decimal(12,2)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    raw.groupBy(_._1).foreach { case (ty, xs) =>
+      val (na, nb, d, delta, se, tL, tU, eq) = got(ty)
+      val a = xs.filter(_._2 == 0L); val b = xs.filter(_._2 == 1L)
+      assert(na == a.length.toLong && nb == b.length.toLong)
+      val (sa, sb) = (a.map(_._3).sum.toDouble, b.map(_._3).sum.toDouble)
+      val (ssa, ssb) = (a.map(x => x._3 * x._3).sum.toDouble, b.map(x => x._3 * x._3).sum.toDouble)
+      val wantD = sa / na - sb / nb
+      val wantDelta = 0.1 * ((sa + sb) / (na + nb))
+      val wantSe = math.sqrt((ssa - sa * sa / na) / (na - 1) / na
+        + (ssb - sb * sb / nb) / (nb - 1) / nb)
+      assert(d == r6(wantD) && delta == r6(wantDelta) && se == r6(wantSe), s"$ty moments")
+      assert(tL == r6((wantD + wantDelta) / wantSe), s"$ty t_lower")
+      assert(tU == r6((wantDelta - wantD) / wantSe), s"$ty t_upper")
+      assert(eq == ((wantD + wantDelta) / wantSe > 1.645 &&
+        (wantDelta - wantD) / wantSe > 1.645), s"$ty verdict")
+      // a shift of 2*delta planted on group A must break equivalence:
+      // the same tree with d' = d + 2*delta fails the upper test
+      val dShift = wantD + 2 * wantDelta
+      assert(!((dShift + wantDelta) / wantSe > 1.645 &&
+        (wantDelta - dShift) / wantSe > 1.645), s"$ty planted shift")
+    }
+    // at this SF (~100 rows/group) no type can clear the margin — the
+    // honest TOST readout for an underpowered sample ("not proven
+    // equivalent" ≠ "different"); at sf0.1 all five types read
+    // equivalent (verified against the oracle at the driver gate).
+    // Pin the formula-level reason so a silent verdict flip is caught:
+    got.values.foreach { case (_, _, d, delta, se, _, _, eq) =>
+      if (se > delta / 1.645) assert(!eq, "equivalence claimed beyond the margin's power")
+      else assert(eq == (math.abs(d) < delta - 1.645 * se) ||
+        math.abs(math.abs(d) - (delta - 1.645 * se)) < 1e-5)
+    }
+  }
+
   test("SRM guardrail: counts are per-user, chi2 matches, and a planted 90/10 split flags") {
     val got = Analytics.statsSrm.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))

@@ -605,6 +605,27 @@ class PlanAuditSpec extends SparkSuite {
       s"expected exactly one group-key exchange:\n$p")
   }
 
+  test("Mann-Whitney ranks without ranking rows: join-free, windows only over the value aggregate") {
+    val p = plan("stats_mannwhitney")
+    assert(!p.contains("Join"),
+      s"rank-sum must stay join-free (counts + windows over the aggregate):\n$p")
+    // the corpus is touched by the (type, value, group) hash-agg; the
+    // window runs AFTER it — a Window directly over the scan would be
+    // a corpus-sized sort
+    val iAgg = p.indexOf("HashAggregate")
+    val iWin = p.indexOf("Window")
+    assert(iAgg >= 0 && iWin >= 0 && iAgg < iWin,
+      s"window is not downstream of the value aggregate:\n$p")
+  }
+
+  test("funnel state machine is one user-keyed stateful operator") {
+    val p = plan("stream_funnel")
+    assert(p.contains("MapGroups"),
+      s"funnel lost its per-group stateful operator:\n$p")
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      s"expected exactly one group-key exchange:\n$p")
+  }
+
   test("PQ distortion is a map-side-partial aggregate to M rows") {
     val p = plan("ann_pq_distortion")
     assert(p.contains("HashAggregate"), "distortion agg lost hash aggregation")

@@ -163,6 +163,33 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("funnel state machine streams per-user progression and converges to batch") {
+    withEventsStream { (src, events) =>
+      val q = Streams.runFileStream(spark, src, events, Streams.funnelTrack,
+        "funnel_sink", outputMode = "update")
+      q.processAllAvailable()
+      q.stop()
+      // update mode emits the running funnel per touched user per
+      // batch; reached flags are monotone, so the OR across emissions
+      // is the final state
+      val streamed = spark.table("funnel_sink")
+        .groupBy("user_id")
+        .agg(max(col("reached_view")).as("reached_view"),
+          max(col("reached_click")).as("reached_click"),
+          max(col("reached_purchase")).as("reached_purchase"))
+        .orderBy("user_id").collect()
+      val batch = Streams.funnelTrack(events).orderBy("user_id").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.nonEmpty)
+      // progression is genuinely strict: reached_purchase implies
+      // reached_click implies reached_view on every row
+      batch.foreach { r =>
+        assert(!r.getBoolean(3) || r.getBoolean(2), "purchase without click")
+        assert(!r.getBoolean(2) || r.getBoolean(1), "click without view")
+      }
+    }
+  }
+
   test("stream-stream interval join runs as two real streams and matches batch") {
     withEventsStream { (src, events) =>
       val mk = () => spark.readStream.schema(events.schema)

@@ -318,6 +318,56 @@ object Layout {
       "min_value", "max_value", "table_rows").orderBy("col_name")
   }
 
+  private val PevoPath = "/root/repo/target/graft_events_pevo"
+
+  /** PARTITION EVOLUTION — changing a table's partition scheme
+    * WITHOUT rewriting history (the Iceberg marquee feature; Hive
+    * tables can't do it, which is much of why Iceberg exists): the
+    * old generation stays month-partitioned, new data lands
+    * day-partitioned, and ONE read serves a day query across both —
+    * the old generation prunes at its own (coarser) month
+    * granularity with a residual row filter, the new generation
+    * prunes exactly to the day directory with no row work. The probe
+    * day is the LAST day of the old generation (the day that
+    * straddles the cut), so both layouts genuinely serve rows and a
+    * read that dropped either generation — or double-read the
+    * straddled day — hash-mismatches against the oracle's plain
+    * filtered scan. `generation` in the output proves the
+    * provenance. PlanAuditSpec asserts PartitionFilters on BOTH
+    * scans. At 100 TB this is the migration story: evolve the
+    * scheme for new data the moment query patterns change, never
+    * pay a history rewrite. */
+  val layoutPartitionEvolution: Op = Op.sql("layout_partition_evolution",
+    """WITH mx AS (SELECT CAST(floor(max(event_id) * 0.6) AS BIGINT) AS cut FROM events),
+      |dd AS (SELECT CAST(max(ts) AS DATE) AS d FROM events, mx WHERE event_id <= cut)
+      |SELECT event_id, user_id, event_type, "value" AS v,
+      |  CASE WHEN event_id <= cut THEN 1 ELSE 2 END AS generation
+      |FROM events, mx, dd
+      |WHERE CAST(ts AS DATE) = d
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events")
+    val cut = e.agg(floor(max("event_id") * 0.6).cast("bigint")).head().getLong(0)
+    val probeDay = e.filter(col("event_id") <= cut)
+      .agg(max(to_date(col("ts")))).head().getDate(0)
+    e.filter(col("event_id") <= cut)
+      .withColumn("ym", date_format(col("ts"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("ym").parquet(s"$PevoPath/gen1")
+    e.filter(col("event_id") > cut)
+      .withColumn("d", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("d").parquet(s"$PevoPath/gen2")
+    val sel = Seq(col("event_id"), col("user_id"), col("event_type"),
+      col("value").as("v"))
+    val g1 = s.read.parquet(s"$PevoPath/gen1")
+      .filter(col("ym") === date_format(lit(probeDay), "yyyy-MM"))
+      .filter(to_date(col("ts")) === lit(probeDay))
+      .select(sel :+ lit(1).as("generation"): _*)
+    val g2 = s.read.parquet(s"$PevoPath/gen2")
+      .filter(col("d") === lit(probeDay))
+      .select(sel :+ lit(2).as("generation"): _*)
+    g1.unionByName(g2).orderBy("event_id")
+  }
+
   val all: Seq[Op] = Seq(q34BucketedJoin, q35PartitionPruning, q47Zorder,
-    layoutCompactFiles, layoutVacuum, q65RuntimeBloomJoin, layoutAnalyzeStats)
+    layoutCompactFiles, layoutVacuum, q65RuntimeBloomJoin, layoutAnalyzeStats,
+    layoutPartitionEvolution)
 }

@@ -626,6 +626,20 @@ class PlanAuditSpec extends SparkSuite {
       s"expected exactly one group-key exchange:\n$p")
   }
 
+  test("partition evolution: both generations prune at their own granularity and both serve rows") {
+    val df = SparkEntry.queries("layout_partition_evolution")(spark, sfDir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // two scans, each with a real partition filter: month dirs on the
+    // old generation, the exact day dir on the new one
+    assert("PartitionFilters: \\[isnotnull".r.findAllIn(p).size == 2,
+      s"expected both generations' scans partition-pruned:\n$p")
+    assert(p.contains("(ym#") && p.contains("(d#"),
+      s"expected a month filter on gen1 and a day filter on gen2:\n$p")
+    // the probe day genuinely straddles the cut — both layouts serve
+    val gens = df.select("generation").distinct().collect().map(_.getInt(0)).sorted
+    assert(gens.toSeq == Seq(1, 2), s"probe day did not straddle the cut: $gens")
+  }
+
   test("PQ distortion is a map-side-partial aggregate to M rows") {
     val p = plan("ann_pq_distortion")
     assert(p.contains("HashAggregate"), "distortion agg lost hash aggregation")

@@ -966,6 +966,38 @@ object Analytics {
     * the same mergeable shape [[graft.kv.KVTable]] exploits. A
     * window/row_number formulation would sort whole partitions
     * instead; the ordered-aggregate plan never sorts. */
+  /** HOPPING (sliding) WINDOW aggregation — 1-hour windows every 30
+    * minutes (the overlapping-window face the tumbling ops
+    * q74/stream_window_agg don't cover: a rolling hourly metric
+    * refreshed twice an hour — each event contributes to exactly
+    * window-length/slide = 2 windows): Spark's `window(ts, '1 hour',
+    * '30 minutes')` explodes each row into its member windows on the
+    * epoch-aligned 30-minute grid; the oracle replays the membership
+    * in closed form — the two candidate starts are floor₃₀ₘ(ts) and
+    * floor₃₀ₘ(ts)−30min, and BOTH always contain the event (w ≤ ts
+    * holds by flooring, ts < w+1h because ts < floor+30min) — so a
+    * wrong grid alignment or drop/duplicate membership
+    * hash-mismatches. Exact decimal sums; constant ×2 in-partition
+    * expansion then one keyed hash-agg — the bounded-blowup shape
+    * (stats_bootstrap's class), linear at any scale. */
+  val q81HoppingWindow: Op = Op.sql("q81_hopping_window",
+    """WITH e AS (SELECT epoch_us(ts) AS tus, event_type,
+      |                  CAST("value" AS DECIMAL(12,2)) AS v FROM events),
+      |g AS (SELECT tus - (tus % 1800000000) AS g30, event_type, v FROM e),
+      |x AS (SELECT g30 - t.off AS win_start, event_type, v
+      |      FROM g, unnest([CAST(0 AS BIGINT), CAST(1800000000 AS BIGINT)]) AS t(off))
+      |SELECT win_start, event_type, count(*) AS n_events,
+      |       CAST(sum(v) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   val q74Ohlc: Op = Op.sql("q74_ohlc",
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS DATE) AS bar, value,
@@ -2448,7 +2480,7 @@ object Analytics {
     q54Funnel, q55Retention, q57GroupingSets, q58TimeRangeFrame,
     q59TransitiveClosure, q60RankingSuite, q61Unpivot, q64Locf,
     q66ZscoreOutliers, q67Sessionize, q69DecayScore, q70Triangles, q71IntervalMerge,
-    q72Pagerank, q73MadOutliers, q74Ohlc, statsCorr, statsTtest, q75Markov,
+    q72Pagerank, q73MadOutliers, q74Ohlc, q81HoppingWindow, statsCorr, statsTtest, q75Markov,
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,

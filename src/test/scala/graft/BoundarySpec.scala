@@ -138,4 +138,55 @@ class BoundarySpec extends SparkSuite {
     val r = graft.kv.Wal.decode(Array.fill[Byte](graft.kv.Wal.RecordBytes - 1)(0x7F))
     assert(r.records.isEmpty && !r.clean)
   }
+
+  test("range delete: a tombstone at EXACTLY the put's seq does not delete it (strict >)") {
+    import spark.implicits._
+    // RocksDB rule: the tombstone shadows only SMALLER sequence
+    // numbers; an equal-seq put wins (a write batch can't interleave
+    // seqs anyway, but the comparison must be strict)
+    val runs = Seq((5L, 10L, false, 1.5)).toDF("key", "seq", "tombstone", "v")
+    val t = graft.kv.KVTable(runs, "key", "seq", "tombstone")
+    val rts = Seq((0L, 100L, 10L)).toDF("lo", "hi", "seq")
+    assert(t.mergedWithRangeDeletes(rts).count() == 1)
+    val rtsNewer = Seq((0L, 100L, 11L)).toDF("lo", "hi", "seq")
+    assert(t.mergedWithRangeDeletes(rtsNewer).count() == 0)
+  }
+
+  test("funnel: out-of-order stages never progress; purchase-only users reach nothing") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new Timestamp(t0.getTime + s * 1000)
+    val e = Seq(
+      // user 1: purchase BEFORE any view, then view — no click stage
+      (1L, 1L, ts(1), "purchase", 1.0), (1L, 2L, ts(2), "view", 0.0),
+      // user 2: click at the SAME µs as the view — strict > rejects it
+      (2L, 3L, ts(5), "view", 0.0), (2L, 4L, ts(5), "click", 0.0),
+      // user 3: the full strict path
+      (3L, 5L, ts(10), "view", 0.0), (3L, 6L, ts(11), "click", 0.0),
+      (3L, 7L, ts(12), "purchase", 9.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = Streams.funnelTrack(e).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1L, true, false, false),
+      (2L, true, false, false), (3L, true, true, true)))
+  }
+
+  test("as-of enrichment: purchases before any click carry NULLs; same-µs click with lower id counts") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new Timestamp(t0.getTime + s * 1000)
+    val e = Seq(
+      (1L, 1L, ts(1), "purchase", 5.0),            // before any click → NULLs
+      (1L, 2L, ts(3), "click", 1.25),
+      (1L, 3L, ts(3), "purchase", 6.0),            // same µs, click id 2 < 3 → enriched
+      (1L, 4L, ts(2), "purchase", 7.0)             // EARLIER ts than the click → NULLs
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = Streams.asofEnrich(e).orderBy("purch_id").collect()
+      .map(r => (r.getLong(1), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, None, None),
+      (3L, Some(t0.getTime * 1000 + 3000000L), Some(1.25)),
+      (4L, None, None)))
+  }
 }

@@ -239,6 +239,13 @@ class SqlParitySpec extends SparkSuite {
     "text_readability" -> "len(regexp_extract_all())",
     "kv_cdc_batches" -> "// integer division",
     "sample_curriculum" -> "len(regexp_extract_all()) + HUGEINT xxh64-hashLong replay",
+    "ann_pq_distortion" -> "::DOUBLE[] cast + list slicing + MATERIALIZED CTEs (the shared PQ chain)",
+    "stream_asof_enrich" -> "epoch_us() + IGNORE NULLS argument placement",
+    "pipeline_lineage" -> "len(string_split())",
+    "stats_quantile_ci" -> "// integer division",
+    "stats_mannwhitney" -> "HUGEINT rank-sum accumulation + // division",
+    "stats_fdr" -> "HUGEINT xxh64-hashLong replay (the shared permutation chain) + // division",
+    "q81_hopping_window" -> "epoch_us() + unnest() lateral",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -1843,6 +1843,81 @@ object Analytics {
     * Poisson-bootstrap shape; nothing re-shuffles per permutation,
     * which is exactly why the Monte-Carlo variant is the one that
     * runs at scale. */
+  /** GINI CONCENTRATION per event type (the inequality metric a data
+    * platform reads for revenue/volume concentration — "do five
+    * whales carry this metric"; for a training corpus the same
+    * number over doc lengths per source is the mixture-skew
+    * warning): G = Σᵢ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over ascending exact
+    * ranks — the numerator is a DECIMAL sum of integer-coefficient
+    * products (tie-runs are coefficient-sum invariant, so ties
+    * cannot destabilize it), the denominator exact, ONE double
+    * division at the end. Ranks via [[RankSelect.groupRanks]]
+    * (few-huge-groups shape, the winsorize/quantile_ci discipline);
+    * one |types|-row aggregate after the ranking pass. */
+  val statsGini: Op = Op.sql("stats_gini",
+    """WITH e AS (
+      |  SELECT event_type, CAST("value" AS DECIMAL(12,2)) AS v, event_id FROM events),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rank,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(sum(v) AS DOUBLE) AS sum_v,
+      |  round(CAST(sum((2 * rank - n - 1) * v) AS DOUBLE)
+      |        / (CAST(max(n) AS DOUBLE) * CAST(sum(v) AS DOUBLE)), 6) AS gini
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select(col("event_type"),
+      col("value").cast("decimal(12,2)").as("v"), col("event_id"))
+    val ranked = RankSelect
+      .groupRanks(e, "event_type", Seq(col("v"), col("event_id")))
+    ranked.groupBy("event_type")
+      .agg(max(col("n")).cast("long").as("n"),
+        sum(col("v")).cast("double").as("sum_v"),
+        round(sum((lit(2) * col("rank") - col("n") - 1) * col("v")).cast("double") /
+          (max(col("n")).cast("double") * sum(col("v")).cast("double")), 6)
+          .as("gini"))
+      .orderBy("event_type")
+  }
+
+  /** DEGREE DISTRIBUTION of the order–supplier graph (the
+    * observability stat read before every graph job: a power-law
+    * tail means hub nodes, which is exactly when the bipartite
+    * projection's C(k,2) blowup and join skew bite — this report is
+    * the sizing input for those guards): per log₂ bucket
+    * (bucket = len(bin(deg))−1 — pure integer/string arithmetic,
+    * NOT floor(log2(·)) whose last-ulp rounding differs across
+    * engines at boundaries), the node count, degree range and
+    * share. Distinct-edge hash-agg → endpoint explode → per-node
+    * count → ≤64-row bucket aggregate; every shuffle keyed, output
+    * bounded by 64 buckets at ANY scale. */
+  val graphDegreeDist: Op = Op.sql("graph_degree_dist",
+    """WITH g AS (SELECT DISTINCT l_orderkey AS u, 1000000000 + l_suppkey AS v
+      |           FROM lineitem),
+      |d AS (SELECT n, count(*) AS deg
+      |      FROM (SELECT u AS n FROM g UNION ALL SELECT v AS n FROM g) GROUP BY n),
+      |b AS (SELECT length(bin(deg)) - 1 AS bucket, deg FROM d),
+      |tot AS (SELECT count(*) AS nn FROM d)
+      |SELECT bucket, count(*) AS n_nodes,
+      |  min(deg) AS min_deg, max(deg) AS max_deg,
+      |  round(CAST(count(*) AS DOUBLE) / max(nn), 6) AS share
+      |FROM b, tot GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val g = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("u"),
+        (lit(1000000000L) + col("l_suppkey")).cast("long").as("v"))
+      .distinct()
+    val d = g.select(col("u").as("n")).unionAll(g.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val tot = d.agg(count(lit(1)).as("nn"))
+    d.select((length(bin(col("deg"))) - 1).cast("long").as("bucket"), col("deg"))
+      .crossJoin(broadcast(tot))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
+        round(count(lit(1)).cast("double") / max(col("nn")), 6).as("share"))
+      .orderBy("bucket")
+  }
+
   /** TOST EQUIVALENCE test per event type (the experimentation
     * question the rest of the suite cannot answer: ttest/permutation
     * detect a DIFFERENCE — "no significant difference" is NOT
@@ -2484,5 +2559,6 @@ object Analytics {
     statsDrift, graphComponents, statsKs, statsChisq, graphEdgeSimilarity,
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
-    statsQuantileCi, statsMannWhitney, statsFdr, statsTost)
+    statsQuantileCi, statsMannWhitney, statsFdr, statsTost, statsGini,
+    graphDegreeDist)
 }

@@ -880,6 +880,54 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("Gini: sequential rank recompute matches; bounded in [0,1); tie-run invariant") {
+    val got = Analytics.statsGini.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value").cast("decimal(12,2)"), col("event_id"))
+      .collect().map(r => (r.getString(0), BigDecimal(r.getDecimal(1)), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (ty, xs) =>
+      val (n, sumV, gini) = got(ty)
+      val sorted = xs.sortBy(r => (r._2, r._3)).map(_._2)
+      assert(n == sorted.length.toLong)
+      assert(sumV == sorted.sum.toDouble, s"$ty sum")
+      val num = sorted.zipWithIndex
+        .map { case (x, i0) => x * (2 * (i0 + 1) - n - 1) }.sum
+      val want = num.toDouble / (n.toDouble * sorted.sum.toDouble)
+      assert(gini == BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$ty gini")
+      assert(gini >= 0.0 && gini < 1.0, s"$ty bounds")
+      // tie invariance: permuting a tie run leaves the numerator fixed
+      // (coefficients sum over the run) — recompute with values
+      // REVERSE-sorted within ties and expect the identical numerator
+      val numRev = xs.sortBy(r => (r._2, -r._3)).map(_._2).zipWithIndex
+        .map { case (x, i0) => x * (2 * (i0 + 1) - n - 1) }.sum
+      assert(num == numRev, s"$ty tie invariance")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("degree distribution: sequential histogram matches; buckets tile powers of two; shares sum to 1") {
+    val got = Analytics.graphDegreeDist.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val edges = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"))
+      .collect().map(r => (r.getLong(0), 1000000000L + r.getLong(1))).distinct
+    val deg = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity).map(_._2.length)
+    val byBucket = deg.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d.toLong))
+    assert(got.map(_._1).toSet == byBucket.keySet.map(_.toLong))
+    got.foreach { case (b, nNodes, minD, maxD, share) =>
+      val ds = byBucket(b.toInt)
+      assert(nNodes == ds.size.toLong, s"bucket $b count")
+      assert(minD == ds.min.toLong && maxD == ds.max.toLong, s"bucket $b range")
+      // the bucket genuinely tiles [2^b, 2^(b+1))
+      assert(minD >= (1L << b) && maxD < (1L << (b + 1)), s"bucket $b bounds")
+      assert(share == BigDecimal(ds.size.toDouble / deg.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"bucket $b share")
+    }
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
+  }
+
   test("SRM guardrail: counts are per-user, chi2 matches, and a planted 90/10 split flags") {
     val got = Analytics.statsSrm.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Op
@@ -728,9 +728,105 @@ object KV {
     KVTable(replayed, "key", "seq", "tombstone").merged().orderBy("key")
   }
 
+  /** OCC snapshot-validation verdicts for a batch of transactions.
+    * `writes` carries one row per write intent: (txn BIGINT — the
+    * COMMIT ORDER, u BIGINT, cf STRING — the column-family-qualified
+    * key, kv_cf's convention). First-committer-wins over a shared
+    * begin snapshot: txn i commits iff none of its distinct write
+    * keys was written by a COMMITTED earlier txn; an ABORTED writer
+    * leaves no trace (its keys never enter the committed set), so a
+    * later txn over those keys still commits — the cascade-prevention
+    * property KVSpec pins on a planted fixture.
+    *
+    * Scale: the validation chain is inherently sequential in commit
+    * order (that IS the semantics), but each step is one keyed
+    * left-semi count — write sets shuffle on the key, the committed
+    * set grows only by committed keys, and the driver holds four
+    * booleans, never a key set. */
+  private[graft] def occValidate(s: SparkSession, writes: DataFrame,
+      txnIds: Seq[Long]): DataFrame = {
+    import s.implicits._
+    val stats = writes.groupBy("txn")
+      .agg(count(lit(1)).as("ne"), countDistinct(col("u"), col("cf")).as("nk"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    var committed: Option[DataFrame] = None
+    val rows = txnIds.map { i =>
+      val ki = writes.filter(col("txn") === i).select("u", "cf").distinct()
+      val nc = committed match {
+        case None => 0L
+        case Some(c) =>
+          ki.hint("shuffle_hash").join(c, Seq("u", "cf"), "left_semi").count()
+      }
+      if (nc == 0L)
+        committed = Some(committed.map(_.unionByName(ki)).getOrElse(ki))
+      val (ne, nk) = stats.getOrElse(i, (0L, 0L))
+      (i, ne, nk, nc, nc == 0L)
+    }
+    rows.toDF("txn_id", "n_events", "n_keys", "n_conflicts", "committed")
+  }
+
+  /** OPTIMISTIC TRANSACTIONS over the MVCC seq space — the
+    * write-conflict face of the reference's snapshot manager
+    * (storage_engine/src/manager/snapshot.rs — sequence-number
+    * snapshots) and its per-key command-interference rule
+    * (runtime/src/consensus/epaxos/replica.rs:123 — two commands
+    * interfere iff they touch the same key): four transactions begin
+    * at a common snapshot (everything at or below seq m−200 is
+    * committed base state), each owns a contiguous 50-seq band of the
+    * concurrent tail as its write batch, keys are cf-qualified
+    * (user, event_type) per kv_cf, and validation is
+    * first-committer-wins via [[occValidate]]. The oracle unrolls the
+    * 4-step chain as MATERIALIZED CTEs (the graph_kcore/BPE unroll
+    * discipline). The base never conflicts — it is BELOW the shared
+    * snapshot, exactly RocksDB's OptimisticTransactionDB rule of
+    * validating only writes sequenced after the snapshot. */
+  val kvTxnOcc: Op = Op.sql("kv_txn_occ",
+    """WITH ko AS (SELECT user_id AS u, event_type AS cf, event_id AS seq
+      |            FROM events),
+      |mx AS (SELECT max(seq) AS m, max(seq) - 200 AS s0 FROM ko),
+      |w AS MATERIALIZED (
+      |  SELECT CAST(1 + (seq - s0 - 1) * 4 // (m - s0) AS BIGINT) AS txn, u, cf
+      |  FROM ko, mx WHERE seq > s0),
+      |st AS (SELECT txn, count(*) AS ne, count(DISTINCT (u, cf)) AS nk
+      |       FROM w GROUP BY txn),
+      |k1 AS MATERIALIZED (SELECT DISTINCT u, cf FROM w WHERE txn = 1),
+      |k2 AS MATERIALIZED (SELECT DISTINCT u, cf FROM w WHERE txn = 2),
+      |k3 AS MATERIALIZED (SELECT DISTINCT u, cf FROM w WHERE txn = 3),
+      |k4 AS MATERIALIZED (SELECT DISTINCT u, cf FROM w WHERE txn = 4),
+      |c1 AS MATERIALIZED (SELECT * FROM k1),
+      |x2 AS MATERIALIZED (SELECT count(*) AS nc FROM k2 JOIN c1 USING (u, cf)),
+      |c2 AS MATERIALIZED (SELECT * FROM c1 UNION ALL
+      |  SELECT k2.* FROM k2 WHERE (SELECT nc FROM x2) = 0),
+      |x3 AS MATERIALIZED (SELECT count(*) AS nc FROM k3 JOIN c2 USING (u, cf)),
+      |c3 AS MATERIALIZED (SELECT * FROM c2 UNION ALL
+      |  SELECT k3.* FROM k3 WHERE (SELECT nc FROM x3) = 0),
+      |x4 AS MATERIALIZED (SELECT count(*) AS nc FROM k4 JOIN c3 USING (u, cf)),
+      |r AS (
+      |  SELECT 1 AS t, CAST(0 AS BIGINT) AS nc, true AS ok
+      |  UNION ALL SELECT 2, (SELECT nc FROM x2), (SELECT nc FROM x2) = 0
+      |  UNION ALL SELECT 3, (SELECT nc FROM x3), (SELECT nc FROM x3) = 0
+      |  UNION ALL SELECT 4, (SELECT nc FROM x4), (SELECT nc FROM x4) = 0)
+      |SELECT CAST(r.t AS BIGINT) AS txn_id,
+      |  coalesce(st.ne, 0) AS n_events, coalesce(st.nk, 0) AS n_keys,
+      |  r.nc AS n_conflicts, r.ok AS committed
+      |FROM r LEFT JOIN st ON st.txn = r.t
+      |ORDER BY txn_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").select(
+      col("user_id").as("u"), col("event_type").as("cf"),
+      col("event_id").as("seq"))
+    val m = ev.agg(max("seq")).head().getLong(0)
+    val s0 = m - 200
+    val w = ev.filter(col("seq") > s0)
+      .withColumn("txn",
+        expr(s"CAST(1 + (seq - $s0 - 1) * 4 DIV ${m - s0} AS BIGINT)"))
+    occValidate(s, w.select("txn", "u", "cf"), Seq(1L, 2L, 3L, 4L))
+      .orderBy("txn_id")
+  }
+
   val all: Seq[Op] = Seq(kvPointGet, kvRangeScan, kvCompact,
     kvSnapshotRead, kvWriteBatch, kvLeveledCompact, kvLogIngest,
     kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
     kvCheckpointRestore, kvSecondaryIndex, kvCf, kvBackupIncremental,
-    kvWalReplay, kvSeekScan, kvCdcBatches, kvMultiGet, kvRangeDelete)
+    kvWalReplay, kvSeekScan, kvCdcBatches, kvMultiGet, kvRangeDelete,
+    kvTxnOcc)
 }

@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 
 import graft.kv.KVTable
+import graft.operators.KV
 
 /** Hand-computed oracle for the KV semantics of SURVEY §2.2:
   * latest-seq-wins, tombstones, snapshots, batches, compaction. */
@@ -391,5 +392,37 @@ class KVSpec extends SparkSuite {
     val want = fixture.merged().orderBy("key").collect()
       .map(r => (r.getLong(0), r.getDouble(2)))
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("OCC: first committer wins, aborted writers leave no trace (cascade prevention)") {
+    import spark.implicits._
+    // txn1 {1a,2a} commits; txn2 {2a,3a} aborts on 2a; txn3 {3a}
+    // COMMITS — 3a was only written by the ABORTED txn2; txn4 {1a}
+    // aborts against txn1's committed write.
+    val writes = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"),
+      (2L, 2L, "a"), (2L, 3L, "a"),
+      (3L, 3L, "a"),
+      (4L, 1L, "a")
+    ).toDF("txn", "u", "cf")
+    val got = KV.occValidate(spark, writes, Seq(1L, 2L, 3L, 4L))
+      .orderBy("txn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 0L, true),
+      (2L, 2L, 2L, 1L, false),
+      (3L, 1L, 1L, 0L, true),
+      (4L, 1L, 1L, 1L, false)))
+  }
+
+  test("OCC op: txn1 always commits; verdict == (conflicts == 0); keys bound events") {
+    val got = KV.kvTxnOcc.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.length == 4 && got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.head._4 == 0L && got.head._5, "txn1 validates against an empty set")
+    got.foreach { case (t, ne, nk, nc, ok) =>
+      assert(ok == (nc == 0L), s"txn $t verdict")
+      assert(nk <= ne && nc <= nk, s"txn $t bounds")
+    }
   }
 }

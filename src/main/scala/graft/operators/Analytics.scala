@@ -1918,6 +1918,84 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** CUSUM core over a raw events frame — factored so the spec can
+    * plant a known mean shift. Bucket the stream hourly, then the
+    * scaled CUSUM statistic T_k = N·CumS_k − CumN_k·S over the
+    * per-type bucket series: every term an exact integer (cents via
+    * the kv_merge_operator floor(v·100+0.5) discipline, DECIMAL(18,0)
+    * factors so the product stays inside DECIMAL(38,0) on BOTH
+    * engines — at ≳10¹⁸ rows×cents move the factors to (38,0) and
+    * accept HUGEINT on the oracle side), so argmax and tie-break
+    * (earliest bucket) are exact comparisons, never float. */
+  private[graft] def cusumReport(events: DataFrame): DataFrame = {
+    val b = events
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("bucket"),
+        col("cnt"), col("cents"))
+    val win = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ser = b
+      .withColumn("cn", sum(col("cnt")).over(win).cast("decimal(18,0)"))
+      .withColumn("cs", sum(col("cents")).over(win).cast("decimal(18,0)"))
+    val tot = b.groupBy("event_type").agg(
+      sum(col("cnt")).cast("decimal(18,0)").as("n"),
+      sum(col("cents")).cast("decimal(18,0)").as("s_tot"),
+      count(lit(1)).as("nb"))
+    val tt = ser.join(tot, "event_type")
+      .select(col("event_type"), col("bucket"),
+        abs(col("n") * col("cs") - col("cn") * col("s_tot")).as("a"),
+        col("n"), col("nb"))
+    val mx = tt.groupBy("event_type").agg(max(col("a")).as("m"))
+    tt.join(mx, Seq("event_type"))
+      .filter(col("a") === col("m"))
+      .groupBy("event_type")
+      .agg(max(col("nb")).cast("long").as("n_buckets"),
+        max(col("n")).cast("long").as("n_events"),
+        min(col("bucket")).as("cp_bucket"),
+        max(col("a")).cast("double").as("cusum_stat"))
+      .orderBy("event_type")
+  }
+
+  /** CUSUM CHANGEPOINT detection per event type (the drift-LOCATION
+    * question stats_drift/stream_drift cannot answer — they say the
+    * distribution moved, CUSUM says WHEN): the classic max-|CUSUM|
+    * scan statistic over the hourly bucket series, reported as the
+    * earliest bucket attaining the maximum. Bucketing first is what
+    * makes it scale — the prefix-sum window runs over the \|types\|×
+    * \|buckets\| AGGREGATE (the sanctioned window-over-aggregate
+    * class), never over raw events, and detection granularity is the
+    * bucket, which is the honest contract at 100 TB. */
+  val statsCusum: Op = Op.sql("stats_cusum",
+    """WITH b AS MATERIALIZED (
+      |  SELECT event_type, epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket,
+      |    count(*) AS cnt,
+      |    sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT event_type, bucket,
+      |    CAST(sum(cnt) OVER w AS DECIMAL(18,0)) AS cn,
+      |    CAST(sum(cents) OVER w AS DECIMAL(18,0)) AS cs
+      |  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+      |                      ROWS UNBOUNDED PRECEDING)),
+      |tot AS (
+      |  SELECT event_type, CAST(sum(cnt) AS DECIMAL(18,0)) AS n,
+      |    CAST(sum(cents) AS DECIMAL(18,0)) AS s_tot, count(*) AS nb
+      |  FROM b GROUP BY 1),
+      |tt AS (
+      |  SELECT ser.event_type, bucket, abs(tot.n * cs - cn * tot.s_tot) AS a,
+      |    tot.n, tot.nb
+      |  FROM ser JOIN tot USING (event_type)),
+      |mx AS (SELECT event_type, max(a) AS m FROM tt GROUP BY 1)
+      |SELECT tt.event_type, CAST(max(tt.nb) AS BIGINT) AS n_buckets,
+      |  CAST(max(tt.n) AS BIGINT) AS n_events,
+      |  min(bucket) AS cp_bucket, CAST(max(tt.a) AS DOUBLE) AS cusum_stat
+      |FROM tt JOIN mx ON tt.event_type = mx.event_type AND tt.a = mx.m
+      |GROUP BY tt.event_type ORDER BY tt.event_type""".stripMargin) { (s, dir) =>
+    cusumReport(t(s, dir, "events"))
+  }
+
   /** TOST EQUIVALENCE test per event type (the experimentation
     * question the rest of the suite cannot answer: ttest/permutation
     * detect a DIFFERENCE — "no significant difference" is NOT
@@ -2560,5 +2638,5 @@ object Analytics {
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
     statsQuantileCi, statsMannWhitney, statsFdr, statsTost, statsGini,
-    graphDegreeDist)
+    graphDegreeDist, statsCusum)
 }

@@ -928,6 +928,54 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
   }
 
+  test("CUSUM: sequential bucket-series recompute matches; planted mean shift localizes to its bucket") {
+    val got = Analytics.statsCusum.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val hourUs = 3600L * 1000000L
+    raw.groupBy(_._1).foreach { case (ty, xs) =>
+      val buckets = xs.groupBy(e => Math.floorDiv(e._2, hourUs) * hourUs)
+        .toSeq.sortBy(_._1)
+        .map { case (b, es) =>
+          (b, es.size.toLong,
+            es.map(e => math.floor(e._3 * 100 + 0.5).toLong).sum)
+        }
+      val n = BigInt(buckets.map(_._2).sum)
+      val sTot = BigInt(buckets.map(_._3).sum)
+      var (cn, cs) = (BigInt(0), BigInt(0))
+      val series = buckets.map { case (b, cnt, cents) =>
+        cn += cnt; cs += cents
+        (b, (n * cs - cn * sTot).abs)
+      }
+      val m = series.map(_._2).max
+      val cp = series.filter(_._2 == m).map(_._1).min
+      val (nb, ne, gcp, stat) = got(ty)
+      assert(nb == buckets.size.toLong && ne == n.toLong, s"$ty sizes")
+      assert(gcp == cp, s"$ty changepoint")
+      assert(stat == m.toDouble, s"$ty stat")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("CUSUM: a planted step change is located at the step boundary") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    // 20 hourly buckets, one event each: value 10.00 for the first
+    // 12, then 50.00 — changepoint must be the last pre-shift bucket
+    val rows = (0 until 20).map { h =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L)),
+        "planted", if (h < 12) 10.0 else 50.0)
+    }
+    val df = rows.toDF("ts", "event_type", "value")
+    val got = Analytics.cusumReport(df).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 20L && r.getLong(2) == 20L)
+    assert(r.getLong(3) == 11L * hourUs, "changepoint at the last pre-shift bucket")
+  }
+
   test("SRM guardrail: counts are per-user, chi2 matches, and a planted 90/10 split flags") {
     val got = Analytics.statsSrm.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))

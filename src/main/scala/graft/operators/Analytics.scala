@@ -1918,6 +1918,72 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Assortativity core over an undirected (u, v) edge frame —
+    * factored so the spec can plant a star (r = −1) and recompute
+    * sequentially. Degrees join back to the DIRECTED edge list (both
+    * orientations — Newman's M⁻¹Σ forms over edge ends), moments are
+    * exact integer sums (DECIMAL-cast factors, the stats_corr
+    * discipline), and r is one identical IEEE tree from exact inputs.
+    * Both degree joins are corpus-proportional, so shuffle-hash is
+    * pinned — a broadcast of the degree table cannot exist at 100 TB. */
+  private[graft] def assortativityOf(g: DataFrame): DataFrame = {
+    val d = g.select(col("u").as("n")).unionAll(g.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val dir = g.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(g.select(col("v").as("x"), col("u").as("y")))
+    val j = dir
+      .join(d.hint("shuffle_hash").withColumnRenamed("n", "x")
+        .withColumnRenamed("deg", "jd"), Seq("x"))
+      .join(d.hint("shuffle_hash").withColumnRenamed("n", "y")
+        .withColumnRenamed("deg", "kd"), Seq("y"))
+    val m = j.agg(
+      count(lit(1)).cast("double").as("m2"),
+      sum(col("jd").cast("decimal(18,0)") * col("kd")).cast("double").as("sjk"),
+      sum(col("jd").cast("decimal(18,0)")).cast("double").as("sj"),
+      sum(col("jd").cast("decimal(18,0)") * col("jd")).cast("double").as("sj2"))
+    val counts = d.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(g.agg(count(lit(1)).as("n_edges")))
+    counts.crossJoin(m).select(col("n_nodes"), col("n_edges"),
+      ((col("sjk") / col("m2") - (col("sj") / col("m2")) * (col("sj") / col("m2"))) /
+        (col("sj2") / col("m2") - (col("sj") / col("m2")) * (col("sj") / col("m2"))))
+        .as("assortativity"))
+  }
+
+  /** DEGREE ASSORTATIVITY of the order–supplier graph (round 12 —
+    * the second number a platform reads after graph_degree_dist's
+    * histogram: do high-degree nodes attach to each other (r>0,
+    * skew compounds in joins) or to leaves (r<0, hub-and-spoke —
+    * salting the hubs suffices)? Newman 2002's degree correlation):
+    * Pearson correlation of (deg(x), deg(y)) over DIRECTED edge ends.
+    * One distinct-edge hash-agg, one degree agg, two keyed
+    * shuffle-hash joins of the edge list, a ONE-row moment exchange —
+    * the stats_corr shape on graph data. */
+  val graphAssortativity: Op = Op.sql("graph_assortativity",
+    """WITH g AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS u, 1000000000 + l_suppkey AS v
+      |  FROM lineitem),
+      |d AS MATERIALIZED (
+      |  SELECT n, count(*) AS deg
+      |  FROM (SELECT u AS n FROM g UNION ALL SELECT v AS n FROM g) GROUP BY n),
+      |dir AS (SELECT u AS x, v AS y FROM g UNION ALL SELECT v, u FROM g),
+      |j AS (SELECT dx.deg AS jd, dy.deg AS kd
+      |      FROM dir JOIN d dx ON dir.x = dx.n JOIN d dy ON dir.y = dy.n),
+      |m AS (SELECT CAST(count(*) AS DOUBLE) AS m2,
+      |       CAST(sum(CAST(jd AS DECIMAL(18,0)) * kd) AS DOUBLE) AS sjk,
+      |       CAST(sum(CAST(jd AS DECIMAL(18,0))) AS DOUBLE) AS sj,
+      |       CAST(sum(CAST(jd AS DECIMAL(18,0)) * jd) AS DOUBLE) AS sj2
+      |      FROM j)
+      |SELECT (SELECT count(*) FROM d) AS n_nodes,
+      |  (SELECT count(*) FROM g) AS n_edges,
+      |  (sjk / m2 - (sj / m2) * (sj / m2)) /
+      |    (sj2 / m2 - (sj / m2) * (sj / m2)) AS assortativity
+      |FROM m""".stripMargin) { (s, dir) =>
+    assortativityOf(t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("u"),
+        (lit(1000000000L) + col("l_suppkey")).cast("long").as("v"))
+      .distinct())
+  }
+
   /** CUSUM core over a raw events frame — factored so the spec can
     * plant a known mean shift. Bucket the stream hourly, then the
     * scaled CUSUM statistic T_k = N·CumS_k − CumN_k·S over the
@@ -2638,5 +2704,5 @@ object Analytics {
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
     statsQuantileCi, statsMannWhitney, statsFdr, statsTost, statsGini,
-    graphDegreeDist, statsCusum)
+    graphDegreeDist, statsCusum, graphAssortativity)
 }

@@ -928,6 +928,33 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
   }
 
+  test("assortativity: sequential moment recompute matches; star graph is maximally disassortative") {
+    import spark.implicits._
+    def seqR(edges: Seq[(Long, Long)]): Double = {
+      val deg = (edges.map(_._1) ++ edges.map(_._2))
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val dirs = edges.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+      val m2 = dirs.size.toDouble
+      val sjk = dirs.map(e => BigInt(deg(e._1)) * deg(e._2)).sum.toDouble
+      val sj = dirs.map(e => BigInt(deg(e._1))).sum.toDouble
+      val sj2 = dirs.map(e => BigInt(deg(e._1)) * deg(e._1)).sum.toDouble
+      (sjk / m2 - (sj / m2) * (sj / m2)) / (sj2 / m2 - (sj / m2) * (sj / m2))
+    }
+    val got = Analytics.graphAssortativity.run(spark, sfDir).collect().head
+    val edges = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"))
+      .collect().map(r => (r.getLong(0), 1000000000L + r.getLong(1))).distinct.toSeq
+    val deg = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(got.getLong(0) == deg.size.toLong && got.getLong(1) == edges.size.toLong)
+    assert(got.getDouble(2) == seqR(edges), "moment recompute")
+    // planted star: hub 0 — leaves 1..12; r must be the same value the
+    // sequential formula yields and sit at the disassortative extreme
+    val star = (1L to 12L).map(i => (0L, i))
+    val sGot = Analytics.assortativityOf(star.toDF("u", "v")).collect().head
+    assert(sGot.getDouble(2) == seqR(star))
+    assert(sGot.getDouble(2) < -0.99, "star is maximally disassortative")
+  }
+
   test("CUSUM: sequential bucket-series recompute matches; planted mean shift localizes to its bucket") {
     val got = Analytics.statsCusum.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap

@@ -1918,6 +1918,76 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** First-significant-digit profile vs Benford's law — factored on
+    * the raw value frame so the spec can plant a conforming/flat
+    * sample. The digit comes from the exact cents INTEGER rendered to
+    * a string (identical across engines), never from log10/pow on the
+    * double (whose last-ulp rounding at exact powers of ten is
+    * engine-specific — the graph_degree_dist bin() argument); the
+    * nine log₁₀(1+1/d) expectations are fixed double LITERALS (no
+    * transcendental calls at query time), and every chi² contribution
+    * is one identical IEEE tree from exact integer counts. */
+  private[graft] def benfordReport(values: DataFrame): DataFrame = {
+    val s = values.sparkSession
+    import s.implicits._
+    val benfordP = Seq(0.3010299956639812, 0.17609125905568124,
+      0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+      0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+      0.04575749056067514)
+    val cents = values
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .filter(col("c") >= 1)
+    val counts = cents
+      .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = cents.agg(count(lit(1)).as("nn"))
+    val p = element_at(array(benfordP.map(lit): _*), col("digit").cast("int"))
+    (1L to 9L).toDF("digit")
+      .join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("nn")).as("share"),
+        p.as("benford_p"),
+        (((col("n") - col("nn") * p) * (col("n") - col("nn") * p)) /
+          (col("nn") * p)).as("chi2_part"))
+      .orderBy("digit")
+  }
+
+  /** BENFORD FIRST-DIGIT screen over event values (round 12 — the
+    * classic fabricated-data / instrumentation-bug smell test:
+    * organically-generated magnitudes follow log₁₀(1+1/d); a flat or
+    * spiked digit profile means synthetic padding, unit confusion or
+    * a capped sensor. The per-digit chi² contributions localize WHICH
+    * digit deviates): one corpus scan to exact cents, one 9-row
+    * hash-agg, a broadcast one-row total — nothing here grows with
+    * data beyond the single scan. */
+  val statsBenford: Op = Op.sql("stats_benford",
+    """WITH c AS (
+      |  SELECT CAST(floor("value" * 100 + 0.5) AS BIGINT) AS c FROM events
+      |  WHERE floor("value" * 100 + 0.5) >= 1),
+      |cnt AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |        count(*) AS n FROM c GROUP BY 1),
+      |tot AS (SELECT count(*) AS nn FROM c),
+      |dig AS (SELECT range AS digit,
+      |  CASE range WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
+      |             WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
+      |             WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
+      |             WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
+      |             WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
+      |             WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
+      |             WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
+      |             WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
+      |             ELSE CAST(0.04575749056067514 AS DOUBLE) END AS p
+      |  FROM range(1, 10)),
+      |r AS (SELECT digit, coalesce(cnt.n, 0) AS n, p FROM dig
+      |      LEFT JOIN cnt USING (digit))
+      |SELECT digit, n, CAST(n AS DOUBLE) / nn AS share, p AS benford_p,
+      |  ((n - nn * p) * (n - nn * p)) / (nn * p) AS chi2_part
+      |FROM r, tot ORDER BY digit""".stripMargin) { (s, dir) =>
+    benfordReport(t(s, dir, "events").select(col("value")))
+  }
+
   /** Assortativity core over an undirected (u, v) edge frame —
     * factored so the spec can plant a star (r = −1) and recompute
     * sequentially. Degrees join back to the DIRECTED edge list (both
@@ -2704,5 +2774,5 @@ object Analytics {
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
     statsQuantileCi, statsMannWhitney, statsFdr, statsTost, statsGini,
-    graphDegreeDist, statsCusum, graphAssortativity)
+    graphDegreeDist, statsCusum, graphAssortativity, statsBenford)
 }

@@ -928,6 +928,32 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
   }
 
+  test("Benford: sequential digit recompute matches; expectations sum to 1; planted spike localizes") {
+    import spark.implicits._
+    val got = Analytics.statsBenford.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == (1L to 9L))
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12, "Benford expectations mass")
+    val cents = Tables.load(spark, sfDir, "events").select(col("value")).collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong).filter(_ >= 1)
+    val nn = cents.length
+    val byDigit = cents.groupBy(c => c.toString.head.asDigit.toLong)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    got.foreach { case (d, n, share, p, chi) =>
+      assert(n == byDigit.getOrElse(d, 0L), s"digit $d count")
+      assert(share == n.toDouble / nn, s"digit $d share")
+      assert(chi >= 0.0, s"digit $d chi part")
+    }
+    // planted spike: every value leads with digit 7 → share(7)=1 and
+    // the digit-7 chi² contribution dominates all others
+    val spike = Seq.fill(50)(7.77).toDF("value")
+    val sGot = Analytics.benfordReport(spike).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(4)))
+    assert(sGot.find(_._1 == 7L).get._2 == 1.0)
+    val c7 = sGot.find(_._1 == 7L).get._3
+    assert(sGot.filter(_._1 != 7L).forall(_._3 < c7), "spiked digit dominates chi2")
+  }
+
   test("assortativity: sequential moment recompute matches; star graph is maximally disassortative") {
     import spark.implicits._
     def seqR(edges: Seq[(Long, Long)]): Double = {

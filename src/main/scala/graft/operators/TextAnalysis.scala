@@ -1776,6 +1776,62 @@ object TextAnalysis {
       .orderBy("pos")
   }
 
+  /** PREFERENCE-PAIR CONSTRUCTION for DPO-style training (round 12 —
+    * the contrastive face of the sampling family: offline preference
+    * optimization consumes (chosen, rejected) pairs with a strict
+    * quality margin; built from ranked quality rather than a reward
+    * model, this is the standard bootstrap before one exists): per
+    * source, docs rank ascending by an exact integer preference score
+    * (stopword count ×10⁶ + word count — [[textQuality]]'s stopword
+    * list and tokenization, single-sourced naturalness proxy; the
+    * weighting favors fluent English over fragment noise), and pair r
+    * matches the r-th best with the r-th worst (best-vs-worst first —
+    * widest margins first, the curriculum DPO wants), dropping
+    * zero-margin ties. ONE ranking pass serves both sides of every
+    * pair (the descending rank is n−r+1 of the SAME ascending rank —
+    * no second sort), via [[RankSelect.groupRanks]] (few-huge-groups
+    * shape), then one (source, pair_rank)-keyed shuffle-hash
+    * self-join; the oracle replays rank and pairing with one window. */
+  val sampleDpoPairs: Op = Op.sql("sample_dpo_pairs",
+    """WITH sc AS MATERIALIZED (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> list_contains(['the','a','of','and','to','in','is'], w)))
+      |      AS BIGINT) * 1000000
+      |      + len(string_split(text, ' ')) AS score
+      |  FROM documents),
+      |r AS MATERIALIZED (
+      |  SELECT source, doc_id, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rank,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM sc)
+      |SELECT a.source, CAST(a.rank AS BIGINT) AS pair_rank,
+      |  b.doc_id AS chosen_id, a.doc_id AS rejected_id,
+      |  b.score - a.score AS margin
+      |FROM r a JOIN r b
+      |  ON a.source = b.source AND b.rank = a.n - a.rank + 1
+      |WHERE a.rank <= a.n // 2 AND b.score - a.score > 0
+      |ORDER BY a.source, pair_rank""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
+    val scored = docs(s, dir).select(col("source"), col("doc_id"),
+      (size(filter(toks, w => array_contains(stop, w))).cast("bigint") * 1000000L
+        + size(toks).cast("bigint")).as("score"))
+    val ranked = RankSelect
+      .groupRanks(scored, "source", Seq(col("score"), col("doc_id")))
+    val rej = ranked.filter(col("rank") <= expr("n DIV 2"))
+      .select(col("source"), col("rank").as("pair_rank"),
+        col("doc_id").as("rejected_id"), col("score").as("rs"),
+        (col("n") - col("rank") + 1).as("crank"))
+    val cho = ranked.select(col("source"), col("rank").as("crank"),
+      col("doc_id").as("chosen_id"), col("score").as("cs"))
+    rej.hint("shuffle_hash").join(cho, Seq("source", "crank"))
+      .filter(col("cs") - col("rs") > 0)
+      .select(col("source"), col("pair_rank"), col("chosen_id"),
+        col("rejected_id"), (col("cs") - col("rs")).as("margin"))
+      .orderBy("source", "pair_rank")
+  }
+
   val all: Seq[Op] = Seq(textLangId, textQuality, textTokens, textFingerprint,
     textNormalize, textSplitAssign, textRepetition, textPii, sampleStratified,
     textTopterms, textEditdist, textPackSequences, textLmScore, textGopher,
@@ -1783,5 +1839,6 @@ object TextAnalysis {
     sampleMixture, textBm25, textUrlCanon, textVocabGrowth, textCooccur,
     sampleTemperature, textCorpusCard, textDistillFilter, textPerplexityBucket,
     sampleBalanced, sampleEpochOrder, statsAuc, textFeatureHash,
-    textInvertedIndex, textRake, textReadability, sampleCurriculum)
+    textInvertedIndex, textRake, textReadability, sampleCurriculum,
+    sampleDpoPairs)
 }

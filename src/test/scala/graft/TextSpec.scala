@@ -612,4 +612,32 @@ class TextSpec extends SparkSuite {
     // a real curriculum has multiple bands
     assert(cur.map(_._2).distinct.length > 3)
   }
+
+  test("DPO pairs: sequential best-vs-worst pairing matches; margins strict; sides disjoint") {
+    val got = TextAnalysis.sampleDpoPairs.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val raw = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ", -1)
+        (r.getString(0), r.getLong(1),
+          toks.count(stop.contains) * 1000000L + toks.length)
+      }
+    val want = raw.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._2))
+      val n = sorted.length
+      (1 to n / 2).flatMap { r =>
+        val (rej, cho) = (sorted(r - 1), sorted(n - r))
+        if (cho._3 - rej._3 > 0)
+          Some((src, r.toLong, cho._2, rej._2, cho._3 - rej._3))
+        else None
+      }
+    }.sortBy(p => (p._1, p._2))
+    assert(got.toSeq == want)
+    assert(got.forall(_._5 > 0), "strict margins")
+    val (chosen, rejected) = (got.map(_._3).toSet, got.map(_._4).toSet)
+    assert(chosen.intersect(rejected).isEmpty, "a doc never plays both roles")
+    assert(got.nonEmpty)
+  }
 }

@@ -1052,7 +1052,89 @@ object Multimodal {
       .orderBy("doc_id", "channel", "bin")
   }
 
+  /** One ViT input patch: grid position + its mean intensity. */
+  final case class PatchRow(doc_id: Long, patch_id: Int, patch_row: Int,
+                            patch_col: Int, mean_intensity: Double)
+
+  /** ViT-style patch extraction: tile each decoded image into p×p
+    * patches (ragged right/bottom edges CROPPED — the standard ViT
+    * divisibility contract), emit grid position, the positional
+    * patch_id = row·nCols+col a transformer embeds, and the patch's
+    * mean intensity through the established rint(·×10⁴)/10⁴ quantizer.
+    * Payload bytes never leave the partition; output is |patches|
+    * scalar rows — the pixels→tokens boundary where a production
+    * pipeline hands batches to the vision encoder. */
+  def patchify(media: DataFrame, p: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "mime", "width", "height", "payload").as[MediaRow]
+      .mapPartitions(_.filter(_.mime == ImageMime).flatMap { r =>
+        val img = Ppm.decode(r.payload)
+        val (w, h) = (img.width, img.height)
+        val (nr, nc) = (h / p, w / p)
+        for (pr <- 0 until nr; pc <- 0 until nc) yield {
+          var sum = 0L
+          var rr = 0
+          while (rr < p) {
+            var cc = 0
+            while (cc < p) {
+              val base = ((pr * p + rr) * w + (pc * p + cc)) * 3
+              sum += (img.pixels(base) & 0xff) + (img.pixels(base + 1) & 0xff) +
+                (img.pixels(base + 2) & 0xff)
+              cc += 1
+            }
+            rr += 1
+          }
+          PatchRow(r.doc_id, pr * nc + pc, pr, pc,
+            math.rint(sum.toDouble / (3 * p * p) * 10000) / 10000)
+        }
+      }).toDF()
+  }
+
+  /** VIT PATCHIFY over a deterministic image slice (round 12 — the
+    * pixels→tokens step every multimodal trainer runs: images become
+    * a grid of p=8 patches with positional ids; here each patch also
+    * carries its mean intensity so the whole decode→tile→pool path is
+    * value-checked). Oracle: pixel ((row·w+col)·3+ch) of the synthesis
+    * is doc byte (idx mod L), so each patch mean is a closed-form sum
+    * over its 3p² positions — a per-(doc, patch, dy, dx) unnest join
+    * (≤ w·h·3 rows per doc, the mm_metadata budget) with the
+    * floor+tie-to-even rint replay. The slice doc_id % 7 = 1 keeps
+    * the oracle's unnest volume at |docs|/7·N like mm_frame_sample's
+    * %5 slice. */
+  val mmPatchify: Op = Op.sql("mm_patchify",
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(n_chars % 64 + 1 AS INT) AS w, CAST(n_chars % 48 + 1 AS INT) AS h,
+      |    CAST(length(text) AS BIGINT) AS L
+      |  FROM documents WHERE doc_id % 7 = 1 AND doc_id % 5 <> 0),
+      |g AS (
+      |  SELECT doc_id, w, h, L, h // 8 AS nr, w // 8 AS nc FROM d),
+      |pp AS (
+      |  SELECT g.doc_id, g.w, g.L, g.nc, pr.pr, pc.pc
+      |  FROM g, unnest(range(g.nr)) AS pr(pr), unnest(range(g.nc)) AS pc(pc)),
+      |s AS (
+      |  SELECT pp.doc_id, pp.nc, pp.pr, pp.pc,
+      |    sum((ascii(substr(d.text,
+      |      CAST((((pp.pr * 8 + dy.dy) * pp.w + pp.pc * 8 + dx.dx) * 3 + ch.ch)
+      |             % pp.L + 1 AS INT), 1)) % 256)) AS tot
+      |  FROM pp JOIN d USING (doc_id),
+      |    unnest(range(8)) AS dy(dy), unnest(range(8)) AS dx(dx),
+      |    unnest(range(3)) AS ch(ch)
+      |  GROUP BY pp.doc_id, pp.nc, pp.pr, pp.pc),
+      |y AS (
+      |  SELECT *, (CAST(tot AS DOUBLE) / 192) * 10000 AS yv FROM s),
+      |r AS (
+      |  SELECT *, floor(yv) AS fl, yv - floor(yv) AS dd FROM y)
+      |SELECT doc_id, CAST(pr * nc + pc AS INT) AS patch_id,
+      |  CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+      |  (fl + CASE WHEN dd > 0.5 OR (dd = 0.5 AND CAST(fl AS BIGINT) % 2 <> 0)
+      |        THEN 1 ELSE 0 END) / 10000 AS mean_intensity
+      |FROM r ORDER BY doc_id, patch_id""".stripMargin) { (s, dir) =>
+    patchify(mediaTable(s, dir).filter(col("doc_id") % 7 === 1), 8)
+      .orderBy("doc_id", "patch_id")
+  }
+
   val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup,
     mmAudioFeatures, mmSceneDetect, mmAudioVad, pipelineMm, mmFormatSniff,
-    mmIntegrity, mmVideoKeyframe, mmShardManifest, mmColorHist)
+    mmIntegrity, mmVideoKeyframe, mmShardManifest, mmColorHist, mmPatchify)
 }

@@ -384,4 +384,37 @@ class MultimodalSpec extends SparkSuite {
     // some (mime, bucket) spans >1 shard
     assert(got.exists(_._2._1 > 1) && got.groupBy(k => (k._1._1, k._1._2)).exists(_._2.length > 1))
   }
+
+  test("patchify: patch means match an independent byte-synthesis recompute; grid and ids tile exactly") {
+    val media = Multimodal.mediaTable(spark, sfDir).filter(col("doc_id") % 7 === 1)
+    val got = Multimodal.patchify(media, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .groupBy(_._1)
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .filter(col("doc_id") % 7 === 1 && col("doc_id") % 5 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(docs.nonEmpty)
+    var sawPatches = false
+    docs.foreach { case (id, text, nChars) =>
+      val (w, h) = ((nChars % 64 + 1).toInt, (nChars % 48 + 1).toInt)
+      val (nr, nc) = (h / 8, w / 8)
+      val bytes = text.codePoints().toArray.map(_ & 0xFF)
+      val want = (for (pr <- 0 until nr; pc <- 0 until nc) yield {
+        val sum = (for (dy <- 0 until 8; dx <- 0 until 8; ch <- 0 until 3)
+          yield bytes((((pr * 8 + dy) * w + pc * 8 + dx) * 3 + ch) % bytes.length).toLong).sum
+        (pr * nc + pc, pr, pc, math.rint(sum.toDouble / 192 * 10000) / 10000)
+      }).toSeq
+      val g = got.getOrElse(id, Array.empty).toSeq
+        .sortBy(_._2).map(t => (t._2, t._3, t._4, t._5))
+      assert(g == want, s"doc $id patches")
+      if (nr * nc > 0) {
+        sawPatches = true
+        assert(g.map(_._1) == (0 until nr * nc), s"doc $id ids tile the grid")
+      }
+    }
+    assert(sawPatches, "corpus produced at least one patch grid")
+    // videos in the slice are excluded by construction
+    assert(!got.keySet.exists(_ % 5 == 0))
+  }
 }

@@ -372,9 +372,46 @@ object Streaming {
     Streams.funnelTrack(Tables.load(s, dir, "events")).orderBy("user_id")
   }
 
+  /** WATERMARK LATENESS AUDIT (round 12 — the offline question every
+    * streaming deployment answers BEFORE picking a watermark: under
+    * the real arrival order, how many events would a 30-minute
+    * watermark silently drop per ingest batch?). Arrival = seq
+    * quartiles with seq%37 stragglers delivered two batches late
+    * ([[graft.streaming.Streams.lateArrivalBatches]]); the report
+    * replays Spark's MEASURED drop protocol in closed form — filter
+    * watermark = max event time through batch i−2 minus delay (one
+    * batch behind eviction), drop iff hour-window END ≤ watermark,
+    * equality inclusive (all three clauses pinned against a REAL
+    * append-mode stream in StreamingSpec/BoundarySpec: total sink
+    * drops equal this audit's n_late column exactly). */
+  val streamLateAudit: Op = Op.sql("stream_late_audit",
+    """WITH e AS (SELECT event_id AS seq, epoch_us(ts) AS tus FROM events),
+      |mx AS (SELECT max(seq) AS m FROM e),
+      |b AS MATERIALIZED (
+      |  SELECT seq, tus,
+      |    least(4, 1 + CAST(seq > m // 4 AS INT) + CAST(seq > (m * 2) // 4 AS INT)
+      |      + CAST(seq > (m * 3) // 4 AS INT)
+      |      + CASE WHEN seq % 37 = 0 THEN 2 ELSE 0 END) AS bid
+      |  FROM e, mx),
+      |pb AS (SELECT bid, count(*) AS ne, max(tus) AS mt FROM b GROUP BY bid),
+      |wm AS (SELECT bid,
+      |         max(mt) OVER (ORDER BY bid ROWS BETWEEN UNBOUNDED PRECEDING
+      |                       AND 2 PRECEDING) - 1800000000 AS fwm
+      |       FROM pb)
+      |SELECT CAST(wm.bid AS BIGINT) AS batch_id, count(*) AS n_events,
+      |  max(wm.fwm) AS wm_us,
+      |  count(CASE WHEN (b.tus // 3600000000 + 1) * 3600000000 <= wm.fwm
+      |        THEN 1 END) AS n_late,
+      |  count(*) - count(CASE WHEN (b.tus // 3600000000 + 1) * 3600000000
+      |        <= wm.fwm THEN 1 END) AS n_on_time
+      |FROM b JOIN wm ON b.bid = wm.bid
+      |GROUP BY wm.bid ORDER BY batch_id""".stripMargin) { (s, dir) =>
+    Streams.lateAudit(Tables.load(s, dir, "events"), 1800000000L)
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
     streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
     streamDrift, streamIvfAssign, streamMinhashDedup, streamContamination,
     streamQualityMonitor, streamRetention, streamBackfillMerge, streamAsofEnrich,
-    streamFunnel)
+    streamFunnel, streamLateAudit)
 }

@@ -571,6 +571,55 @@ object Streams {
       .agg(count(lit(1)).as("n_new"),
         min("vec_id").as("first_id"), max("vec_id").as("last_id"))
 
+  /** Watermark-lateness fixtures: the deterministic ARRIVAL model the
+    * late audit replays. Arrival order is the seq quartile, except
+    * stragglers (seq % 37 = 0) deliver TWO batches late — the mobile-
+    * client / regional-shard replay every event pipeline fights. A
+    * one-batch delay would never be late here (each batch spans days,
+    * the watermark 30 min); two batches puts a straggler's window end
+    * squarely below the filter watermark. Returns (seq, tus, bid). */
+  def lateArrivalBatches(events: DataFrame, nBatches: Int = 4): DataFrame = {
+    val e = events.select(col("event_id").as("seq"),
+      unix_micros(col("ts")).as("tus"))
+    val m = e.agg(max("seq")).head().getLong(0)
+    val base = (1 until nBatches)
+      .map(k => (col("seq") > lit(m * k / nBatches)).cast("int"))
+      .reduce(_ + _) + 1
+    e.withColumn("bid",
+      least(lit(nBatches),
+        base + when(col("seq") % 37 === 0, 2).otherwise(0)).cast("long"))
+  }
+
+  /** CLOSED-FORM replay of Spark's measured late-drop protocol
+    * (Spark 4.1, pinned in BoundarySpec): the filter watermark active
+    * while batch i runs is max event time through batch i−2 minus the
+    * delay — one batch BEHIND the eviction watermark the progress
+    * reports (the lag measured batch-by-batch: a late row sails into
+    * batch i−1, the identical row drops in batch i) — and a row drops
+    * iff its WINDOW END (not its raw event time) is ≤ that watermark,
+    * equality inclusive. Output: per ingest batch, events, the active
+    * filter watermark and the on-time/late split. The per-batch frame
+    * is the 4-row aggregate; the only corpus-sized work is one scan +
+    * one keyed batch-id agg + one broadcast join back. */
+  def lateAudit(events: DataFrame, delayUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = lateArrivalBatches(events)
+    val pb = wb.groupBy("bid")
+      .agg(count(lit(1)).as("ne"), max("tus").as("mt"))
+    val w = Window.orderBy("bid").rowsBetween(Window.unboundedPreceding, -2)
+    val wm = pb.withColumn("fwm", max("mt").over(w) - delayUs)
+      .select(col("bid"), col("fwm"))
+    val winEnd = (expr("tus DIV 3600000000") + 1) * 3600000000L
+    wb.join(broadcast(wm), "bid")
+      .groupBy("bid")
+      .agg(count(lit(1)).as("n_events"),
+        max("fwm").as("wm_us"),
+        count(when(winEnd <= col("fwm"), 1)).as("n_late"))
+      .select(col("bid").as("batch_id"), col("n_events"), col("wm_us"),
+        col("n_late"), (col("n_events") - col("n_late")).as("n_on_time"))
+      .orderBy("batch_id")
+  }
+
   /** Run a batch-defined transform as a real streaming query over a
     * file source, writing to an in-memory sink table; returns the
     * started query (caller awaits + reads `spark.table(sinkTable)`).

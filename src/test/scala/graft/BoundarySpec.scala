@@ -189,4 +189,54 @@ class BoundarySpec extends SparkSuite {
       (3L, Some(t0.getTime * 1000 + 3000000L), Some(1.25)),
       (4L, None, None)))
   }
+
+  test("watermark drop protocol: filter lags eviction by one batch, keys on window END, equality drops") {
+    // Measured on Spark 4.1 (round 12) and pinned here because
+    // Streams.lateAudit replays exactly this protocol in closed form:
+    //  (a) a row below the watermark sails through the batch where the
+    //      watermark FIRST advanced past it (filter uses the previous
+    //      batch's watermark), and the identical row drops one batch
+    //      later;
+    //  (b) the drop predicate keys on the row's WINDOW END, not its raw
+    //      event time — end == watermark drops (inclusive), while a row
+    //      whose ts is below the watermark but whose window end is
+    //      above survives.
+    import spark.implicits._
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L + m * 60L))
+    def drive(batches: Seq[Seq[java.sql.Timestamp]], sink: String): Seq[Long] = {
+      val src = java.nio.file.Files.createTempDirectory("graft_wm_pin").toString
+      batches.foreach { b =>
+        b.map(Tuple1(_)).toDF("ts").coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(1100)
+      }
+      val stream = spark.readStream
+        .schema(Seq(Tuple1(ts(0, 0))).toDF("ts").schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      q.recentProgress.toSeq.sortBy(_.batchId)
+        .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+    }
+    // (a) lag: wm advances to 10:00 after batch 0; an 08:15 row in
+    // batch 1 is kept, the same lateness in batch 2 drops — and the
+    // batch-2 drops include the window end == 10:00 equality case
+    val lag = drive(Seq(
+      Seq(ts(10, 30)),
+      Seq(ts(8, 15)),
+      Seq(ts(8, 20), ts(9, 30))), "wm_pin_lag")
+    assert(lag.take(3) == Seq(0L, 0L, 2L), s"lag/equality protocol: $lag")
+    // (b) end-keyed: filter wm 09:50 in batch 2; ts 09:45 is below it
+    // but window [09:00,10:00) end is above -> kept
+    val keyed = drive(Seq(
+      Seq(ts(10, 20)),
+      Seq(ts(10, 25)),
+      Seq(ts(9, 45))), "wm_pin_keyed")
+    assert(keyed.take(3) == Seq(0L, 0L, 0L), s"end-keyed protocol: $keyed")
+  }
 }

@@ -619,4 +619,73 @@ class StreamingSpec extends SparkSuite {
     // the seam genuinely split the data: both sides contribute somewhere
     assert(served.exists(_.getLong(1) > 0) && served.exists(_.getLong(2) > 0))
   }
+
+  test("late audit: the closed-form report predicts a real append stream's drops batch for batch") {
+    val events = Tables.load(spark, sfDir, "events").cache()
+    val audit = Streams.lateAudit(events, 1800000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3), r.getLong(4)))
+    assert(audit.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(audit.take(2).forall(a => a._3.isEmpty && a._4 == 0L),
+      "first two batches have no filter watermark yet")
+    assert(audit.drop(2).forall(_._4 > 0L), "stragglers make batches 3 and 4 drop")
+    assert(audit.forall(a => a._2 == a._4 + a._5))
+
+    // drive the SAME arrival order through a REAL append-mode stream
+    val chunks = Streams.lateArrivalBatches(events).cache()
+    val src = Files.createTempDirectory("graft_late_src").toString
+    (1L to 4L).foreach { b =>
+      chunks.filter(col("bid") === b)
+        .select(timestamp_micros(col("tus")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = stream.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("n"))
+      .writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val droppedPerBatch = q.recentProgress.toSeq
+      .sortBy(_.batchId)
+      .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+    // processAllAvailable may run a trailing no-data batch after the
+    // final watermark update — it must drop nothing
+    assert(droppedPerBatch.take(4).map(_.toLong) == audit.map(_._4).toSeq,
+      s"real drops $droppedPerBatch != audit ${audit.map(_._4).toSeq}")
+    assert(droppedPerBatch.drop(4).forall(_ == 0))
+
+    // final append output equals the protocol replay: windows whose
+    // end cleared the LAST batch's eviction watermark, counting only
+    // rows the filter kept
+    val rows = chunks.select(col("tus"), col("bid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hourUs = 3600000000L
+    val maxThrough = (1L to 4L).map(b =>
+      b -> rows.filter(_._2 <= b).map(_._1).max).toMap
+    def fwm(b: Long): Option[Long] =
+      if (b <= 2) None else Some(maxThrough(b - 2) - 1800000000L)
+    val kept = rows.filter { case (tus, b) =>
+      val end = (tus / hourUs + 1) * hourUs
+      !fwm(b).exists(end <= _)
+    }
+    // processAllAvailable's trailing no-data batch evicts with the
+    // FULLY-advanced watermark (max through batch 4), so the final
+    // emitted set clears that, not batch 3's
+    val evictWm = maxThrough(4L) - 1800000000L
+    val want = kept.groupBy(r => (r._1 / hourUs) * hourUs)
+      .filter { case (ws, _) => ws + hourUs <= evictWm }
+      .map { case (ws, xs) => (ws, xs.length.toLong) }.toSeq.sortBy(_._1)
+    val got = spark.table("late_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got == want, "final append output diverges from the protocol replay")
+    assert(got.nonEmpty)
+  }
 }

@@ -811,6 +811,53 @@ object Analytics {
       .select("ta", "tb", "tc")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node (round 12 — the third
+    * member of the triangle family: graph_triangles counts them,
+    * graph_edge_similarity scores edges by them, this scores NODES —
+    * c_v = 2·tri(v)/(deg_v·(deg_v−1)), Watts–Strogatz's "how clique-
+    * like is this node's neighborhood", the per-node version of the
+    * density verdict a dedup cluster audit reads): per-node triangle
+    * counts from the SHARED [[orientedTriangles]] enumeration
+    * (O(m^1.5) wedges, every join keyed), degrees from the shared
+    * keyed degree agg, one graph-sized shuffle-hash join, a single
+    * IEEE division from exact integers. Nodes with deg < 2 are
+    * excluded (the coefficient is undefined there); triangle-free
+    * nodes report 0. */
+  val graphClustering: Op = Op.sql("graph_clustering",
+    """WITH raw AS (
+      |  SELECT l_orderkey % 300 AS a, l_suppkey % 300 AS b
+      |  FROM lineitem WHERE l_quantity < 10),
+      |e AS (
+      |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+      |deg AS (
+      |  SELECT n, count(*) AS d FROM (
+      |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      |tri AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |nodes AS (
+      |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri),
+      |pn AS (SELECT node, count(*) AS nt FROM nodes GROUP BY node)
+      |SELECT deg.n AS node, deg.d AS deg, coalesce(pn.nt, 0) AS n_tri,
+      |  CAST(2 * coalesce(pn.nt, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
+      |    AS local_cc
+      |FROM deg LEFT JOIN pn ON pn.node = deg.n
+      |WHERE deg.d >= 2 ORDER BY node""".stripMargin) { (s, dir) =>
+    val e = derivedGraph(s, dir)
+    val perNode = orientedTriangles(e)
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("nt"))
+    degrees(e).filter(col("d") >= 2)
+      .join(perNode.hint("shuffle_hash"),
+        col("n") === perNode("node"), "left")
+      .select(col("n").as("node"), col("d").as("deg"),
+        coalesce(col("nt"), lit(0L)).as("n_tri"),
+        ((lit(2) * coalesce(col("nt"), lit(0L))).cast("double") /
+          (col("d") * (col("d") - 1))).as("local_cc"))
+      .orderBy("node")
+  }
+
   /** Per-EDGE neighbor-set Jaccard similarity (round 9 — the local
     * sparsification / tie-strength metric of Satuluri et al. 2011
     * and neo4j's node-similarity restricted to edges; the link-weight
@@ -2774,5 +2821,6 @@ object Analytics {
     q78WindowDistinct, statsLinreg, statsAnova, graphKcore, statsBootstrap,
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
     statsQuantileCi, statsMannWhitney, statsFdr, statsTost, statsGini,
-    graphDegreeDist, statsCusum, graphAssortativity, statsBenford)
+    graphDegreeDist, statsCusum, graphAssortativity, statsBenford,
+    graphClustering)
 }

@@ -928,6 +928,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
   }
 
+  test("clustering coefficient: adjacency-set recompute matches; values bounded; triangle nodes nonzero") {
+    val got = Analytics.graphClustering.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val edges = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") < 10)
+      .select((col("l_orderkey") % 300).cast("long"), (col("l_suppkey") % 300).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    got.foreach { case (n, d, nt, cc) =>
+      val nbrs = adj(n)
+      assert(d == nbrs.size.toLong && d >= 2, s"node $n degree")
+      val tri = nbrs.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }
+      assert(nt == tri.toLong, s"node $n triangles")
+      assert(cc == (2L * tri).toDouble / (d * (d - 1)), s"node $n cc")
+      assert(cc >= 0.0 && cc <= 1.0, s"node $n bounds")
+    }
+    assert(got.map(_._1).toSet == adj.filter(_._2.size >= 2).keySet)
+    assert(got.exists(_._3 > 0), "graph has triangle nodes")
+  }
+
   test("Benford: sequential digit recompute matches; expectations sum to 1; planted spike localizes") {
     import spark.implicits._
     val got = Analytics.statsBenford.run(spark, sfDir).collect()

@@ -1911,7 +1911,7 @@ object Analytics {
       |  FROM e)
       |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
       |  CAST(sum(v) AS DOUBLE) AS sum_v,
-      |  round(CAST(sum((2 * rank - n - 1) * v) AS DOUBLE)
+      |  round(CAST(CAST(sum((2 * rank - n - 1) * v) AS VARCHAR) AS DOUBLE)
       |        / (CAST(max(n) AS DOUBLE) * CAST(sum(v) AS DOUBLE)), 6) AS gini
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     val e = t(s, dir, "events").select(col("event_type"),
@@ -2141,6 +2141,94 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** ACF core — factored so the spec can plant an alternating series.
+    * Deviations are integerized by multiplying through by n (the
+    * stats_gini/cusum trick): dev_t = n·x_t − S is an exact integer,
+    * r_k = Σdev_t·dev_{t+k} / Σdev_t² cancels the n² scale, so the
+    * only float op is the final division. dev fits DECIMAL(18,0) up
+    * to ~10¹⁸ (n·cents per bucket) — beyond that widen the cast and
+    * accept HUGEINT on the oracle side. */
+  private[graft] def acfReport(events: DataFrame, maxLag: Int): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val b = events
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("bucket"),
+        col("cents"))
+    val ser = b.withColumn("idx",
+      row_number().over(Window.partitionBy("event_type").orderBy("bucket")))
+    val tot = ser.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val d = ser.join(tot, "event_type")
+      .select(col("event_type"), col("idx"),
+        (col("n").cast("decimal(18,0)") * col("cents") -
+          col("s").cast("decimal(18,0)")).cast("decimal(18,0)").as("dev"))
+    val den = d.groupBy("event_type")
+      .agg(sum(col("dev") * col("dev")).as("dd"))
+    val lags = (1 to maxLag).toDF("lag")
+    val a = d.select(col("event_type"), col("idx"), col("dev").as("da"))
+      .crossJoin(broadcast(lags))
+    val b2 = d.select(col("event_type").as("bty"), col("idx").as("bidx"),
+      col("dev").as("db"))
+    val num = a.join(b2,
+      col("bty") === col("event_type") && col("bidx") === col("idx") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("da") * col("db")).as("nn"), count(lit(1)).as("n_pairs"))
+    num.join(den, "event_type")
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n_pairs"),
+        (col("nn").cast("double") / col("dd").cast("double")).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** AUTOCORRELATION FUNCTION per event type (round 12 — the tool
+    * read right after stats_cusum: CUSUM says the level SHIFTED, the
+    * ACF says whether the series is momentum-driven, mean-reverting
+    * or periodic — the input to every seasonality/forecast decision):
+    * Box–Jenkins r_k at lags 1..6 over the hourly bucket sums, full-
+    * series mean and denominator. Everything after the bucket agg
+    * runs on the \|types\|×\|buckets\| frame (ranked by ONE bounded
+    * window, lag pairs via keyed equi-join on idx+k — never a window
+    * over raw events); exact integer moments into one IEEE division.
+    * The oracle's decimal→double casts go THROUGH VARCHAR: DuckDB's
+    * direct wide-DECIMAL→DOUBLE cast TRUNCATES the int128 instead of
+    * rounding to nearest (measured round 12: −11491637266516374 →
+    * …372e16 direct, …374e16 via string = Java/Python's correctly
+    * rounded value), so any oracle casting an exact integer above
+    * 2⁵³ must take the string path to match Spark's BigDecimal. */
+  val statsAcf: Op = Op.sql("stats_acf",
+    """WITH b AS MATERIALIZED (
+      |  SELECT event_type, epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket,
+      |    sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |ser AS MATERIALIZED (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS idx
+      |  FROM b),
+      |tot AS (SELECT event_type, count(*) AS n, sum(cents) AS s
+      |        FROM ser GROUP BY 1),
+      |d AS MATERIALIZED (
+      |  SELECT ser.event_type, idx,
+      |    CAST(CAST(tot.n AS DECIMAL(18,0)) * cents
+      |         - CAST(tot.s AS DECIMAL(18,0)) AS DECIMAL(18,0)) AS dev
+      |  FROM ser JOIN tot USING (event_type)),
+      |den AS (SELECT event_type, sum(dev * dev) AS dd FROM d GROUP BY 1),
+      |lags AS (SELECT range + 1 AS lag FROM range(6)),
+      |num AS (
+      |  SELECT a.event_type, l.lag, sum(a.dev * b2.dev) AS nn,
+      |    count(*) AS n_pairs
+      |  FROM d a CROSS JOIN lags l JOIN d b2
+      |    ON b2.event_type = a.event_type AND b2.idx = a.idx + l.lag
+      |  GROUP BY 1, 2)
+      |SELECT num.event_type, CAST(num.lag AS BIGINT) AS lag, num.n_pairs,
+      |  CAST(CAST(num.nn AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(den.dd AS VARCHAR) AS DOUBLE) AS acf
+      |FROM num JOIN den USING (event_type)
+      |ORDER BY event_type, lag""".stripMargin) { (s, dir) =>
+    acfReport(t(s, dir, "events"), 6)
+  }
+
   /** CUSUM CHANGEPOINT detection per event type (the drift-LOCATION
     * question stats_drift/stream_drift cannot answer — they say the
     * distribution moved, CUSUM says WHEN): the classic max-|CUSUM|
@@ -2173,7 +2261,8 @@ object Analytics {
       |mx AS (SELECT event_type, max(a) AS m FROM tt GROUP BY 1)
       |SELECT tt.event_type, CAST(max(tt.nb) AS BIGINT) AS n_buckets,
       |  CAST(max(tt.n) AS BIGINT) AS n_events,
-      |  min(bucket) AS cp_bucket, CAST(max(tt.a) AS DOUBLE) AS cusum_stat
+      |  min(bucket) AS cp_bucket,
+      |  CAST(CAST(max(tt.a) AS VARCHAR) AS DOUBLE) AS cusum_stat
       |FROM tt JOIN mx ON tt.event_type = mx.event_type AND tt.a = mx.m
       |GROUP BY tt.event_type ORDER BY tt.event_type""".stripMargin) { (s, dir) =>
     cusumReport(t(s, dir, "events"))
@@ -2822,5 +2911,5 @@ object Analytics {
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
     statsQuantileCi, statsMannWhitney, statsFdr, statsTost, statsGini,
     graphDegreeDist, statsCusum, graphAssortativity, statsBenford,
-    graphClustering)
+    graphClustering, statsAcf)
 }

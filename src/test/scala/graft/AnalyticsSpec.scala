@@ -928,6 +928,43 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
   }
 
+  test("ACF: sequential bucket recompute matches; planted alternating series flips sign by lag parity") {
+    import spark.implicits._
+    val got = Analytics.statsAcf.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val hourUs = 3600L * 1000000L
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    raw.groupBy(_._1).foreach { case (ty, xs) =>
+      val series = xs.groupBy(e => Math.floorDiv(e._2, hourUs))
+        .toSeq.sortBy(_._1)
+        .map(_._2.map(e => math.floor(e._3 * 100 + 0.5).toLong).sum)
+      val n = series.length
+      val s = series.map(BigInt(_)).sum
+      val dev = series.map(x => BigInt(n) * x - s)
+      val dd = dev.map(d => d * d).sum
+      (1 to 6).foreach { k =>
+        val pairs = dev.dropRight(k).zip(dev.drop(k))
+        val nn = pairs.map { case (a, b) => a * b }.sum
+        val (np, acf) = got((ty, k.toLong))
+        assert(np == pairs.size.toLong, s"$ty lag $k pairs")
+        assert(acf == nn.toDouble / dd.toDouble, s"$ty lag $k acf")
+        assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9, s"$ty lag $k bounds")
+      }
+    }
+    assert(got.nonEmpty)
+    // planted alternation: one event per hour, values 10/30 alternating
+    // -> acf(odd lags) strongly negative, acf(even lags) positive
+    val rows = (0 until 48).map { h =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L)),
+        "alt", if (h % 2 == 0) 10.0 else 30.0)
+    }
+    val planted = Analytics.acfReport(rows.toDF("ts", "event_type", "value"), 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(planted(1L) < -0.9 && planted(2L) > 0.9, s"alternation: $planted")
+  }
+
   test("clustering coefficient: adjacency-set recompute matches; values bounded; triangle nodes nonzero") {
     val got = Analytics.graphClustering.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -2141,6 +2141,74 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Seasonal-naive backtest core — factored so the spec can plant a
+    * perfectly periodic series (MAE must be exactly 0) and a shifted
+    * one. Forecast for hour-bucket t is the observed value at
+    * t − 24 h; scored on the last quarter of each type's bucket
+    * range. Errors stay exact integer cents; MAE/bias/RMSE are one
+    * IEEE division (and one IEEE sqrt — correctly rounded on both
+    * engines) from exact sums, with the wide-decimal→double casts on
+    * the VARCHAR path (the stats_acf DuckDB truncation lesson). */
+  private[graft] def forecastBacktest(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val b = events
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("bucket"),
+        col("cents"))
+    val rng = b.groupBy("event_type")
+      .agg((max("bucket") - (max("bucket") - min("bucket")) / 4).cast("long")
+        .as("cut"))
+    val f = b.select(col("event_type").as("fty"),
+      col("bucket").as("fb"), col("cents").as("fc"))
+    b.join(f.hint("shuffle_hash"),
+        col("fty") === col("event_type") && col("fb") === col("bucket") - dayUs)
+      .join(broadcast(rng), "event_type")
+      .filter(col("bucket") > col("cut"))
+      .withColumn("e", (col("cents") - col("fc")).cast("decimal(18,0)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        (sum(abs(col("e"))).cast("double") / count(lit(1))).as("mae_cents"),
+        (sum(col("e")).cast("double") / count(lit(1))).as("bias_cents"),
+        sqrt(sum(col("e") * col("e")).cast("double") / count(lit(1)))
+          .as("rmse_cents"))
+      .orderBy("event_type")
+  }
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST per event type (round 12 — the
+    * baseline every forecasting system must beat before it exists:
+    * "tomorrow looks like yesterday" at daily seasonality, scored on
+    * the held-out last quarter of the series. The stats_cusum/acf
+    * companions say the series shifted and how it correlates; this
+    * says how PREDICTABLE it is at the daily period, which is the
+    * go/no-go for investing in a real model): per type, one bucket
+    * hash-agg, a keyed self-join on bucket−24h over the bounded
+    * bucket frame, a broadcast range join for the holdout cut, one
+    * aggregate — nothing beyond the scan grows with data. */
+  val statsForecastBacktest: Op = Op.sql("stats_forecast_backtest",
+    """WITH b AS MATERIALIZED (
+      |  SELECT event_type, epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket,
+      |    sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |rng AS (SELECT event_type,
+      |    CAST(max(bucket) - (max(bucket) - min(bucket)) // 4 AS BIGINT) AS cut
+      |  FROM b GROUP BY 1),
+      |sc AS (
+      |  SELECT a.event_type,
+      |    CAST(a.cents - f.cents AS DECIMAL(18,0)) AS e
+      |  FROM b a
+      |  JOIN b f ON f.event_type = a.event_type
+      |          AND f.bucket = a.bucket - 86400000000
+      |  JOIN rng r ON r.event_type = a.event_type AND a.bucket > r.cut)
+      |SELECT event_type, count(*) AS n_scored,
+      |  CAST(CAST(sum(abs(e)) AS VARCHAR) AS DOUBLE) / count(*) AS mae_cents,
+      |  CAST(CAST(sum(e) AS VARCHAR) AS DOUBLE) / count(*) AS bias_cents,
+      |  sqrt(CAST(CAST(sum(e * e) AS VARCHAR) AS DOUBLE) / count(*))
+      |    AS rmse_cents
+      |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    forecastBacktest(t(s, dir, "events"))
+  }
+
   /** ACF core — factored so the spec can plant an alternating series.
     * Deviations are integerized by multiplying through by n (the
     * stats_gini/cusum trick): dev_t = n·x_t − S is an exact integer,
@@ -2911,5 +2979,5 @@ object Analytics {
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
     statsQuantileCi, statsMannWhitney, statsFdr, statsTost, statsGini,
     graphDegreeDist, statsCusum, graphAssortativity, statsBenford,
-    graphClustering, statsAcf)
+    graphClustering, statsAcf, statsForecastBacktest)
 }

@@ -928,6 +928,45 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
   }
 
+  test("forecast backtest: sequential recompute matches; periodic series scores zero; shift shows as bias") {
+    import spark.implicits._
+    val got = Analytics.statsForecastBacktest.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val hourUs = 3600L * 1000000L
+    val dayUs = 24 * hourUs
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    raw.groupBy(_._1).foreach { case (ty, xs) =>
+      val buckets = xs.groupBy(e => Math.floorDiv(e._2, hourUs) * hourUs)
+        .map { case (b, es) => b -> es.map(e => math.floor(e._3 * 100 + 0.5).toLong).sum }
+      val cut = buckets.keys.max - (buckets.keys.max - buckets.keys.min) / 4
+      val errs = buckets.toSeq
+        .filter { case (b, _) => b > cut && buckets.contains(b - dayUs) }
+        .map { case (b, c) => BigInt(c - buckets(b - dayUs)) }
+      got.get(ty) match {
+        case None => assert(errs.isEmpty, s"$ty missing")
+        case Some((n, mae, bias, rmse)) =>
+          assert(n == errs.size.toLong, s"$ty n")
+          assert(mae == errs.map(_.abs).sum.toDouble / n, s"$ty mae")
+          assert(bias == errs.sum.toDouble / n, s"$ty bias")
+          assert(rmse == math.sqrt(errs.map(e => e * e).sum.toDouble / n), s"$ty rmse")
+      }
+    }
+    assert(got.nonEmpty)
+    // planted: value depends only on hour-of-day -> seasonal naive is
+    // exact (all metrics 0); a +5.00 level shift in the tail -> bias 500
+    def mk(shiftTail: Boolean) = (0 until 96).map { h =>
+      val base = 10.0 + (h % 24)
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L)),
+        "p", if (shiftTail && h >= 72) base + 5.0 else base)
+    }.toDF("ts", "event_type", "value")
+    val zero = Analytics.forecastBacktest(mk(false)).collect().head
+    assert(zero.getDouble(2) == 0.0 && zero.getDouble(4) == 0.0)
+    val shifted = Analytics.forecastBacktest(mk(true)).collect().head
+    assert(shifted.getDouble(3) == 500.0, "shift surfaces as +500 cents bias")
+  }
+
   test("ACF: sequential bucket recompute matches; planted alternating series flips sign by lag parity") {
     import spark.implicits._
     val got = Analytics.statsAcf.run(spark, sfDir).collect()

@@ -646,4 +646,65 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"),
       s"distortion must be join-free (codebook is a literal):\n$p")
   }
+
+  test("DPO pairing: the rank self-join is a keyed shuffle-hash, never a corpus broadcast") {
+    val p = plan("sample_dpo_pairs")
+    assert(p.contains("ShuffledHashJoin"),
+      s"pair join must shuffle on (source, rank) — both sides are corpus-proportional:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated to an unkeyed join:\n$p")
+  }
+
+  test("assortativity: both degree joins shuffle keyed; one-row moment output") {
+    val p = plan("graph_assortativity")
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      s"degree joins must stay keyed shuffles (degree table is graph-sized):\n$p")
+    // the only non-equi joins allowed are the one-row scalar
+    // compositions (moments × counts), which plan as BNLJ — a
+    // CartesianProduct would mean a multi-row unkeyed join appeared
+    assert(!p.contains("CartesianProduct"),
+      s"a multi-row unkeyed join appeared in the moment composition:\n$p")
+  }
+
+  test("CUSUM: the prefix-sum window runs downstream of the bucket aggregate") {
+    val p = plan("stats_cusum")
+    val iAgg = p.indexOf("HashAggregate")
+    val iWin = p.indexOf("Window")
+    assert(iAgg >= 0 && iWin >= 0 && iAgg < iWin,
+      s"window must run over the bucket aggregate, never the raw scan:\n$p")
+  }
+
+  test("ACF: lag pairs join keyed on the bucket index; lags table broadcasts") {
+    val p = plan("stats_acf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"6-row lag table must broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"lag pairing must stay an equi-join on (type, idx):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"lag pairing degenerated to a cartesian product:\n$p")
+  }
+
+  test("forecast backtest: the day-shift self-join shuffles keyed; the holdout cut broadcasts") {
+    val p = plan("stats_forecast_backtest")
+    assert(p.contains("ShuffledHashJoin"),
+      s"bucket self-join must shuffle on (type, bucket):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|-row holdout-cut join must broadcast:\n$p")
+  }
+
+  test("late audit: the per-batch watermark frame broadcasts back to the event scan") {
+    val p = plan("stream_late_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      s"4-row watermark frame must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch-id join degenerated:\n$p")
+  }
+
+  test("Benford: digit profile is one 9-row aggregate plus a one-row broadcast total") {
+    val p = plan("stats_benford")
+    assert(p.contains("HashAggregate"), "digit counts lost hash aggregation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"nothing in the 9-row frame may shuffle-join:\n$p")
+  }
 }

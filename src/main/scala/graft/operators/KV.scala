@@ -728,6 +728,81 @@ object KV {
     KVTable(replayed, "key", "seq", "tombstone").merged().orderBy("key")
   }
 
+  /** Compaction-pick core over a seq column — factored so the spec
+    * can plant a file-fragmented L0 that must win the pick. Replays
+    * the reference's LevelDB-style scorer exactly
+    * (storage_engine/src/manager/version.rs:283 `finalize`): L0
+    * scores by FILE COUNT over threshold 4 (reads merge every L0
+    * file, so fragmentation — not volume — is L0's cost), deeper
+    * levels by BYTES over a 10×-per-level budget (4096·10^(n−1),
+    * 32 bytes/record), pick = lowest level attaining the max score
+    * (the reference's strict `>` keeps the first best). Levels derive
+    * from seq bands (0.9/0.6/0.3 cuts — newest on top like the LSM),
+    * L0 files = distinct 1000-seq flush buckets. Every score is one
+    * IEEE division from exact integers. */
+  private[graft] def compactionPick(seqs: DataFrame): DataFrame = {
+    val m = seqs.agg(max("seq")).head().getLong(0)
+    def cut(f: Double) = math.floor(m * f).toLong
+    val bands = seqs.select(
+      when(col("seq") > cut(0.9), 0L)
+        .when(col("seq") > cut(0.6), 1L)
+        .when(col("seq") > cut(0.3), 2L)
+        .otherwise(3L).as("level"), col("seq"))
+    val lv = bands.groupBy("level")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(expr("seq DIV 1000")).as("n_files"))
+    val sc = lv.select(col("level"), col("n_rows"),
+      when(col("level") === 0, col("n_files"))
+        .otherwise(col("n_rows") * 32).cast("long").as("size"),
+      when(col("level") === 0, 4L)
+        .when(col("level") === 1, 4096L)
+        .when(col("level") === 2, 40960L)
+        .otherwise(409600L).as("budget"))
+      .withColumn("score", col("size").cast("double") / col("budget"))
+    val pick = sc.agg(max("score").as("ms"))
+      .join(sc, col("score") === col("ms"))
+      .agg(min("level").as("pl"))
+    sc.crossJoin(broadcast(pick))
+      .select(col("level"), col("n_rows"), col("size"), col("budget"),
+        col("score"), (col("level") === col("pl")).as("picked"))
+      .orderBy("level")
+  }
+
+  /** COMPACTION PICKING — the LSM scheduling decision (round 12; the
+    * read-side face of kv_leveled_compact: WHICH level compacts
+    * next). See [[compactionPick]] for the replayed scorer; the
+    * whole computation after the scan is a 4-row frame. */
+  val kvCompactionPick: Op = Op.sql("kv_compaction_pick",
+    s"""WITH $kvCte,
+       |mx AS (SELECT max(seq) AS m FROM kv),
+       |bands AS (
+       |  SELECT CASE WHEN seq > CAST(floor(m * 0.9) AS BIGINT) THEN 0
+       |              WHEN seq > CAST(floor(m * 0.6) AS BIGINT) THEN 1
+       |              WHEN seq > CAST(floor(m * 0.3) AS BIGINT) THEN 2
+       |              ELSE 3 END AS level, seq
+       |  FROM kv, mx),
+       |lv AS (
+       |  SELECT level, count(*) AS n_rows,
+       |         count(DISTINCT seq // 1000) AS n_files
+       |  FROM bands GROUP BY level),
+       |sc AS (
+       |  SELECT level, n_rows,
+       |    CAST(CASE WHEN level = 0 THEN n_files ELSE n_rows * 32 END
+       |         AS BIGINT) AS size,
+       |    CAST(CASE WHEN level = 0 THEN 4
+       |              WHEN level = 1 THEN 4096
+       |              WHEN level = 2 THEN 40960
+       |              ELSE 409600 END AS BIGINT) AS budget
+       |  FROM lv),
+       |s2 AS (SELECT *, CAST(size AS DOUBLE) / budget AS score FROM sc),
+       |pick AS (SELECT min(level) AS pl FROM s2
+       |         WHERE score = (SELECT max(score) FROM s2))
+       |SELECT CAST(level AS BIGINT) AS level, n_rows, size, budget, score,
+       |  level = (SELECT pl FROM pick) AS picked
+       |FROM s2 ORDER BY level""".stripMargin) { (s, dir) =>
+    compactionPick(kv(s, dir).runs.select(col("seq")))
+  }
+
   /** OCC snapshot-validation verdicts for a batch of transactions.
     * `writes` carries one row per write intent: (txn BIGINT — the
     * COMMIT ORDER, u BIGINT, cf STRING — the column-family-qualified
@@ -828,5 +903,5 @@ object KV {
     kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
     kvCheckpointRestore, kvSecondaryIndex, kvCf, kvBackupIncremental,
     kvWalReplay, kvSeekScan, kvCdcBatches, kvMultiGet, kvRangeDelete,
-    kvTxnOcc)
+    kvTxnOcc, kvCompactionPick)
 }

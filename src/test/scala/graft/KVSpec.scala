@@ -415,6 +415,37 @@ class KVSpec extends SparkSuite {
       (4L, 1L, 1L, 1L, false)))
   }
 
+  test("compaction pick: sequential score replay matches; a fragmented L0 wins the pick") {
+    import spark.implicits._
+    val got = KV.kvCompactionPick.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    val seqs = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id")).collect().map(_.getLong(0))
+    val m = seqs.max
+    def lvl(s: Long) =
+      if (s > math.floor(m * 0.9).toLong) 0L
+      else if (s > math.floor(m * 0.6).toLong) 1L
+      else if (s > math.floor(m * 0.3).toLong) 2L else 3L
+    val byL = seqs.groupBy(lvl)
+    val want = byL.map { case (l, xs) =>
+      val size = if (l == 0) xs.map(_ / 1000).distinct.length.toLong else xs.length * 32L
+      val budget = Seq(4L, 4096L, 40960L, 409600L)(l.toInt)
+      (l, xs.length.toLong, size, budget, size.toDouble / budget)
+    }.toSeq.sortBy(_._1)
+    val best = want.map(_._5).max
+    val pl = want.filter(_._5 == best).map(_._1).min
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq == want)
+    got.foreach { case (l, _, _, _, _, p) => assert(p == (l == pl), s"level $l pick") }
+    assert(got.count(_._6) == 1, "exactly one level picked")
+    // planted fragmentation: seqs at 1000-strides put 5 files in L0
+    // (score 1.25) while deeper levels stay tiny -> L0 must win
+    val planted = KV.compactionPick((1L to 50L).map(_ * 1000L).toDF("seq"))
+      .collect().map(r => (r.getLong(0), r.getDouble(4), r.getBoolean(5)))
+    assert(planted.find(_._1 == 0L).get._3, s"L0 not picked: ${planted.toSeq}")
+    assert(planted.find(_._1 == 0L).get._2 == 1.25)
+  }
+
   test("OCC op: txn1 always commits; verdict == (conflicts == 0); keys bound events") {
     val got = KV.kvTxnOcc.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))

@@ -367,7 +367,85 @@ object Layout {
     g1.unionByName(g2).orderBy("event_id")
   }
 
+  val ZonemapPath = "/root/repo/target/graft_zonemap"
+
+  /** ZONEMAP SKIPPING from REAL parquet footers (round 12 — the
+    * mechanism under every "files skipped" counter: per-file min/max
+    * column statistics written by the parquet writer, read back from
+    * the FOOTER BYTES and compared against a probe predicate. q35
+    * proves directory-level pruning and q47 proves stats get tight
+    * under Z-order; this op proves the footer stats themselves are
+    * trustworthy — the oracle recomputes every (partition, bucket)'s
+    * min/max/rowcount from the DATA, so a writer that truncated,
+    * padded or mis-scoped a statistic hash-mismatches):
+    * lineitem re-lands partitioned by ship month and bucketed by
+    * l_orderkey DIV B (B = max//8+1 — deterministic, SQL-replayable),
+    * one file per leaf; footers are read EXECUTOR-SIDE
+    * (`parallelize(files).map(ParquetFileReader...)` — at 100 TB
+    * footer scans are a distributed metadata job, never a driver
+    * loop); skip = the file's [min,max] misses the probe range
+    * [B, 2B) — exactly the fb=1 bucket survives. */
+  val layoutZonemapSkip: Op = Op.sql("layout_zonemap_skip",
+    """WITH mx AS (SELECT max(l_orderkey) // 8 + 1 AS b FROM lineitem),
+      |g AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+      |    l_orderkey // b AS fb, count(*) AS n_rows,
+      |    min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+      |    max(b) AS b
+      |  FROM lineitem, mx GROUP BY 1, 2)
+      |SELECT ym, CAST(fb AS BIGINT) AS fb, n_rows, min_key, max_key,
+      |  max_key < b OR min_key >= 2 * b AS skip
+      |FROM g ORDER BY ym, fb""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val src = Tables.load(s, dir, "lineitem")
+    val b = src.agg(max("l_orderkey")).head().getLong(0) / 8 + 1
+    src.select(date_format(col("l_shipdate"), "yyyy-MM").as("ym"),
+        expr(s"CAST(l_orderkey DIV $b AS BIGINT)").as("fb"),
+        col("l_orderkey"))
+      .repartition(col("ym"), col("fb"))
+      .write.mode("overwrite").partitionBy("ym", "fb").parquet(ZonemapPath)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(ZonemapPath), true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next().getPath.toString
+      if (f.endsWith(".parquet")) files += f
+    }
+    val stats = s.sparkContext
+      .parallelize(files.toSeq, math.max(1, math.min(files.size, 32)))
+      .map { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val dirs = p.split('/')
+          val ym = dirs.find(_.startsWith("ym=")).get.drop(3)
+          val fb = dirs.find(_.startsWith("fb=")).get.drop(3).toLong
+          val blocks = r.getFooter.getBlocks.asScala
+          val (rows, mins, maxs) = blocks.map { blk =>
+            val c = blk.getColumns.asScala
+              .find(_.getPath.toDotString == "l_orderkey").get
+            (blk.getRowCount,
+              c.getStatistics.genericGetMin.toString.toLong,
+              c.getStatistics.genericGetMax.toString.toLong)
+          }.unzip3
+          (ym, fb, rows.sum, mins.min, maxs.max)
+        } finally r.close()
+      }
+      .toDF("ym", "fb", "rows", "mn", "mx")
+    stats.groupBy("ym", "fb")
+      .agg(sum("rows").as("n_rows"), min("mn").as("min_key"),
+        max("mx").as("max_key"))
+      .select(col("ym"), col("fb"), col("n_rows"), col("min_key"),
+        col("max_key"),
+        (col("max_key") < b || col("min_key") >= 2 * b).as("skip"))
+      .orderBy("ym", "fb")
+  }
+
   val all: Seq[Op] = Seq(q34BucketedJoin, q35PartitionPruning, q47Zorder,
     layoutCompactFiles, layoutVacuum, q65RuntimeBloomJoin, layoutAnalyzeStats,
-    layoutPartitionEvolution)
+    layoutPartitionEvolution, layoutZonemapSkip)
 }

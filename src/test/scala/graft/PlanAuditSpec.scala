@@ -707,4 +707,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"nothing in the 9-row frame may shuffle-join:\n$p")
   }
+
+  test("zonemap: footer stats are bucket-tight and the probe keeps exactly the overlapping bucket") {
+    val rows = SparkEntry.queries("layout_zonemap_skip")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val b = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .agg(org.apache.spark.sql.functions.max("l_orderkey")).head().getLong(0) / 8 + 1
+    rows.foreach { case (ym, fb, n, mn, mx, skip) =>
+      // footer min/max confined to the bucket's key range — the
+      // whole point of bucketing before landing
+      assert(mn >= fb * b && mx < (fb + 1) * b, s"$ym/$fb stats outside bucket")
+      assert(mn <= mx && n > 0)
+      assert(skip == (mx < b || mn >= 2 * b), s"$ym/$fb skip flag")
+    }
+    // exactly the fb=1 bucket overlaps the [B, 2B) probe
+    assert(rows.filter(!_._6).forall(_._2 == 1L))
+    assert(rows.exists(_._2 == 1L) && rows.count(_._6) > rows.count(!_._6),
+      "most files skippable under the probe")
+  }
 }

@@ -246,6 +246,18 @@ class SqlParitySpec extends SparkSuite {
     "stats_mannwhitney" -> "HUGEINT rank-sum accumulation + // division",
     "stats_fdr" -> "HUGEINT xxh64-hashLong replay (the shared permutation chain) + // division",
     "q81_hopping_window" -> "epoch_us() + unnest() lateral",
+    "stats_gini" -> "VARCHAR cast path (wide-decimal→double rule; Spark needs VARCHAR(n))",
+    "stats_cusum" -> "epoch_us()/time_bucket() + MATERIALIZED CTE + VARCHAR cast path",
+    "stats_acf" -> "epoch_us()/time_bucket() + MATERIALIZED CTE + range() + VARCHAR cast path",
+    "stats_forecast_backtest" -> "epoch_us()/time_bucket() + // division + VARCHAR cast path",
+    "stats_benford" -> "range() table function + VARCHAR cast of the cents integer",
+    "kv_txn_occ" -> "MATERIALIZED CTEs (the unrolled OCC chain) + // division",
+    "kv_compaction_pick" -> "// integer division",
+    "sample_dpo_pairs" -> "MATERIALIZED CTEs + list_filter/list_contains lambdas + // division",
+    "mm_patchify" -> "unnest(range()) lateral + // division",
+    "stream_late_audit" -> "epoch_us() + MATERIALIZED CTE + // division",
+    "graph_assortativity" -> "MATERIALIZED CTEs (shared edge/degree tables)",
+    "layout_zonemap_skip" -> "strftime() + // division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

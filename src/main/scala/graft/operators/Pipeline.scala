@@ -223,5 +223,110 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Op] = Seq(pipelineE2e, pipelinePack, pipelineLineage)
+  /** INCREMENTAL PIPELINE REFRESH (round 12 — the daily-ingest face
+    * of pipeline_e2e: a new batch arrives against an EXISTING corpus
+    * state, and only delta-sized work may run. Stages: scrub →
+    * normalize → quality gate → cross-batch dedup against the base
+    * survivors' content hashes (dedup_incremental's decision — the
+    * join carries only (md5, id) scalars, and at 100 TB the base
+    * side is the persisted bloom-filtered KV hash store, never a
+    * live DISTINCT) → self-dedup within the batch → split
+    * assignment. Output = the delta batch's stage funnel plus its
+    * per-split admissions — the report a corpus refresh publishes.
+    * Batch derivation shared with dedup_incremental (doc_id+200000,
+    * 2/3 'v2 '-prefixed → genuinely new, 1/3 exact re-deliveries →
+    * dropped at the cross-batch stage). Every stage is delta-sized
+    * except the base-hash build; base side pinned shuffle-hash. */
+  val pipelineIncremental: Op = Op.sql("pipeline_incremental",
+    s"""WITH scrub AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+      |                   '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text
+      |  FROM documents),
+      |norm AS (
+      |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         ' +', ' ', 'g')) AS t
+      |  FROM scrub),
+      |base AS (
+      |  SELECT DISTINCT md5(t) AS h FROM norm
+      |  WHERE len(string_split(t, ' ')) >= 5 AND length(t) >= 20),
+      |batch0 AS (
+      |  SELECT doc_id + 200000 AS doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text ELSE 'v2 ' || text END AS text
+      |  FROM documents),
+      |bscrub AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+      |                   '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS text
+      |  FROM batch0),
+      |bnorm AS (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         ' +', ' ', 'g')) AS t
+      |  FROM bscrub),
+      |bqual AS (
+      |  SELECT doc_id, t FROM bnorm
+      |  WHERE len(string_split(t, ' ')) >= 5 AND length(t) >= 20),
+      |bnew AS (
+      |  SELECT b.doc_id, b.t FROM bqual b
+      |  LEFT JOIN base s ON md5(b.t) = s.h WHERE s.h IS NULL),
+      |bdedup AS (SELECT t, min(doc_id) AS doc_id FROM bnew GROUP BY t),
+      |bsplit AS (
+      |  SELECT CASE WHEN CAST(('0x' || substr(md5(t), 1, 1)) AS BIGINT) < 13 THEN 'train'
+      |              WHEN CAST(('0x' || substr(md5(t), 1, 1)) AS BIGINT) < 15 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM bdedup)
+      |SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+      |  CAST(n_docs AS BIGINT) AS n_docs
+      |FROM (
+      |  SELECT 1 AS stage_no, 'ingested' AS stage,
+      |    (SELECT count(*) FROM batch0) AS n_docs
+      |  UNION ALL SELECT 2, 'quality_pass', (SELECT count(*) FROM bqual)
+      |  UNION ALL SELECT 3, 'new_vs_base', (SELECT count(*) FROM bnew)
+      |  UNION ALL SELECT 4, 'self_deduped', (SELECT count(*) FROM bdedup)
+      |  UNION ALL SELECT 5, 'split_train',
+      |    (SELECT count(*) FROM bsplit WHERE split = 'train')
+      |  UNION ALL SELECT 6, 'split_val',
+      |    (SELECT count(*) FROM bsplit WHERE split = 'val')
+      |  UNION ALL SELECT 7, 'split_test',
+      |    (SELECT count(*) FROM bsplit WHERE split = 'test'))
+      |ORDER BY stage_no""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    def scrubNorm(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(
+        regexp_replace(regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
+          TextAnalysis.PhoneRe, "<PHONE>")), "[^a-z0-9 ]", ""), " +", " ")).as("t"))
+    def qual(df: org.apache.spark.sql.DataFrame) =
+      df.filter(size(split(col("t"), " ")) >= 5 && length(col("t")) >= 20)
+    val d = Tables.load(s, dir, "documents")
+    val base = qual(scrubNorm(d))
+      .select(md5(col("t").cast("binary")).as("h")).distinct()
+      .hint("shuffle_hash")
+    val batch0 = d.select((col("doc_id") + 200000).as("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(lit("v2 "), col("text"))).as("text"))
+    val bqual = qual(scrubNorm(batch0))
+    val bnew = bqual.withColumn("bh", md5(col("t").cast("binary")))
+      .join(base, col("bh") === col("h"), "left")
+      .filter(col("h").isNull).select("doc_id", "t")
+    val bdedup = bnew.groupBy("t").agg(min("doc_id").as("doc_id"))
+    val bsplit = bdedup.withColumn("hx",
+        conv(substring(md5(col("t").cast("binary")), 1, 1), 16, 10).cast("bigint"))
+      .withColumn("split",
+        when(col("hx") < 13, "train").when(col("hx") < 15, "val").otherwise("test"))
+    def n(df: org.apache.spark.sql.DataFrame): Long = df.count()
+    val splitCounts = bsplit.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(
+      (1L, "ingested", n(batch0)),
+      (2L, "quality_pass", n(bqual)),
+      (3L, "new_vs_base", n(bnew)),
+      (4L, "self_deduped", n(bdedup)),
+      (5L, "split_train", splitCounts.getOrElse("train", 0L)),
+      (6L, "split_val", splitCounts.getOrElse("val", 0L)),
+      (7L, "split_test", splitCounts.getOrElse("test", 0L))
+    ).toDF("stage_no", "stage", "n_docs").orderBy("stage_no")
+  }
+
+  val all: Seq[Op] = Seq(pipelineE2e, pipelinePack, pipelineLineage,
+    pipelineIncremental)
 }

@@ -47,4 +47,19 @@ class PipelineSpec extends SparkSuite {
     // all three verdicts genuinely occur at this SF
     assert(lineage.map(_._4).distinct.toSet == Set("short", "duplicate", "kept"))
   }
+
+  test("incremental refresh: funnel is monotone, re-deliveries drop at the cross-batch stage, splits tile") {
+    val got = graft.operators.Pipeline.pipelineIncremental.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to 7L))
+    val n = got.map(_._3)
+    // stages 1..4 are a funnel
+    assert(n(0) >= n(1) && n(1) >= n(2) && n(2) >= n(3), s"funnel not monotone: ${n.toSeq}")
+    // the planted 1/3 exact re-deliveries drop at the cross-batch stage
+    assert(n(2) < n(1), "no cross-batch duplicates dropped")
+    assert(n(2) <= 2L * n(1) / 3L + 1, "expected ~1/3 of the batch to be re-deliveries")
+    // split admissions tile the deduped survivors exactly
+    assert(n(4) + n(5) + n(6) == n(3), "splits do not tile the survivors")
+    assert(n(4) > 0 && n(3) > 0)
+  }
 }

@@ -258,6 +258,8 @@ class SqlParitySpec extends SparkSuite {
     "stream_late_audit" -> "epoch_us() + MATERIALIZED CTE + // division",
     "graph_assortativity" -> "MATERIALIZED CTEs (shared edge/degree tables)",
     "layout_zonemap_skip" -> "strftime() + // division",
+    "pipeline_incremental" -> "len(string_split()) + '0x'||substr hex cast (the shared e2e split hash)",
+    "stats_seasonality" -> "VARCHAR cast path (wide-decimal→double rule)",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -409,9 +409,62 @@ object Streaming {
     Streams.lateAudit(Tables.load(s, dir, "events"), 1800000000L)
   }
 
+  /** WATERMARK TUNING sweep (round 12 — the decision stream_late_audit
+    * informs: pick the smallest delay that retains ≥99.9% of events,
+    * and price it in STATE — open hour-windows held at end of stream.
+    * The grid spans the arrival-lateness scale (30 min → 8 days):
+    * the straggler model delivers two ~2-day batches late, so every
+    * minute-scale delay fails retention and the day-scale ones
+    * recover it, which is exactly the cliff a real tuning sweep
+    * exists to find). One events×delays broadcast join scores all
+    * candidates in one pass; drop rule = the measured protocol
+    * (filter watermark per batch = max event time through batch i−2
+    * minus delay, window-end-keyed, equality inclusive). */
+  val streamWatermarkTune: Op = Op.sql("stream_watermark_tune",
+    """WITH e AS (SELECT event_id AS seq, epoch_us(ts) AS tus FROM events),
+      |mx AS (SELECT max(seq) AS m FROM e),
+      |b AS MATERIALIZED (
+      |  SELECT seq, tus,
+      |    least(4, 1 + CAST(seq > m // 4 AS INT) + CAST(seq > (m * 2) // 4 AS INT)
+      |      + CAST(seq > (m * 3) // 4 AS INT)
+      |      + CASE WHEN seq % 37 = 0 THEN 2 ELSE 0 END) AS bid
+      |  FROM e, mx),
+      |pb AS (SELECT bid, max(tus) AS mt FROM b GROUP BY bid),
+      |wm AS (SELECT bid,
+      |         max(mt) OVER (ORDER BY bid ROWS BETWEEN UNBOUNDED PRECEDING
+      |                       AND 2 PRECEDING) AS pm
+      |       FROM pb),
+      |g AS (SELECT max(tus) AS gm, count(*) AS total FROM b),
+      |delays AS (SELECT unnest([1800000000, 86400000000, 172800000000,
+      |                          345600000000, 691200000000]) AS delay_us),
+      |late AS (
+      |  SELECT delay_us,
+      |    count(CASE WHEN (tus // 3600000000 + 1) * 3600000000
+      |               <= pm - delay_us THEN 1 END) AS n_late
+      |  FROM b JOIN wm USING (bid) CROSS JOIN delays GROUP BY delay_us),
+      |ow AS (
+      |  SELECT delay_us, count(DISTINCT tus // 3600000000) AS n_open
+      |  FROM b CROSS JOIN delays, g
+      |  WHERE (tus // 3600000000 + 1) * 3600000000 > gm - delay_us
+      |  GROUP BY delay_us),
+      |sc AS (
+      |  SELECT l.delay_us, n_late,
+      |    CAST(n_late AS DOUBLE) / total AS drop_share,
+      |    coalesce(n_open, 0) AS n_open_windows
+      |  FROM late l LEFT JOIN ow USING (delay_us), g),
+      |best AS (SELECT min(delay_us) AS bd FROM sc WHERE drop_share <= 0.001)
+      |SELECT delay_us // 60000000 AS delay_min, n_late, drop_share,
+      |  n_open_windows,
+      |  coalesce(delay_us = (SELECT bd FROM best), false) AS chosen
+      |FROM sc ORDER BY delay_min""".stripMargin) { (s, dir) =>
+    Streams.watermarkTune(Tables.load(s, dir, "events"),
+      Seq(1800000000L, 86400000000L, 172800000000L, 345600000000L,
+        691200000000L))
+  }
+
   val all: Seq[Op] = Seq(streamWindowAgg, streamSessionize, streamStatefulTrack,
     streamStreamJoin, streamDedup, streamMatview, streamTopk, streamOhlc,
     streamDrift, streamIvfAssign, streamMinhashDedup, streamContamination,
     streamQualityMonitor, streamRetention, streamBackfillMerge, streamAsofEnrich,
-    streamFunnel, streamLateAudit)
+    streamFunnel, streamLateAudit, streamWatermarkTune)
 }

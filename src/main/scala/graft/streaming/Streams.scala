@@ -620,6 +620,48 @@ object Streams {
       .orderBy("batch_id")
   }
 
+  /** Watermark TUNING sweep over a delay grid: for each candidate
+    * delay, the total rows [[lateAudit]]'s protocol would drop AND
+    * the state cost — open (unfinalized) hour windows at end of
+    * stream. One events×delays broadcast join does the whole sweep;
+    * chosen = the smallest delay whose drop share clears the 0.1%
+    * retention bar (every candidate flagged so the report stands
+    * alone). The grid spans the ARRIVAL-lateness scale (half-hour to
+    * 8 days — the straggler model delivers two ~2-day batches late,
+    * so minute-scale grids all fail and day-scale ones recover). */
+  def watermarkTune(events: DataFrame, delaysUs: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = events.sparkSession
+    import s.implicits._
+    val wb = lateArrivalBatches(events)
+    val pb = wb.groupBy("bid")
+      .agg(count(lit(1)).as("ne"), max("tus").as("mt"))
+    val w = Window.orderBy("bid").rowsBetween(Window.unboundedPreceding, -2)
+    val wm = pb.withColumn("pm", max("mt").over(w)).select(col("bid"), col("pm"))
+    val globalMax = wb.agg(max("tus")).head().getLong(0)
+    val total = wb.count()
+    val delays = delaysUs.toDF("delay_us")
+    val winEnd = (expr("tus DIV 3600000000") + 1) * 3600000000L
+    val late = wb.join(broadcast(wm), "bid")
+      .crossJoin(broadcast(delays))
+      .groupBy("delay_us")
+      .agg(count(when(winEnd <= col("pm") - col("delay_us"), 1)).as("n_late"))
+    val open = wb.crossJoin(broadcast(delays))
+      .filter(winEnd > lit(globalMax) - col("delay_us"))
+      .groupBy("delay_us")
+      .agg(countDistinct(expr("tus DIV 3600000000")).as("n_open_windows"))
+    val scored = late.join(open, Seq("delay_us"), "left")
+      .na.fill(0L, Seq("n_open_windows"))
+      .withColumn("drop_share", col("n_late").cast("double") / total)
+    val best = scored.filter(col("drop_share") <= 0.001)
+      .agg(min("delay_us").as("bd"))
+    scored.crossJoin(broadcast(best))
+      .select(expr("delay_us DIV 60000000").as("delay_min"),
+        col("n_late"), col("drop_share"), col("n_open_windows"),
+        (col("delay_us") <=> col("bd")).as("chosen"))
+      .orderBy("delay_min")
+  }
+
   /** Run a batch-defined transform as a real streaming query over a
     * file source, writing to an in-memory sink table; returns the
     * started query (caller awaits + reads `spark.table(sinkTable)`).

@@ -260,6 +260,7 @@ class SqlParitySpec extends SparkSuite {
     "layout_zonemap_skip" -> "strftime() + // division",
     "pipeline_incremental" -> "len(string_split()) + '0x'||substr hex cast (the shared e2e split hash)",
     "stats_seasonality" -> "VARCHAR cast path (wide-decimal→double rule)",
+    "stream_watermark_tune" -> "epoch_us() + unnest([..]) list literal + // division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -688,4 +688,23 @@ class StreamingSpec extends SparkSuite {
     assert(got == want, "final append output diverges from the protocol replay")
     assert(got.nonEmpty)
   }
+
+  test("watermark tuning: late counts fall and state grows with delay; chosen is the smallest qualifying; 30-min row equals the audit") {
+    val events = Tables.load(spark, sfDir, "events").cache()
+    val got = graft.operators.Streaming.streamWatermarkTune.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.map(_._1).toSeq == Seq(30L, 1440L, 2880L, 5760L, 11520L))
+    // more patience -> fewer drops, more open state
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.reverse.toSeq, "n_late not non-increasing")
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq, "state not non-decreasing")
+    // exactly one chosen: the smallest delay clearing the 0.1% bar
+    val qualifying = got.filter(_._3 <= 0.001)
+    assert(qualifying.nonEmpty && got.count(_._5) == 1)
+    assert(got.find(_._5).get._1 == qualifying.map(_._1).min)
+    // the 30-min candidate is the SAME protocol stream_late_audit reports
+    val auditLate = Streams.lateAudit(events, 1800000000L).collect()
+      .map(_.getLong(3)).sum
+    assert(got.find(_._1 == 30L).get._2 == auditLate,
+      "tuning sweep and late audit disagree on the same delay")
+  }
 }

@@ -2141,6 +2141,104 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** GROUP-SEQUENTIAL A/B test per event type (round 12 — the missing
+    * member of the experimentation suite: srm (is the split valid) →
+    * power (what can it detect) → THIS (peek safely while it runs) →
+    * ttest/permutation (final read) → cuped (tighter) → fdr (many
+    * metrics). Peeking at a fixed-α test inflates false positives;
+    * O'Brien–Fleming spending makes three interim looks safe by
+    * demanding more evidence early): looks = seq terciles (cumulative
+    * data), Welch z from the SAME exact decimal moments as
+    * stats_ttest (identical left-associated SE tree), two-sided OBF
+    * boundaries for 3 equal-spaced looks at α=0.05 as fixed double
+    * LITERALS (3.471 / 2.454 / 2.004 — no normal-quantile calls at
+    * query time); crossed compares the UNROUNDED z, stop_here flags
+    * the first crossing look. Cumulative moments come from a window
+    * over the \|types\|×2×3 aggregate; oracle casts the wide decimal
+    * sums on the VARCHAR path (§5 wide-integer rule). */
+  val statsSequential: Op = Op.sql("stats_sequential",
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS grp, event_id AS seq,
+      |    CAST("value" AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |mx AS (SELECT max(seq) AS m FROM e),
+      |band AS (
+      |  SELECT event_type, grp,
+      |    1 + CAST(seq > m // 3 AS INT) + CAST(seq > (m * 2) // 3 AS INT) AS look,
+      |    v
+      |  FROM e, mx),
+      |pm AS (SELECT event_type, grp, look, count(*) AS n, sum(v) AS s,
+      |         sum(v * v) AS ss
+      |       FROM band GROUP BY 1, 2, 3),
+      |cm AS (SELECT event_type, grp, look,
+      |        CAST(sum(n) OVER w AS BIGINT) AS cn,
+      |        CAST(CAST(sum(s) OVER w AS VARCHAR) AS DOUBLE) AS cs,
+      |        CAST(CAST(sum(ss) OVER w AS VARCHAR) AS DOUBLE) AS css
+      |       FROM pm WINDOW w AS (PARTITION BY event_type, grp ORDER BY look
+      |                            ROWS UNBOUNDED PRECEDING)),
+      |ab AS (SELECT a.event_type, a.look, a.cn AS n_a, b.cn AS n_b,
+      |         a.cs AS s_a, b.cs AS s_b, a.css AS ss_a, b.css AS ss_b
+      |       FROM cm a JOIN cm b ON a.event_type = b.event_type
+      |         AND a.look = b.look AND a.grp = 0 AND b.grp = 1),
+      |z AS (SELECT event_type, look, n_a, n_b,
+      |       (s_a/n_a - s_b/n_b) /
+      |         sqrt((ss_a - s_a*s_a/n_a)/(n_a-1)/n_a
+      |              + (ss_b - s_b*s_b/n_b)/(n_b-1)/n_b) AS zr,
+      |       CASE look WHEN 1 THEN CAST(3.471 AS DOUBLE)
+      |                 WHEN 2 THEN CAST(2.454 AS DOUBLE)
+      |                 ELSE CAST(2.004 AS DOUBLE) END AS bound
+      |      FROM ab),
+      |c AS (SELECT *, abs(zr) > bound AS crossed FROM z),
+      |f AS (SELECT event_type, min(CASE WHEN crossed THEN look END) AS fl
+      |      FROM c GROUP BY 1)
+      |SELECT c.event_type, CAST(look AS BIGINT) AS look, n_a, n_b,
+      |  round(zr, 4) AS z, bound, crossed,
+      |  coalesce(crossed AND look = f.fl, false) AS stop_here
+      |FROM c JOIN f ON f.event_type = c.event_type
+      |ORDER BY c.event_type, look""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select(col("event_type"),
+      (col("user_id") % 2).as("grp"), col("event_id").as("seq"),
+      col("value").cast("decimal(12,2)").as("v"))
+    val m = e.agg(max("seq")).head().getLong(0)
+    val band = e.withColumn("look",
+      lit(1) + (col("seq") > m / 3).cast("int") +
+        (col("seq") > m * 2 / 3).cast("int"))
+    val pm = band.groupBy("event_type", "grp", "look")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    val w = Window.partitionBy("event_type", "grp").orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cm = pm.select(col("event_type"), col("grp"), col("look"),
+      sum("n").over(w).cast("long").as("cn"),
+      sum("s").over(w).cast("double").as("cs"),
+      sum("ss").over(w).cast("double").as("css"))
+    val a = cm.filter(col("grp") === 0).select(col("event_type"), col("look"),
+      col("cn").as("n_a"), col("cs").as("s_a"), col("css").as("ss_a"))
+    val b = cm.filter(col("grp") === 1).select(col("event_type"),
+      col("look").as("lb"), col("cn").as("n_b"), col("cs").as("s_b"),
+      col("css").as("ss_b"))
+    val sea = (col("ss_a") - col("s_a") * col("s_a") / col("n_a")) /
+      (col("n_a") - 1) / col("n_a")
+    val seb = (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) /
+      (col("n_b") - 1) / col("n_b")
+    val z = a.join(b, a("event_type") === b("event_type") && col("look") === col("lb"))
+      .select(a("event_type").as("event_type"), col("look").cast("long").as("look"),
+        col("n_a"), col("n_b"),
+        ((col("s_a") / col("n_a") - col("s_b") / col("n_b")) /
+          sqrt(sea + seb)).as("zr"),
+        when(col("look") === 1, 3.471).when(col("look") === 2, 2.454)
+          .otherwise(2.004).as("bound"))
+      .withColumn("crossed", abs(col("zr")) > col("bound"))
+    val f = z.groupBy("event_type")
+      .agg(min(when(col("crossed"), col("look"))).as("fl"))
+    z.join(broadcast(f), "event_type")
+      .select(col("event_type"), col("look"), col("n_a"), col("n_b"),
+        round(col("zr"), 4).as("z"), col("bound"), col("crossed"),
+        coalesce(col("crossed") && col("look") === col("fl"), lit(false))
+          .as("stop_here"))
+      .orderBy("event_type", "look")
+  }
+
   /** HOUR-OF-DAY SEASONALITY profile per event type (round 12 — the
     * WHY under stats_forecast_backtest's daily-naive baseline: the
     * seasonality index says how much of the series is explained by
@@ -3018,5 +3116,6 @@ object Analytics {
     graphBipartiteProject, statsPermutation, statsCuped, statsSrm, statsWinsorize, statsPower,
     statsQuantileCi, statsMannWhitney, statsFdr, statsTost, statsGini,
     graphDegreeDist, statsCusum, graphAssortativity, statsBenford,
-    graphClustering, statsAcf, statsForecastBacktest, statsSeasonality)
+    graphClustering, statsAcf, statsForecastBacktest, statsSeasonality,
+    statsSequential)
 }

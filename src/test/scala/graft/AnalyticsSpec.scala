@@ -928,6 +928,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
   }
 
+  test("sequential test: final-look z equals the Welch t; boundaries decrease; at most one stop per type") {
+    val got = Analytics.statsSequential.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7)))
+    assert(got.nonEmpty && got.map(_._2).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
+    // the cumulative look-3 moments ARE the full-corpus moments, so
+    // the final z must equal stats_ttest's Welch t, bit for bit
+    val tt = Analytics.statsTtest.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    got.filter(_._2 == 3L).foreach { case (ty, _, _, _, z, _, _, _) =>
+      assert(z == tt(ty), s"$ty final z != Welch t")
+    }
+    got.groupBy(_._1).foreach { case (ty, rows) =>
+      val byLook = rows.sortBy(_._2)
+      // OBF: evidence bar falls as information accrues
+      assert(byLook.map(_._6).toSeq == Seq(3.471, 2.454, 2.004), s"$ty bounds")
+      // monotone cumulative sample sizes
+      assert(byLook.map(_._3).toSeq == byLook.map(_._3).sorted.toSeq, s"$ty n_a")
+      // stop_here: at most one, at the FIRST crossing, and crossed there
+      val stops = byLook.filter(_._8)
+      assert(stops.size <= 1, s"$ty multiple stops")
+      stops.foreach { st =>
+        assert(st._7, s"$ty stop without crossing")
+        assert(byLook.filter(_._2 < st._2).forall(!_._7), s"$ty stop not first crossing")
+      }
+    }
+  }
+
   test("seasonality: sequential hour-profile recompute matches; shares and index mass balance") {
     val got = Analytics.statsSeasonality.run(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4))))

@@ -261,6 +261,7 @@ class SqlParitySpec extends SparkSuite {
     "pipeline_incremental" -> "len(string_split()) + '0x'||substr hex cast (the shared e2e split hash)",
     "stats_seasonality" -> "VARCHAR cast path (wide-decimal→double rule)",
     "stream_watermark_tune" -> "epoch_us() + unnest([..]) list literal + // division",
+    "stats_sequential" -> "// integer division + VARCHAR cast path",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

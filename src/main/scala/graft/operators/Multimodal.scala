@@ -1134,7 +1134,60 @@ object Multimodal {
       .orderBy("doc_id", "patch_id")
   }
 
+  /** INTERLEAVED MULTIMODAL SEQUENCES (round 12 — the loader
+    * accountant for image-text training: each doc contributes its
+    * whitespace text tokens, one [IMG] separator, and its ViT patch
+    * tokens; the interleaved stream is cut into 512-token chunks and
+    * each chunk accounted by modality — the batch-shape report a
+    * trainer reads to balance vision vs text compute). The PATCH
+    * counts come from the real decode path ([[patchify]] over the
+    * decoded corpus — a codec/tiling bug changes the counts), the
+    * oracle recomputes them in closed form from the dims; chunking is
+    * document-start accounting (a doc belongs to the chunk its first
+    * token lands in — the straddle-aware variant is pipeline_pack's
+    * contract) via ONE prefix-sum window over the per-doc frame.
+    * Scale: the global prefix sum serializes the per-doc frame — at
+    * 100 TB partition the stream into shards first and run the
+    * prefix per shard (mm_shard_manifest's bucket-parallel shape);
+    * the contract here is the single-stream accounting. */
+  val mmInterleave: Op = Op.sql("mm_interleave",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS t,
+      |    CAST(((n_chars % 48 + 1) // 8) * ((n_chars % 64 + 1) // 8) AS BIGINT) AS p
+      |  FROM documents WHERE doc_id % 7 = 1 AND doc_id % 5 <> 0),
+      |s AS (
+      |  SELECT doc_id, t, p, t + 1 + p AS sl,
+      |    coalesce(sum(t + 1 + p) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM d)
+      |SELECT off // 512 AS chunk_id, count(*) AS n_docs,
+      |  sum(t) AS n_text_tokens, sum(p) AS n_patch_tokens,
+      |  sum(sl) AS n_tokens
+      |FROM s GROUP BY 1 ORDER BY chunk_id""".stripMargin) { (s, dir) =>
+    val media = mediaTable(s, dir).filter(col("doc_id") % 7 === 1)
+    val patches = patchify(media, 8)
+      .groupBy("doc_id").agg(count(lit(1)).as("p"))
+    val toks = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 1 && col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("bigint").as("t"))
+    // left join: an image too small for ANY 8x8 patch still interleaves
+    // with zero patch tokens
+    val d = toks.join(patches, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("p"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.withColumn("sl", col("t") + 1 + col("p"))
+      .withColumn("off", coalesce(sum(col("sl")).over(w), lit(0L)))
+      .groupBy(expr("off DIV 512").as("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_text_tokens"),
+        sum("p").as("n_patch_tokens"), sum("sl").as("n_tokens"))
+      .orderBy("chunk_id")
+  }
+
   val all: Seq[Op] = Seq(mmMetadata, mmFrameSample, mmResize, mmPhashDedup,
     mmAudioFeatures, mmSceneDetect, mmAudioVad, pipelineMm, mmFormatSniff,
-    mmIntegrity, mmVideoKeyframe, mmShardManifest, mmColorHist, mmPatchify)
+    mmIntegrity, mmVideoKeyframe, mmShardManifest, mmColorHist, mmPatchify,
+    mmInterleave)
 }

@@ -417,4 +417,29 @@ class MultimodalSpec extends SparkSuite {
     // videos in the slice are excluded by construction
     assert(!got.keySet.exists(_ % 5 == 0))
   }
+
+  test("interleave: chunk accounting equals a sequential pack replay; modalities tile every chunk") {
+    val got = Multimodal.mmInterleave.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === 1 && col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    var off = 0L
+    val want = docs.map { case (_, text, nChars) =>
+      val t = "\\S+".r.findAllIn(text).length.toLong
+      val p = ((nChars % 48 + 1) / 8) * ((nChars % 64 + 1) / 8)
+      val row = (off / 512, t, p, t + 1 + p)
+      off += t + 1 + p
+      row
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, xs) =>
+      (c, xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum, xs.map(_._4).sum)
+    }
+    assert(got.toSeq == want, "sequential pack replay diverges")
+    got.foreach { case (_, nd, t, p, tot) =>
+      assert(t + nd + p == tot, "separator accounting broken")
+    }
+    assert(got.map(_._4).sum > 0, "no patch tokens interleaved")
+  }
 }

@@ -262,6 +262,7 @@ class SqlParitySpec extends SparkSuite {
     "stats_seasonality" -> "VARCHAR cast path (wide-decimal→double rule)",
     "stream_watermark_tune" -> "epoch_us() + unnest([..]) list literal + // division",
     "stats_sequential" -> "// integer division + VARCHAR cast path",
+    "mm_interleave" -> "len(regexp_extract_all()) + // division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

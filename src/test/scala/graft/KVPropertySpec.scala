@@ -130,4 +130,57 @@ class KVPropertySpec extends SparkSuite {
     assert(viaWal.toSeq == direct.toSeq)
     assert(viaWal.nonEmpty)
   }
+
+  test("OCC validation == a sequential first-committer-wins simulator, for random write sets") {
+    import spark.implicits._
+    import graft.operators.KV
+    val rnd = new scala.util.Random(13)
+    (1 to 6).foreach { trial =>
+      // 4 txns, each writing 1-8 keys from a small (u, cf) space so
+      // conflicts genuinely occur
+      val writes = (1L to 4L).flatMap { txn =>
+        List.fill(1 + rnd.nextInt(8))(
+          (txn, rnd.nextInt(6).toLong, ("ab" (rnd.nextInt(2))).toString))
+      }
+      val got = KV.occValidate(spark, writes.toDF("txn", "u", "cf"), Seq(1L, 2L, 3L, 4L))
+        .orderBy("txn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+      // sequential simulator
+      var committed = Set.empty[(Long, String)]
+      val want = (1L to 4L).map { txn =>
+        val keys = writes.filter(_._1 == txn).map(w => (w._2, w._3)).toSet
+        val conf = keys.intersect(committed).size.toLong
+        if (conf == 0) committed ++= keys
+        (txn, conf, conf == 0L)
+      }
+      assert(got.toSeq == want, s"trial $trial: $writes")
+    }
+  }
+
+  test("compaction pick == a sequential scorer, for random seq populations") {
+    import spark.implicits._
+    import graft.operators.KV
+    val rnd = new scala.util.Random(29)
+    (1 to 6).foreach { trial =>
+      // seqs spread over a random range so band/file structure varies
+      val maxSeq = 2000L + rnd.nextInt(50000)
+      val seqs = (List(maxSeq) ++ List.fill(200)(1L + rnd.nextInt(maxSeq.toInt).toLong)).distinct
+      val got = KV.compactionPick(seqs.toDF("seq")).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4), r.getBoolean(5)))
+      def lvl(s: Long) =
+        if (s > math.floor(maxSeq * 0.9).toLong) 0
+        else if (s > math.floor(maxSeq * 0.6).toLong) 1
+        else if (s > math.floor(maxSeq * 0.3).toLong) 2 else 3
+      val byL = seqs.groupBy(lvl)
+      val want = byL.toSeq.sortBy(_._1).map { case (l, xs) =>
+        val size = if (l == 0) xs.map(_ / 1000).distinct.size.toLong else xs.size * 32L
+        val budget = Seq(4L, 4096L, 40960L, 409600L)(l)
+        (l.toLong, size, size.toDouble / budget)
+      }
+      val best = want.map(_._3).max
+      val pl = want.filter(_._3 == best).map(_._1).min
+      assert(got.map(t => (t._1, t._2, t._3)).toSeq == want, s"trial $trial scores")
+      assert(got.filter(_._4).map(_._1).toSeq == Seq(pl), s"trial $trial pick")
+    }
+  }
 }

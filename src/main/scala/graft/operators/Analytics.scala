@@ -1994,10 +1994,15 @@ object Analytics {
       .na.fill(0L, Seq("n"))
       .crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
-        (col("n").cast("double") / col("nn")).as("share"),
+        // nullif guard: an empty corpus reports NULL shares instead of
+        // an ANSI divide-by-zero; for any non-empty corpus the CASE
+        // collapses and the division tree is byte-identical
+        (col("n").cast("double") /
+          when(col("nn") === 0, lit(null)).otherwise(col("nn"))).as("share"),
         p.as("benford_p"),
         (((col("n") - col("nn") * p) * (col("n") - col("nn") * p)) /
-          (col("nn") * p)).as("chi2_part"))
+          when(col("nn") === 0, lit(null)).otherwise(col("nn") * p))
+          .as("chi2_part"))
       .orderBy("digit")
   }
 

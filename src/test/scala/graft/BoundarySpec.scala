@@ -239,4 +239,36 @@ class BoundarySpec extends SparkSuite {
       Seq(ts(9, 45))), "wm_pin_keyed")
     assert(keyed.take(3) == Seq(0L, 0L, 0L), s"end-keyed protocol: $keyed")
   }
+
+  test("round-12 degenerate inputs: constant gini, empty benford, pairless ACF, matchless forecast") {
+    import spark.implicits._
+    // constant series: zero concentration — gini numerator collapses
+    val const = Seq.fill(10)(("c", 5.0)).zipWithIndex
+      .map { case ((ty, v), i) =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 60L)), ty, v, i.toLong)
+      }.toDF("ts", "event_type", "value", "event_id")
+    // (gini path needs event_id; reuse cusum which shares the bucket shape)
+    val cs = graft.operators.Analytics.cusumReport(const.select(col("ts"), col("event_type"), col("value")))
+      .collect()
+    assert(cs.length == 1 && cs.head.getDouble(4) == 0.0,
+      "constant series must carry zero CUSUM mass")
+    // benford over values below one cent: every digit row present, all zero
+    val tiny = Seq.fill(5)(0.001).toDF("value")
+    val bf = graft.operators.Analytics.benfordReport(tiny).collect()
+    assert(bf.length == 9 && bf.forall(_.getLong(1) == 0L),
+      "sub-cent values must leave all nine digit rows at zero")
+    assert(bf.forall(_.isNullAt(2)), "empty-corpus shares must be NULL, not a throw")
+    // single-bucket series: no lag pairs -> no ACF rows for the type
+    val one = Seq((java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0)), "solo", 1.0))
+      .toDF("ts", "event_type", "value")
+    assert(graft.operators.Analytics.acfReport(one, 3).collect().isEmpty,
+      "a single bucket has no lag pairs")
+    // no t-24h partner anywhere: backtest emits nothing for the type
+    val sparse = Seq(
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0)), "s", 1.0),
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(3600)), "s", 2.0))
+      .toDF("ts", "event_type", "value")
+    assert(graft.operators.Analytics.forecastBacktest(sparse).collect().isEmpty,
+      "no seasonal partner must mean no scored rows")
+  }
 }

@@ -803,6 +803,86 @@ object KV {
     compactionPick(kv(s, dir).runs.select(col("seq")))
   }
 
+  /** READ AMPLIFICATION per point lookup (round 12 — the LSM metric
+    * kv_compaction_pick optimizes AGAINST: every un-compacted L0
+    * flush is one more file a get must consult, newest first, until
+    * the key's newest version answers; the reference walks exactly
+    * this search (storage_engine/src/manager/version.rs `get` —
+    * level by level, L0 newest-first). Levels derive as in
+    * kv_levels_report (cut at 0.6·max seq; L0 = 1000-seq flush
+    * buckets above it, L1 = the folded run below): per probe key,
+    * the L0 files whose [min,max] key range admits the key
+    * (zonemap-style containment — bloom pruning is kv's bloom ops'
+    * own face), how many are actually READ (newest down to the
+    * bucket holding the key's newest L0 version; all of them +1 for
+    * the L1 run on an L0 miss), and where the search ends — 'L0' /
+    * 'L1' / 'deleted' (a tombstone answers and STOPS the search,
+    * RocksDB's NotFound-with-no-further-reads) / 'miss'. Every
+    * aggregate is file-metadata-sized; the only corpus scan is the
+    * banding pass. */
+  val kvReadAmp: Op = Op.sql("kv_read_amp",
+    s"""WITH $kvCte,
+       |mx AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS cut FROM kv),
+       |l0 AS (SELECT key, seq, tombstone, seq // 1000 AS b
+       |       FROM kv, mx WHERE seq > cut),
+       |bk AS (SELECT b, min(key) AS mn, max(key) AS mk FROM l0 GROUP BY b),
+       |probes AS (SELECT unnest([3, 5, 7, 9, 11]) AS k),
+       |hit AS (SELECT probes.k, max(b) AS bstar,
+       |          max_by(tombstone, seq) AS tomb
+       |        FROM l0 JOIN probes ON l0.key = probes.k GROUP BY probes.k),
+       |l1 AS (SELECT kv.key, max_by(tombstone, seq) AS tomb
+       |       FROM kv, mx WHERE seq <= cut GROUP BY kv.key),
+       |cand AS (
+       |  SELECT probes.k, count(bk.b) AS nf,
+       |    count(CASE WHEN hit.bstar IS NOT NULL AND bk.b >= hit.bstar
+       |          THEN 1 END) AS nread
+       |  FROM probes
+       |  LEFT JOIN hit ON hit.k = probes.k
+       |  LEFT JOIN bk ON bk.mn <= probes.k AND probes.k <= bk.mk
+       |  GROUP BY probes.k, hit.bstar)
+       |SELECT CAST(c.k AS BIGINT) AS probe_key, c.nf AS l0_candidates,
+       |  CAST(CASE WHEN h.k IS NOT NULL THEN c.nread ELSE c.nf + 1 END
+       |       AS BIGINT) AS files_read,
+       |  CASE WHEN h.k IS NOT NULL THEN
+       |         CASE WHEN h.tomb THEN 'deleted' ELSE 'L0' END
+       |       WHEN l1.key IS NOT NULL THEN
+       |         CASE WHEN l1.tomb THEN 'deleted' ELSE 'L1' END
+       |       ELSE 'miss' END AS found_in
+       |FROM cand c
+       |LEFT JOIN hit h ON h.k = c.k
+       |LEFT JOIN l1 ON l1.key = c.k
+       |ORDER BY probe_key""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t0 = kv(s, dir)
+    val cut = cutSeq(t0)
+    val l0 = t0.runs.filter(col("seq") > cut)
+      .withColumn("b", expr("seq DIV 1000"))
+    val bk = l0.groupBy("b").agg(min("key").as("mn"), max("key").as("mk"))
+    val probes = Seq(3L, 5L, 7L, 9L, 11L).toDF("k")
+    val hit = l0.join(probes, col("key") === col("k"))
+      .groupBy("k").agg(max("b").as("bstar"),
+        max_by(col("tombstone"), col("seq")).as("tomb0"))
+    val l1 = t0.runs.filter(col("seq") <= cut)
+      .groupBy("key").agg(max_by(col("tombstone"), col("seq")).as("tomb1"))
+    val cand = probes
+      .join(broadcast(hit), Seq("k"), "left")
+      .join(broadcast(bk), col("mn") <= col("k") && col("k") <= col("mk"), "left")
+      .groupBy("k", "bstar", "tomb0")
+      .agg(count(col("b")).as("nf"),
+        count(when(col("bstar").isNotNull && col("b") >= col("bstar"), 1))
+          .as("nread"))
+    cand.join(broadcast(l1), col("key") === col("k"), "left")
+      .select(col("k").as("probe_key"), col("nf").as("l0_candidates"),
+        when(col("bstar").isNotNull, col("nread")).otherwise(col("nf") + 1)
+          .cast("long").as("files_read"),
+        when(col("bstar").isNotNull,
+          when(col("tomb0"), "deleted").otherwise("L0"))
+          .when(col("key").isNotNull,
+            when(col("tomb1"), "deleted").otherwise("L1"))
+          .otherwise("miss").as("found_in"))
+      .orderBy("probe_key")
+  }
+
   /** OCC snapshot-validation verdicts for a batch of transactions.
     * `writes` carries one row per write intent: (txn BIGINT — the
     * COMMIT ORDER, u BIGINT, cf STRING — the column-family-qualified
@@ -903,5 +983,5 @@ object KV {
     kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
     kvCheckpointRestore, kvSecondaryIndex, kvCf, kvBackupIncremental,
     kvWalReplay, kvSeekScan, kvCdcBatches, kvMultiGet, kvRangeDelete,
-    kvTxnOcc, kvCompactionPick)
+    kvTxnOcc, kvCompactionPick, kvReadAmp)
 }

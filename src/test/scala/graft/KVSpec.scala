@@ -456,4 +456,35 @@ class KVSpec extends SparkSuite {
       assert(nk <= ne && nc <= nk, s"txn $t bounds")
     }
   }
+
+  test("read amp: sequential newest-first search replay matches; reads bounded by candidates") {
+    val got = KV.kvReadAmp.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val rows = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), (col("event_type") === "error"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val cut = math.floor(rows.map(_._2).max * 0.6).toLong
+    val l0 = rows.filter(_._2 > cut)
+    val buckets = l0.groupBy(_._2 / 1000)
+      .map { case (b, xs) => (b, xs.map(_._1).min, xs.map(_._1).max) }
+    Seq(3L, 5L, 7L, 9L, 11L).zip(got).foreach { case (k, (pk, nf, fr, where)) =>
+      assert(pk == k)
+      val cand = buckets.filter(b => b._2 <= k && k <= b._3)
+      assert(nf == cand.size.toLong, s"key $k candidates")
+      val mine = l0.filter(_._1 == k)
+      if (mine.nonEmpty) {
+        val bstar = mine.map(_._2 / 1000).max
+        assert(fr == cand.count(_._1 >= bstar).toLong, s"key $k files read")
+        val newest = mine.maxBy(_._2)
+        assert(where == (if (newest._3) "deleted" else "L0"), s"key $k verdict")
+      } else {
+        assert(fr == nf + 1, s"key $k full L0 sweep + L1")
+        val older = rows.filter(r => r._1 == k && r._2 <= cut)
+        val want = if (older.isEmpty) "miss"
+          else if (older.maxBy(_._2)._3) "deleted" else "L1"
+        assert(where == want, s"key $k L1 verdict")
+      }
+      assert(fr <= nf + 1 && fr >= 1, s"key $k bounds")
+    }
+  }
 }

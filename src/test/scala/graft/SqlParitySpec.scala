@@ -263,6 +263,7 @@ class SqlParitySpec extends SparkSuite {
     "stream_watermark_tune" -> "epoch_us() + unnest([..]) list literal + // division",
     "stats_sequential" -> "// integer division + VARCHAR cast path",
     "mm_interleave" -> "len(regexp_extract_all()) + // division",
+    "kv_read_amp" -> "unnest([..]) list literal + max_by + // division",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

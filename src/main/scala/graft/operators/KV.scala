@@ -883,6 +883,61 @@ object KV {
       .orderBy("probe_key")
   }
 
+  /** THE AMPLIFICATION TRIAD (round 12 — the three numbers every LSM
+    * tuning decision trades between, RUM-conjecture style: you can't
+    * minimize all three): over the kv_levels_report layout (cut at
+    * 0.6·max seq, L0 = 1000-seq flush buckets, L1 = the folded run) —
+    * READ (worst case): L0 file count + 1, the files a point get may
+    * consult (kv_read_amp measures per-key actuals); WRITE: rows
+    * physically written / rows ingested = (N + |L1 fold output|)/N —
+    * every row is flushed once and the prefix's survivors are written
+    * again by the fold; SPACE: rows stored after leveling / live keys
+    * in the full merge — dead versions and tombstones still on disk.
+    * Exact integer numerators/denominators, one IEEE division each;
+    * everything after the banding scan is metadata-sized. */
+  val kvAmplification: Op = Op.sql("kv_amplification",
+    s"""WITH $kvCte,
+       |mx AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS cut,
+       |              count(*) AS n FROM kv),
+       |l0 AS (SELECT count(*) AS rows0,
+       |              count(DISTINCT seq // 1000) AS files0
+       |       FROM kv, mx WHERE seq > cut),
+       |l1 AS (SELECT count(*) AS rows1 FROM (
+       |  SELECT key FROM (
+       |    SELECT key, tombstone,
+       |           row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |    FROM kv, mx WHERE seq <= cut) WHERE rn = 1 AND NOT tombstone)),
+       |live AS (SELECT count(*) AS nl FROM ${mergeSql("kv")})
+       |SELECT * FROM (
+       |  SELECT 'read_worst' AS metric, CAST(files0 + 1 AS BIGINT) AS num,
+       |    CAST(1 AS BIGINT) AS den,
+       |    CAST(files0 + 1 AS DOUBLE) AS amplification
+       |  FROM l0
+       |  UNION ALL
+       |  SELECT 'space', CAST(rows0 + rows1 AS BIGINT), CAST(nl AS BIGINT),
+       |    CAST(rows0 + rows1 AS DOUBLE) / nl
+       |  FROM l0, l1, live
+       |  UNION ALL
+       |  SELECT 'write', CAST(n + rows1 AS BIGINT), CAST(n AS BIGINT),
+       |    CAST(n + rows1 AS DOUBLE) / n
+       |  FROM mx, l1)
+       |ORDER BY metric""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t0 = kv(s, dir)
+    val cut = cutSeq(t0)
+    val n = t0.runs.count()
+    val l0 = t0.runs.filter(col("seq") > cut)
+    val rows0 = l0.count()
+    val files0 = l0.select(expr("seq DIV 1000")).distinct().count()
+    val rows1 = t0.snapshot(cut).count()
+    val nl = t0.merged().count()
+    Seq(
+      ("read_worst", files0 + 1, 1L, (files0 + 1).toDouble),
+      ("space", rows0 + rows1, nl, (rows0 + rows1).toDouble / nl),
+      ("write", n + rows1, n, (n + rows1).toDouble / n)
+    ).toDF("metric", "num", "den", "amplification").orderBy("metric")
+  }
+
   /** OCC snapshot-validation verdicts for a batch of transactions.
     * `writes` carries one row per write intent: (txn BIGINT — the
     * COMMIT ORDER, u BIGINT, cf STRING — the column-family-qualified
@@ -983,5 +1038,5 @@ object KV {
     kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
     kvCheckpointRestore, kvSecondaryIndex, kvCf, kvBackupIncremental,
     kvWalReplay, kvSeekScan, kvCdcBatches, kvMultiGet, kvRangeDelete,
-    kvTxnOcc, kvCompactionPick, kvReadAmp)
+    kvTxnOcc, kvCompactionPick, kvReadAmp, kvAmplification)
 }

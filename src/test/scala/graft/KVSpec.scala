@@ -487,4 +487,23 @@ class KVSpec extends SparkSuite {
       assert(fr <= nf + 1 && fr >= 1, s"key $k bounds")
     }
   }
+
+  test("amplification triad: consistent with the levels report and the merge; all three >= 1") {
+    val amp = KV.kvAmplification.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val levels = KV.kvLevelsReport.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = KV.kvCompact.run(spark, sfDir).count()
+    val total = graft.sources.Tables.load(spark, sfDir, "events").count()
+    val (sn, sd, sv) = amp("space")
+    assert(sn == levels(0L)._1 + levels(1L)._1, "space numerator != stored rows")
+    assert(sd == merged, "space denominator != live keys")
+    assert(sv == sn.toDouble / sd)
+    val (wn, wd, wv) = amp("write")
+    assert(wd == total && wn == total + levels(1L)._1)
+    assert(wv == wn.toDouble / wd)
+    val (rn, _, rv) = amp("read_worst")
+    assert(rv == rn.toDouble && rn >= 2L, "at least one L0 file plus L1")
+    assert(amp.values.forall(_._3 >= 1.0), "amplification below 1 is impossible")
+  }
 }

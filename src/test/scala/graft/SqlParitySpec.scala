@@ -264,6 +264,7 @@ class SqlParitySpec extends SparkSuite {
     "stats_sequential" -> "// integer division + VARCHAR cast path",
     "mm_interleave" -> "len(regexp_extract_all()) + // division",
     "kv_read_amp" -> "unnest([..]) list literal + max_by + // division",
+    "kv_amplification" -> "// integer division (flush-bucket files)",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -862,7 +862,11 @@ object KV {
     val hit = l0.join(probes, col("key") === col("k"))
       .groupBy("k").agg(max("b").as("bstar"),
         max_by(col("tombstone"), col("seq")).as("tomb0"))
-    val l1 = t0.runs.filter(col("seq") <= cut)
+    // probe-restricted BEFORE the aggregate: the per-key L1 state is
+    // corpus-proportional, and the 5-key In filter pushes to the scan
+    // — broadcasting the full per-key frame cannot exist at 100 TB
+    val l1 = t0.runs
+      .filter(col("seq") <= cut && col("key").isin(3L, 5L, 7L, 9L, 11L))
       .groupBy("key").agg(max_by(col("tombstone"), col("seq")).as("tomb1"))
     val cand = probes
       .join(broadcast(hit), Seq("k"), "left")

@@ -727,4 +727,10 @@ class PlanAuditSpec extends SparkSuite {
     assert(rows.exists(_._2 == 1L) && rows.count(_._6) > rows.count(!_._6),
       "most files skippable under the probe")
   }
+
+  test("read amp: the probe In-list reaches the L1 scan; the per-key state never broadcasts whole") {
+    val p = plan("kv_read_amp")
+    assert(p.contains("In(user_id, [11,3,5,7,9])"),
+      s"probe keys not pushed to the L1 scan — the per-key aggregate would be corpus-sized:\n$p")
+  }
 }

@@ -887,6 +887,65 @@ object KV {
       .orderBy("probe_key")
   }
 
+  /** MVCC GARBAGE COLLECTION under a held snapshot (round 12 — the
+    * version-retention rule the reference's snapshot manager imposes
+    * on compaction (storage_engine/src/manager/snapshot.rs: a live
+    * snapshot pins history): with snapshot S held (the
+    * kv_snapshot_read cut, 0.6·max), a version is RECLAIMABLE iff a
+    * newer version of its key also sits at or below S — it can never
+    * be read again by S or anything newer; everything above S and
+    * each key's newest ≤-S version (including tombstones — S must
+    * still see the delete) stay pinned. Report: per level, total vs
+    * reclaimable vs kept rows. KVSpec pins the safety property: the
+    * reads at S and at head are IDENTICAL before and after dropping
+    * exactly the reclaimable set. One window over the keyed prefix,
+    * metadata-sized output. */
+  val kvMvccGc: Op = Op.sql("kv_mvcc_gc",
+    s"""WITH $kvCte,
+       |mx AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS s FROM kv),
+       |pre AS (
+       |  SELECT key, seq,
+       |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |  FROM kv, mx WHERE seq <= s),
+       |r AS (
+       |  SELECT CAST(0 AS BIGINT) AS level, count(*) AS n_rows,
+       |    CAST(0 AS BIGINT) AS n_reclaimable, count(*) AS n_kept
+       |  FROM kv, mx WHERE seq > s
+       |  UNION ALL
+       |  SELECT 1, count(*), count(CASE WHEN rn > 1 THEN 1 END),
+       |    count(CASE WHEN rn = 1 THEN 1 END)
+       |  FROM pre)
+       |SELECT * FROM r ORDER BY level""".stripMargin) { (s, dir) =>
+    val t0 = kv(s, dir)
+    val snap = cutSeq(t0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("seq").desc)
+    val pre = t0.runs.filter(col("seq") <= snap)
+      .withColumn("rn", row_number().over(w))
+    val l0 = t0.runs.filter(col("seq") > snap)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit(0L).as("level"), col("n_rows"),
+        lit(0L).as("n_reclaimable"), col("n_rows").as("n_kept"))
+    val l1 = pre.agg(count(lit(1)).as("n_rows"),
+        count(when(col("rn") > 1, 1)).as("n_reclaimable"),
+        count(when(col("rn") === 1, 1)).as("n_kept"))
+      .select(lit(1L).as("level"), col("n_rows"), col("n_reclaimable"),
+        col("n_kept"))
+    l0.unionAll(l1).orderBy("level")
+  }
+
+  /** The surviving run set after [[kvMvccGc]]'s reclamation — public
+    * so KVSpec can prove the safety property (reads at the snapshot
+    * and at head unchanged). */
+  private[graft] def mvccGcSurvivors(t: KVTable, snap: Long): KVTable = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("seq").desc)
+    val keptPre = t.runs.filter(col("seq") <= snap)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    t.copy(runs = t.runs.filter(col("seq") > snap).unionByName(keptPre))
+  }
+
   /** THE AMPLIFICATION TRIAD (round 12 — the three numbers every LSM
     * tuning decision trades between, RUM-conjecture style: you can't
     * minimize all three): over the kv_levels_report layout (cut at
@@ -1042,5 +1101,5 @@ object KV {
     kvScd2, kvTtl, kvMergeOperator, kvLevelsReport,
     kvCheckpointRestore, kvSecondaryIndex, kvCf, kvBackupIncremental,
     kvWalReplay, kvSeekScan, kvCdcBatches, kvMultiGet, kvRangeDelete,
-    kvTxnOcc, kvCompactionPick, kvReadAmp, kvAmplification)
+    kvTxnOcc, kvCompactionPick, kvReadAmp, kvAmplification, kvMvccGc)
 }

@@ -506,4 +506,29 @@ class KVSpec extends SparkSuite {
     assert(rv == rn.toDouble && rn >= 2L, "at least one L0 file plus L1")
     assert(amp.values.forall(_._3 >= 1.0), "amplification below 1 is impossible")
   }
+
+  test("MVCC GC: reads at the snapshot and at head are identical after dropping the reclaimable set") {
+    val t = graft.kv.KVTable(
+      graft.sources.Tables.load(spark, sfDir, "events").selectExpr(
+        "user_id AS key", "event_id AS seq",
+        "event_type = 'error' AS tombstone", "value AS v"),
+      "key", "seq", "tombstone")
+    val snap = math.floor(graft.sources.Tables.load(spark, sfDir, "events")
+      .agg(max("event_id")).head().getLong(0) * 0.6).toLong
+    val gc = KV.mvccGcSurvivors(t, snap)
+    assert(gc.snapshot(snap).orderBy("key").collect().toSeq ==
+      t.snapshot(snap).orderBy("key").collect().toSeq,
+      "snapshot read changed after GC")
+    assert(gc.merged().orderBy("key").collect().toSeq ==
+      t.merged().orderBy("key").collect().toSeq,
+      "head read changed after GC")
+    // the report's arithmetic: kept(L1) + reclaimable(L1) = total(L1),
+    // and survivors row count = total - reclaimable
+    val rep = KV.kvMvccGc.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (t1, rec1, k1) = rep(1L)
+    assert(t1 == rec1 + k1)
+    assert(gc.runs.count() == rep(0L)._1 + k1)
+    assert(rec1 > 0, "no dead versions found — the GC op is vacuous at this SF")
+  }
 }

@@ -1083,6 +1083,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE FERTILITY by language (round 12 — THE number a tokenizer is
+    * chosen by: BPE tokens per whitespace word, per language. A vocab
+    * trained on one language's corpus over-fragments the others;
+    * fertility by lang is the report that decision reads —
+    * Rust/Scao-style tokenizer audits). Single-sourced with
+    * [[textBpeEncode]]: the SAME learned merge list folded in rank
+    * order over the SAME word stream, aggregated to \|langs\| rows
+    * instead of per doc; fertility = exact token/word integer sums
+    * into ONE IEEE division. Encode stays a shuffle-free per-row
+    * expression; the only exchange is the \|langs\|-row aggregate. */
+  val textBpeFertility: Op = Op.sql("text_bpe_fertility", {
+    val repChain = (1 to BpeRounds).foldLeft("seg") { (acc, k) =>
+      s"replace($acc, ' ' || (SELECT l FROM b$k) || '  ' || (SELECT r FROM b$k) || ' ', " +
+        s"' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ')"
+    }
+    bpeTrainCte(BpeRounds) +
+      s""",
+         |dw AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |  FROM documents),
+         |wt AS MATERIALIZED (
+         |  SELECT word,
+         |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seg
+         |  FROM (SELECT DISTINCT word FROM dw)),
+         |enc AS MATERIALIZED (
+         |  SELECT word, len(string_split(($repChain)[2:-2], '  ')) AS ntok FROM wt)
+         |SELECT doc.lang, count(*) AS n_words,
+         |  CAST(sum(e.ntok) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(e.ntok) AS DOUBLE) / count(*) AS fertility
+         |FROM dw d JOIN enc e USING (word)
+         |JOIN documents doc ON doc.doc_id = d.doc_id
+         |GROUP BY doc.lang ORDER BY doc.lang""".stripMargin
+  }) { (s, dir) =>
+    val merges = bpeMergesFor(s, dir).map(m => (m._2, m._3))
+    val tokensOf = (w: Column) =>
+      merges.foldLeft(split(w, "")) { case (syms, (l, r)) =>
+        bpeMergePair(syms, l, r)
+      }
+    docs(s, dir).select(col("lang"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("nw"),
+        aggregate(
+          transform(split(lower(col("text")), "\\s+"), w => size(tokensOf(w))),
+          lit(0L), (acc, x) => acc + x).as("nb"))
+      .groupBy("lang")
+      .agg(sum("nw").as("n_words"), sum("nb").as("n_bpe_tokens"),
+        (sum("nb").cast("double") / sum("nw")).as("fertility"))
+      .orderBy("lang")
+  }
+
   /** RAG-style sliding-window CHUNKING with overlap ([[textPackSequences]]
     * packs docs end-to-end for training; this cuts each doc alone into
     * overlapping retrieval windows — size 64, stride 48, so adjacent
@@ -1840,5 +1890,5 @@ object TextAnalysis {
     sampleTemperature, textCorpusCard, textDistillFilter, textPerplexityBucket,
     sampleBalanced, sampleEpochOrder, statsAuc, textFeatureHash,
     textInvertedIndex, textRake, textReadability, sampleCurriculum,
-    sampleDpoPairs)
+    sampleDpoPairs, textBpeFertility)
 }

@@ -265,6 +265,8 @@ class SqlParitySpec extends SparkSuite {
     "mm_interleave" -> "len(regexp_extract_all()) + // division",
     "kv_read_amp" -> "unnest([..]) list literal + max_by + // division",
     "kv_amplification" -> "// integer division (flush-bucket files)",
+    "kv_mvcc_gc" -> "UNION ALL of ungrouped aggregates over shared CTE + // division",
+    "text_bpe_fertility" -> "unrolled BPE training CTEs (string_split_regex, list slicing)",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

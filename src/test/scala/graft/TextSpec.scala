@@ -640,4 +640,22 @@ class TextSpec extends SparkSuite {
     assert(chosen.intersect(rejected).isEmpty, "a doc never plays both roles")
     assert(got.nonEmpty)
   }
+
+  test("BPE fertility: language sums equal the per-doc encode totals; fertility > 1 everywhere") {
+    val fert = TextAnalysis.textBpeFertility.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val enc = TextAnalysis.textBpeEncode.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val langOf = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    langOf.groupBy(_._2).foreach { case (lang, ds) =>
+      val (nw, nb, f) = fert(lang)
+      assert(nb == ds.map(d => enc(d._1)).sum, s"$lang BPE total != encode op")
+      assert(nw == ds.map(_._3.split("\\s+", -1).length.toLong).sum, s"$lang words")
+      assert(f == nb.toDouble / nw)
+      assert(f >= 1.0, s"$lang fertility below 1 impossible: a word is >= 1 token")
+    }
+    assert(fert.size > 1, "single-language corpus makes the comparison vacuous")
+  }
 }

@@ -811,6 +811,76 @@ object Analytics {
       .select("ta", "tb", "tc")
   }
 
+  /** DETERMINISTIC RANDOM WALKS over the shared graph (round 12 —
+    * the sampling primitive under DeepWalk/node2vec embeddings: a
+    * walk corpus IS the training data, and at 100 TB it must be
+    * reproducible across retries, which is why the "randomness" is a
+    * seeded hash of (start, step, current), never an RNG): from every
+    * node, a 5-step walk where step t moves to the neighbor at index
+    * xxhash64(start, t, cur) mod degree in the id-ordered adjacency.
+    * Each step is one keyed join of the walk frontier against the
+    * ranked adjacency (both graph-sized → shuffle-hash pinned); the
+    * oracle replays the FULL 3-link XXH64 seed chain per step with
+    * the stats_countmin HUGEINT machinery, so a single wrong hash
+    * constant or mod-sign error lands every walk on different nodes
+    * and hash-mismatches. */
+  val graphWalkSample: Op = Op.sql("graph_walk_sample", {
+    import SqlReplay.{stagedSql, hashLongStages, toSignedBigint}
+    def stepCte(t: Int): String = {
+      val staged = stagedSql(
+        s"SELECT w.start AS start, w.cur AS cur, d.deg AS deg " +
+          s"FROM w${t - 1} w JOIN dg d ON d.n = w.cur",
+        hashLongStages("CAST(start AS HUGEINT)", "42::HUGEINT", "ha") ++
+          hashLongStages(s"$t::HUGEINT", "ha", "hb") ++
+          hashLongStages("CAST(cur AS HUGEINT)", "hb", "hc"))
+      s"""w$t AS MATERIALIZED (
+         |  SELECT s.start, rk.nbr AS cur FROM ($staged) s
+         |  JOIN rk ON rk.x = s.cur
+         |    AND rk.idx = (((${toSignedBigint("s.hc")}) % s.deg) + s.deg) % s.deg)"""
+        .stripMargin
+    }
+    s"""WITH raw AS (
+       |  SELECT l_orderkey % 300 AS a, l_suppkey % 300 AS b
+       |  FROM lineitem WHERE l_quantity < 10),
+       |e AS (
+       |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM raw WHERE a <> b),
+       |adj AS (SELECT u AS x, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+       |dg AS (SELECT x AS n, count(*) AS deg FROM adj GROUP BY x),
+       |rk AS (SELECT x, nbr,
+       |         row_number() OVER (PARTITION BY x ORDER BY nbr) - 1 AS idx
+       |       FROM adj),
+       |w0 AS (SELECT DISTINCT x AS start, x AS cur FROM adj),
+       |${(1 to 5).map(stepCte).mkString(",\n")}
+       |SELECT * FROM (
+       |${(1 to 5).map(t =>
+          s"  SELECT start, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
+         .mkString("\n  UNION ALL\n")}
+       |) ORDER BY start, step""".stripMargin
+  }) { (s, dir) =>
+    val e = derivedGraph(s, dir)
+    val adj = e.select(col("u").as("x"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("nbr")))
+    val rk = adj.withColumn("idx",
+      row_number().over(Window.partitionBy("x").orderBy("nbr")) - 1)
+    val dg = adj.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .select(col("x").as("n"), col("deg"))
+    var cur = adj.select(col("x").as("start")).distinct()
+      .withColumn("cur", col("start"))
+    val steps = (1 to 5).map { t =>
+      val picked = cur
+        .join(dg.hint("shuffle_hash"), col("n") === col("cur"))
+        .withColumn("pick",
+          pmod(xxhash64(col("start"), lit(t.toLong), col("cur")), col("deg")))
+      cur = picked
+        .join(rk.hint("shuffle_hash"),
+          col("x") === col("cur") && col("idx") === col("pick"))
+        .select(col("start"), col("nbr").as("cur"))
+      cur.select(col("start"), lit(t.toLong).as("step"), col("cur").as("node"))
+    }
+    steps.reduce(_ unionByName _).orderBy("start", "step")
+  }
+
   /** LOCAL CLUSTERING COEFFICIENT per node (round 12 — the third
     * member of the triangle family: graph_triangles counts them,
     * graph_edge_similarity scores edges by them, this scores NODES —
@@ -3122,5 +3192,5 @@ object Analytics {
     statsQuantileCi, statsMannWhitney, statsFdr, statsTost, statsGini,
     graphDegreeDist, statsCusum, graphAssortativity, statsBenford,
     graphClustering, statsAcf, statsForecastBacktest, statsSeasonality,
-    statsSequential)
+    statsSequential, graphWalkSample)
 }

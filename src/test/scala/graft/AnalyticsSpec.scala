@@ -1447,4 +1447,33 @@ class AnalyticsSpec extends SparkSuite {
     val aligned = viaProp.map { case (n, _) => n -> viaStar.getOrElse(n, n) }
     assert(aligned == viaProp, s"star=$aligned prop=$viaProp")
   }
+
+  test("walk sample: every step follows a real edge, all walks complete, and reruns are identical") {
+    val got = Analytics.graphWalkSample.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") < 10)
+      .select((col("l_orderkey") % 300).cast("long"), (col("l_suppkey") % 300).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keySet
+    // every start walks exactly 5 steps
+    val byStart = got.groupBy(_._1)
+    assert(byStart.keySet == nodes.map(identity))
+    byStart.foreach { case (start, steps) =>
+      val path = steps.sortBy(_._2)
+      assert(path.map(_._2).toSeq == (1L to 5L), s"walk $start incomplete")
+      var prev = start
+      path.foreach { case (_, _, node) =>
+        assert(adj(prev).contains(node), s"walk $start stepped off-graph: $prev -> $node")
+        prev = node
+      }
+    }
+    // reproducibility: the hash-driven walk is a pure function of the graph
+    val again = Analytics.graphWalkSample.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq, "walks are not deterministic")
+  }
 }

@@ -267,6 +267,7 @@ class SqlParitySpec extends SparkSuite {
     "kv_amplification" -> "// integer division (flush-bucket files)",
     "kv_mvcc_gc" -> "UNION ALL of ungrouped aggregates over shared CTE + // division",
     "text_bpe_fertility" -> "unrolled BPE training CTEs (string_split_regex, list slicing)",
+    "graph_walk_sample" -> "HUGEINT xxh64 seed-chain replay + MATERIALIZED step CTEs",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -1740,8 +1740,57 @@ object Similarity {
       .orderBy("dim_i", "dim_j")
   }
 
+  /** k-NN GRAPH CONSTRUCTION (round 12 — the embedding-graph bridge:
+    * a corpus-wide top-k neighbor graph is the input to semantic
+    * clustering, label propagation over embeddings, and graph-based
+    * ANN itself; the naive build is the all-pairs O(n²) this family
+    * exists to avoid): candidates from the SHARED hyperplane band
+    * machinery (dedup_embedding's keyed collisions, BOTH directions
+    * via <>), multi-band duplicates dropped on (src, dst) scalars,
+    * then top-3 per source ranked by (round-6 cosine DESC, id) — the
+    * ROUNDED cosine orders, because the raw last ulp is the one
+    * thing the two engines may disagree on (the dedup_embedding
+    * precedent: round-6 values are hash-equal, raw may not be).
+    * Banded recall caveat is the family's documented contract:
+    * neighbors sharing no band are invisible, exactly like
+    * dedup_embedding's candidate set. */
+  val annKnnGraph: Op = Op.sql("ann_knn_graph",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS ($sigSelectSql),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |  FROM sig a JOIN sig b
+       |    ON a.vec_id <> b.vec_id AND ${bandMatchSql("a", "b")})
+       |SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos FROM (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+       |  FROM cand)
+       |WHERE rank <= 3 ORDER BY src, rank""".stripMargin) { (s, dir) =>
+    import graft.functions.VectorFunctions._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val b = e.select(col("vec_id"), col("v"),
+      posexplode(hyperplaneBands(col("v"))).as(Seq("band_id", "band_bits")))
+      .hint("shuffle_hash")
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+      .orderBy("src", "rank")
+  }
+
   val all: Seq[Op] = Seq(annTopkBrute, annLsh, annIvf, annPq, annIvfPersist,
     annIvfPq, annKnnClassify, annKnnIvfPq, vecProfile, annFiltered,
     annHardNegatives, annIvfAppend, annRangeSearch, annRecallEval,
-    annSq8, annBinary, annCentroidDrift, vecGram, annMmr, annPqDistortion)
+    annSq8, annBinary, annCentroidDrift, vecGram, annMmr, annPqDistortion,
+    annKnnGraph)
 }

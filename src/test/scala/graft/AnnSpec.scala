@@ -552,4 +552,33 @@ class AnnSpec extends SparkSuite {
     assert(math.abs(got((0L, 1L))._2 - builtin) < 1e-5,
       s"cov(0,1) ${got((0L, 1L))._2} vs builtin $builtin")
   }
+
+  test("kNN graph: neighbors are genuine band-mates ranked by cosine; per-node fan-out <= 3") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Similarity.annKnnGraph.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val ranked = rows.sortBy(_._2)
+      assert(ranked.map(_._2).toSeq == (1L to ranked.length), s"$src ranks not contiguous")
+      assert(ranked.length <= 3, s"$src fan-out")
+      // ranking respects (cos desc, id asc)
+      ranked.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"$src rank order")
+        case _ =>
+      }
+      assert(!ranked.exists(_._3 == src), s"$src self-edge")
+    }
+    // cross-check a sample of cosines against the raw vectors
+    val vecs = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array[double]".replace("[","<").replace("]",">")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    got.take(50).foreach { case (srcId, _, dst, cos) =>
+      val (a, b) = (vecs(srcId), vecs(dst))
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      val exp = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(cos - exp) < 1e-5, s"cosine $srcId->$dst")
+    }
+  }
 }

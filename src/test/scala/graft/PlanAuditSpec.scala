@@ -733,4 +733,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("In(user_id, [11,3,5,7,9])"),
       s"probe keys not pushed to the L1 scan — the per-key aggregate would be corpus-sized:\n$p")
   }
+
+  test("kNN graph: the banded self-join shuffles keyed; top-3 is a windowed group limit") {
+    val p = plan("ann_knn_graph")
+    assert(p.contains("ShuffledHashJoin"),
+      s"banded candidate join must stay a keyed shuffle (corpus-sized both sides):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=3 not pushed to partial per-partition limits:\n$p")
+  }
 }

@@ -268,6 +268,7 @@ class SqlParitySpec extends SparkSuite {
     "kv_mvcc_gc" -> "UNION ALL of ungrouped aggregates over shared CTE + // division",
     "text_bpe_fertility" -> "unrolled BPE training CTEs (string_split_regex, list slicing)",
     "graph_walk_sample" -> "HUGEINT xxh64 seed-chain replay + MATERIALIZED step CTEs",
+    "ann_knn_graph" -> "::DOUBLE[] cast + list_cosine_similarity (the shared band machinery)",
   )
 
   test("every Spark-dialect-compatible oracle runs via spark.sql and matches its operator") {

@@ -198,29 +198,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Oracle = exact all-pairs 3-gram Jaccard in DuckDB (cheap at test
-    * scale). It matches the LSH-candidates→verify output because the
-    * only pairs above 0.5 in this corpus are the planted near-dups at
-    * J ≈ (n−3)/(n−2) ≈ 0.98, where 16-band MinHash recall is ~1.0 —
-    * i.e. the oracle ALSO checks that LSH lost no qualifying pair. */
-  val dedupNgramJaccard: Op = Op.sql("dedup_ngram_jaccard",
-    """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 100000 AS doc_id,
-      |    substring(text, strpos(text, ' ') + 1) AS text FROM documents),
-      |tok AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM corpus),
-      |sh AS (SELECT doc_id, list_distinct(
-      |    CASE WHEN len(toks) < 3 THEN [text]
-      |         ELSE [array_to_string(toks[i:i+2], ' ')
-      |               for i in range(1, len(toks) - 1)] END) AS s
-      |  FROM tok)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |       len(list_intersect(a.s, b.s)) * 1.0
-      |         / len(list_distinct(a.s || b.s)) AS jaccard
-      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.s, b.s)) * 1.0
-      |        / len(list_distinct(a.s || b.s)) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+  /** Oracle = the SAME banded candidate set ([[minhashSigSql]]'s
+    * signature-exact replay, exactly dedup_minhash_lsh's oracle) with
+    * the exact 3-gram Jaccard verify applied in SQL — so the op's
+    * whole candidates→verify pipeline is value-checked, and banded
+    * RECALL stays where it belongs: measured by dedup_minhash_eval,
+    * never silently asserted here. Round 12 replaced the original
+    * exact all-pairs oracle after a full sf0.1 sweep caught its flaw:
+    * one planted twin of a SHORT doc lands near J = 0.5, where
+    * 16-band MinHash recall is genuinely below 1 ((1−J^r)^b is no
+    * longer negligible), so the all-pairs form held one pair the
+    * banded pipeline cannot see — the oracle was checking a claim
+    * the operator never made. */
+  val dedupNgramJaccard: Op = Op.sql("dedup_ngram_jaccard", {
+    val sig = minhashSigSql
+    s"""WITH cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ($sig) a JOIN ($sig) b
+       |    ON a.band_id = b.band_id AND a.h = b.h AND a.doc_id < b.doc_id),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000 AS doc_id,
+       |    substring(text, strpos(text, ' ') + 1) AS text FROM documents),
+       |tok AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+       |        FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [text]
+       |         ELSE [array_to_string(toks[i:i+2], ' ')
+       |               for i in range(1, len(toks) - 1)] END) AS s
+       |  FROM tok)
+       |SELECT c.id_a, c.id_b,
+       |  len(list_intersect(a.s, b.s)) * 1.0
+       |    / len(list_distinct(a.s || b.s)) AS jaccard
+       |FROM cand c
+       |JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+       |WHERE len(list_intersect(a.s, b.s)) * 1.0
+       |        / len(list_distinct(a.s || b.s)) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }) { (s, dir) =>
     jaccardVerified(corpusNear(s, dir), threshold = 0.5).orderBy("id_a", "id_b")
   }
 

@@ -1898,13 +1898,17 @@ object Analytics {
       |    sum(CAST(ca AS HUGEINT) * (2 * (cum - cnt + 1) + cnt - 1)) AS r2a,
       |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS t3t
       |  FROM rk GROUP BY 1)
+      |-- wide-int → DOUBLE via VARCHAR (the stats_acf/stats_cusum rule,
+      |-- ADVICE r8): DuckDB's direct HUGEINT cast truncates instead of
+      |-- rounding; Spark's decimal→double is correctly rounded, so past
+      |-- 2^53 the engines would diverge on the last bit without this.
       |SELECT event_type, n_a, n_b,
-      |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2 AS u,
-      |  round((CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2
+      |  CAST(CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS VARCHAR) AS DOUBLE) / 2 AS u,
+      |  round((CAST(CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS VARCHAR) AS DOUBLE) / 2
       |         - CAST(n_a * n_b AS DOUBLE) / 2)
       |    / sqrt(CAST(n_a * n_b AS DOUBLE) / 12
       |        * (CAST(n_a + n_b + 1 AS DOUBLE)
-      |           - CAST(t3t AS DOUBLE)
+      |           - CAST(CAST(t3t AS VARCHAR) AS DOUBLE)
       |             / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z
       |FROM ag ORDER BY event_type""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -2368,9 +2372,12 @@ object Analytics {
       .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
       .select(col("event_type"), unix_micros(col("w.start")).as("bucket"),
         col("cents"))
+    // integer DIV, matching the oracle's `// 4` (ADVICE r8): the old
+    // double `/ 4` + long-cast only agreed because hourly epoch-micros
+    // happen to be divisible by 4 and below 2^53 — a fragile implicit
+    // invariant if the bucket width or time unit ever changes.
     val rng = b.groupBy("event_type")
-      .agg((max("bucket") - (max("bucket") - min("bucket")) / 4).cast("long")
-        .as("cut"))
+      .agg(expr("max(bucket) - (max(bucket) - min(bucket)) DIV 4").as("cut"))
     val f = b.select(col("event_type").as("fty"),
       col("bucket").as("fb"), col("cents").as("fc"))
     b.join(f.hint("shuffle_hash"),
@@ -2867,10 +2874,27 @@ object Analytics {
     val pv = e.groupBy("v").agg(
       count(when(col("grp") === 0, 1)).as("ca"),
       count(when(col("grp") === 1, 1)).as("cb"))
-    val w = Window.orderBy("v")
+    // TWO-LEVEL cumulative count (r8 verdict): the per-value aggregate
+    // is bounded by |distinct v| but a DECIMAL(12,2) domain is
+    // corpus-adjacent, so a global Window.orderBy here would still
+    // serialize one task at 100 TB. floor(v) is order-aligned with v,
+    // so: inclusive prefix within each integer bucket (parallel) +
+    // broadcast exclusive bucket offsets = the identical global CDF.
+    val bucketed = pv.withColumn("bk", floor(col("v")).cast("long"))
+    val wLoc = Window.partitionBy("bk").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = pv.select(
-      sum("ca").over(w).as("fa"), sum("cb").over(w).as("fb"))
+    val wBk = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = bucketed.groupBy("bk")
+      .agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      .withColumn("ba", coalesce(sum(col("ta")).over(wBk), lit(0L)))
+      .withColumn("bb", coalesce(sum(col("tb")).over(wBk), lit(0L)))
+      .select("bk", "ba", "bb")
+    val cum = bucketed
+      .withColumn("la", sum(col("ca")).over(wLoc))
+      .withColumn("lb", sum(col("cb")).over(wLoc))
+      .join(broadcast(bOff), Seq("bk"))
+      .select((col("la") + col("ba")).as("fa"),
+        (col("lb") + col("bb")).as("fb"))
     cum.crossJoin(broadcast(n))
       .select(col("n_a"), col("n_b"),
         abs(col("fa").cast("double") / col("n_a") -
@@ -2908,10 +2932,13 @@ object Analytics {
       |  SELECT event_type, user_id % 2 AS grp, count(*) AS o
       |  FROM events GROUP BY event_type, user_id % 2),
       |t AS (
+      |  -- CAST to BIGINT: DuckDB's windowed sum(BIGINT) is HUGEINT
+      |  -- (int128), which the driver's hasher renders apart from
+      |  -- Spark's int64 even when values agree (r8 hash-fail).
       |  SELECT event_type, grp, o,
-      |    sum(o) OVER (PARTITION BY event_type) AS r_total,
-      |    sum(o) OVER (PARTITION BY grp) AS c_total,
-      |    sum(o) OVER () AS n_total
+      |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r_total,
+      |    CAST(sum(o) OVER (PARTITION BY grp) AS BIGINT) AS c_total,
+      |    CAST(sum(o) OVER () AS BIGINT) AS n_total
       |  FROM c)
       |SELECT event_type, grp, o, r_total, c_total,
       |  CAST(r_total AS DOUBLE) * c_total / n_total AS expected,

@@ -983,9 +983,12 @@ object Multimodal {
        |    END AS BIGINT) AS bytes
        |  FROM m),
        |c AS (
+       |  -- CAST to BIGINT: windowed sum(BIGINT) is HUGEINT in DuckDB
+       |  -- and the // quotient stays HUGEINT — renders apart from
+       |  -- Spark's int64 at the driver's hash boundary (r8 fail).
        |  SELECT mime, bucket, doc_id, bytes,
-       |    COALESCE(sum(bytes) OVER (PARTITION BY mime, bucket ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $ShardTargetBytes AS shard
+       |    CAST(COALESCE(sum(bytes) OVER (PARTITION BY mime, bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $ShardTargetBytes AS BIGINT) AS shard
        |  FROM x)
        |SELECT mime, bucket, shard, count(*) AS n_blobs,
        |  CAST(sum(bytes) AS BIGINT) AS shard_bytes,
@@ -1161,9 +1164,12 @@ object Multimodal {
       |    coalesce(sum(t + 1 + p) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
       |  FROM d)
-      |SELECT off // 512 AS chunk_id, count(*) AS n_docs,
-      |  sum(t) AS n_text_tokens, sum(p) AS n_patch_tokens,
-      |  sum(sl) AS n_tokens
+      |-- CAST to BIGINT: prefix/grouped sums are HUGEINT in DuckDB and
+      |-- render apart from Spark's int64 at the hash boundary (r8 fail).
+      |SELECT CAST(off // 512 AS BIGINT) AS chunk_id, count(*) AS n_docs,
+      |  CAST(sum(t) AS BIGINT) AS n_text_tokens,
+      |  CAST(sum(p) AS BIGINT) AS n_patch_tokens,
+      |  CAST(sum(sl) AS BIGINT) AS n_tokens
       |FROM s GROUP BY 1 ORDER BY chunk_id""".stripMargin) { (s, dir) =>
     val media = mediaTable(s, dir).filter(col("doc_id") % 7 === 1)
     val patches = patchify(media, 8)
@@ -1176,10 +1182,28 @@ object Multimodal {
     // with zero patch tokens
     val d = toks.join(patches, Seq("doc_id"), "left")
       .na.fill(0L, Seq("p"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    d.withColumn("sl", col("t") + 1 + col("p"))
-      .withColumn("off", coalesce(sum(col("sl")).over(w), lit(0L)))
+      .withColumn("sl", col("t") + 1 + col("p"))
+    // TWO-LEVEL prefix sum (r8 verdict): the interleave offset is a
+    // corpus-length running total — a global Window.orderBy would pull
+    // the whole per-doc frame through ONE task at 100 TB. Instead:
+    // (1) bucket docs (doc_id DIV 100, mm_shard_manifest's shape) and
+    // prefix-sum WITHIN each bucket in parallel; (2) cumulate the
+    // per-bucket totals — a bounded aggregate, |docs|/100 rows — and
+    // broadcast-join each bucket's starting offset back. Result is
+    // value-identical to the single global scan, so the oracle's
+    // one-window formulation stays hash-exact.
+    val W = org.apache.spark.sql.expressions.Window
+    val wLocal = W.partitionBy("b").orderBy("doc_id")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bucketed = d.withColumn("b", expr("doc_id DIV 100"))
+    val local = bucketed
+      .withColumn("loc", coalesce(sum(col("sl")).over(wLocal), lit(0L)))
+    val wBucket = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    val bucketOff = bucketed.groupBy("b").agg(sum("sl").as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(wBucket), lit(0L)))
+      .select("b", "boff")
+    local.join(broadcast(bucketOff), Seq("b"))
+      .withColumn("off", col("loc") + col("boff"))
       .groupBy(expr("off DIV 512").as("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum("t").as("n_text_tokens"),
         sum("p").as("n_patch_tokens"), sum("sl").as("n_tokens"))

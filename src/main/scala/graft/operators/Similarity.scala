@@ -1690,27 +1690,40 @@ object Similarity {
     val parts = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
-        val gram = new Array[Long](nPairs)
-        val sums = new Array[Long](d)
-        var n = 0L
-        val q = new Array[Long](d)
-        it.foreach { case (_, embv) =>
-          var i = 0
-          while (i < d) {
-            q(i) = math.floor(embv(i).toDouble * 1048576.0 + 0.5).toLong
-            i += 1
+        // flush the Long partials every 2^22 rows: a per-row cell is
+        // ≤ 2^40 (|q| ≤ 2^20), so an unbounded partition would wrap
+        // int64 past ~2^23 rows (ADVICE r8); 2^22·2^40 = 2^62 < 2^63
+        // keeps each emitted partial exact with a 2× margin. Extra
+        // partial rows are free — the decimal cell aggregate below
+        // consumes any number of partials per partition.
+        val FlushEvery = 1L << 22
+        new Iterator[(Long, Seq[Long], Seq[Long])] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, Seq[Long], Seq[Long]) = {
+            val gram = new Array[Long](nPairs)
+            val sums = new Array[Long](d)
+            var n = 0L
+            val q = new Array[Long](d)
+            while (it.hasNext && n < FlushEvery) {
+              val embv = it.next()._2
+              var i = 0
+              while (i < d) {
+                q(i) = math.floor(embv(i).toDouble * 1048576.0 + 0.5).toLong
+                i += 1
+              }
+              var idx = 0
+              i = 0
+              while (i < d) {
+                sums(i) += q(i)
+                var j = i
+                while (j < d) { gram(idx) += q(i) * q(j); idx += 1; j += 1 }
+                i += 1
+              }
+              n += 1
+            }
+            (n, sums.toSeq, gram.toSeq)
           }
-          var idx = 0
-          i = 0
-          while (i < d) {
-            sums(i) += q(i)
-            var j = i
-            while (j < d) { gram(idx) += q(i) * q(j); idx += 1; j += 1 }
-            i += 1
-          }
-          n += 1
         }
-        if (n == 0) Iterator.empty else Iterator((n, sums.toSeq, gram.toSeq))
       }.toDF("pn", "psums", "pgram")
       // eager checkpoint: three aggregates consume the partials below,
       // and without it each one re-runs the corpus outer-product pass

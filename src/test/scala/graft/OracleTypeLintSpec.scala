@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DuckDB-side half of the result-boundary contract (round 9,
+  * VERDICT r8 task 2). tools/check.py bans decimal-typed columns in
+  * the SPARK parquet; this spec bans the symmetric leak the round-8
+  * gate missed: DuckDB silently widens integer sums — sum(BIGINT) in
+  * a window or GROUP BY is HUGEINT — and the driver's str()-keyed
+  * hash renders int128 apart from Spark's int64 even when every value
+  * agrees. DESCRIBEs all 254 oracles in DuckDB (via the driver-side
+  * python, the only place DuckDB exists in this container) and fails
+  * on any HUGEINT/UHUGEINT/DECIMAL result column, naming it. */
+class OracleTypeLintSpec extends AnyFunSuite {
+
+  test("no oracle surfaces HUGEINT/DECIMAL at its result boundary") {
+    val probe = new ProcessBuilder("python3", "-c", "import duckdb")
+      .redirectErrorStream(true).start()
+    assume(probe.waitFor() == 0, "python3+duckdb not on this host; lint runs driver-side")
+
+    val json = Files.createTempFile("oracle_sql", ".json")
+    Files.writeString(json, Verify.oracleJson)
+    val p = new ProcessBuilder(
+        "python3", "tools/lint_oracle_types.py", "/root/testdata/sf0.001", json.toString)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    val rc = p.waitFor()
+    Files.deleteIfExists(json)
+    assert(rc == 0, s"oracle type lint failed:\n$out")
+  }
+}

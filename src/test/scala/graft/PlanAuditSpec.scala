@@ -741,4 +741,39 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"),
       s"rank<=3 not pushed to partial per-partition limits:\n$p")
   }
+
+  test("no op runs an unpartitioned Window over corpus-sized input (all 257 plans)") {
+    // A WindowExec with an empty partitionSpec funnels its ENTIRE input
+    // through one task ("Moving all data to a single partition") — the
+    // one plan shape that cannot survive a 100× scale-up. The r8 fix
+    // for mm_interleave (two-level prefix sum) removed the last
+    // corpus-sized instance; this sweep keeps it removed. Default-deny:
+    // a new op with a global window fails here unless its input is a
+    // bounded aggregate AND it is allowlisted with that justification.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val boundedAggGlobals = Map(
+      "mm_interleave" -> "bucket-offset cumulation over the |docs|/100 bucket aggregate (two-level prefix sum)",
+      "stats_ks" -> "bucket-offset cumulation over |distinct floor(v)| integer buckets (two-level CDF)",
+      "stats_chisq" -> "n_total over the |event_type|x2 contingency aggregate",
+      "stats_fdr" -> "BH step-up over the |event_type| p-value aggregate",
+      "stats_drift" -> "share normalization over the 10-decile aggregate",
+      "sample_temperature" -> "target normalization over the |sources| aggregate",
+      "sample_curriculum" -> "prefix offsets over the <=21-band aggregate",
+      "text_corpus_card" -> "share normalization over the (source,lang) aggregate",
+      "text_distill_filter" -> "stump prefix sums over the |distinct integer scores| aggregate",
+      "stats_auc" -> "rank cumulation over the |distinct integer scores| aggregate",
+      "stream_late_audit" -> "watermark frontier over the per-batch aggregate",
+      "stream_watermark_tune" -> "watermark frontier over the per-batch aggregate")
+    val globals = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      name -> p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.size
+    }.toMap
+    val offenders = globals.filter { case (n, c) => c > 0 && !boundedAggGlobals.contains(n) }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec outside the bounded-aggregate allowlist: $offenders")
+    // the allowlist can't rot: an entry whose op no longer has a global
+    // window must be removed (it would shadow a future regression)
+    val stale = boundedAggGlobals.keys.filter(n => globals.getOrElse(n, 0) == 0)
+    assert(stale.isEmpty, s"allowlist entries with no global window left: $stale")
+  }
 }

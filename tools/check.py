@@ -64,6 +64,21 @@ def main():
         decs = [f.name for f in tb.schema if str(f.type).startswith("decimal")]
         if decs:
             print(f"[DECIMAL-BOUNDARY] {name}: output columns {decs}"); n_bad += 1; continue
+        # ... and symmetrically on the DUCK side (the round-8 driver
+        # hash-fails): an uncast sum(...) OVER/GROUP BY of a BIGINT is
+        # HUGEINT (int128 -> arrow decimal128), which str()-renders
+        # apart from Spark's int64 even when every value agrees. Every
+        # windowed/grouped integer sum reaching the oracle's SELECT
+        # needs CAST(... AS BIGINT).
+        try:
+            dtypes = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+            wide = [(c, t) for (c, t, *_) in dtypes
+                    if t.startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))]
+            if wide:
+                print(f"[DUCK-TYPE-BOUNDARY] {name}: oracle columns {wide} — "
+                      "wrap in CAST(... AS BIGINT/DOUBLE)"); n_bad += 1; continue
+        except Exception:
+            pass  # DESCRIBE can fail on multi-statement oracles; value check still runs
         bad = render_bad = None
         for i, (a, b) in enumerate(zip(s_rows, d_rows)):
             ca = [float(x) if hasattr(x, 'as_tuple') or isinstance(x, (int, float)) and not isinstance(x, bool) else x for x in a]

@@ -78,10 +78,22 @@ case class SumScaledExact(child: Expression, digits: Int)
     Literal(0L), Literal(Decimal(0), DecimalType(38, 0)), Literal(false))
 
   // per-row: double multiply + HALF_UP round + long add — all
-  // primitive inside codegen; no Decimal touches the row loop
+  // primitive inside codegen; no Decimal touches the row loop.
+  // The rounding is sign·floor(|x·f| + 0.5), NOT Catalyst's Round:
+  // Round on a double codegens to a BigDecimal.valueOf(...).setScale
+  // allocation PER ROW, which was the entire measured gap between
+  // this aggregate and a plain double sum (r9 lab: q1_agg 0.57 s →
+  // 0.26 s, the double-sum ceiling). Equality: under the caller's
+  // contract the scaled value sits within half an ulp of an integer,
+  // where both forms round to that integer; on an exact .5 both round
+  // HALF_UP (away from zero — floor(|x|+0.5) then re-signed).
+  private lazy val scaled = Multiply(child, factor)
+  private lazy val roundedLong: Expression = {
+    val mag = Floor(Add(Abs(scaled), Literal(0.5)))
+    Cast(If(LessThan(scaled, Literal(0.0)), UnaryMinus(mag), mag), LongType)
+  }
   override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(child), partial,
-      Add(partial, Cast(Round(Multiply(child, factor), Literal(0)), LongType))),
+    If(IsNull(child), partial, Add(partial, roundedLong)),
     carry,
     Or(seen, IsNotNull(child)))
 

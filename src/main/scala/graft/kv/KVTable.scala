@@ -65,10 +65,12 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
     copy(runs = runs.filter(col(keyCol) === key)).merged()
 
   /** Ordered key-range scan with latest-wins merge (reference:
-    * range iterators over the merge iterator). */
+    * range iterators over the merge iterator). The result is
+    * client-sized (≤ |range| keys), so the global order comes from a
+    * single-partition sort, not a sampled range exchange (Bounded). */
   def range(lo: Column, hi: Column): DataFrame =
-    copy(runs = runs.filter(col(keyCol).between(lo, hi))).merged()
-      .orderBy(keyCol)
+    graft.operators.Bounded.ordered(
+      copy(runs = runs.filter(col(keyCol).between(lo, hi))).merged(), col(keyCol))
 
   /** Batched point lookups — the MultiGet API face (reference:
     * `db_impl`'s multi-key read; RocksDB exposes it because a batch
@@ -80,8 +82,8 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
     * once over the union of survivors — k point gets for the price
     * of one pruned scan. Missing keys simply produce no row. */
   def multiGet(keys: Seq[Any]): DataFrame =
-    copy(runs = runs.filter(col(keyCol).isin(keys: _*))).merged()
-      .orderBy(keyCol)
+    graft.operators.Bounded.ordered(
+      copy(runs = runs.filter(col(keyCol).isin(keys: _*))).merged(), col(keyCol))
 
   /** Read overlaying RANGE tombstones — RocksDB `DeleteRange`
     * semantics (the reference's storage engine deletes point keys;

@@ -53,7 +53,7 @@ object KV {
   val kvPointGet: Op = Op.sql("kv_point_get",
     s"""WITH $kvCte
        |SELECT * FROM ${mergeSql("kv", "key = 7")} ORDER BY key""".stripMargin) { (s, dir) =>
-    kv(s, dir).get(lit(7L)).orderBy("key")
+    Bounded.ordered(kv(s, dir).get(lit(7L)), col("key"))
   }
 
   val kvRangeScan: Op = Op.sql("kv_range_scan",

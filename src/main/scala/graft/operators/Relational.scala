@@ -67,9 +67,13 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
     // scale-4 disc product: cents(price) x cents(1-disc) are exact
     // integer doubles (<=1e9 and <=100, product <=1e11 < 2^53), so
-    // this equals the decimal(12,2) product sum bit-for-bit
-    val discProd = round(col("l_extendedprice") * 100) *
-      round((lit(1) - col("l_discount")) * 100) / 1e4
+    // this equals the decimal(12,2) product sum bit-for-bit.
+    // floor(x+0.5), not round(x): both operands are nonnegative and
+    // within half an ulp of an integer (the 2-decimal data contract),
+    // where the two are equal — and Catalyst's Round on a double is a
+    // per-row BigDecimal allocation in the scan's hot loop (r9 lab).
+    val discProd = floor(col("l_extendedprice") * 100 + 0.5) *
+      floor((lit(1) - col("l_discount")) * 100 + 0.5) / 1e4
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
@@ -84,7 +88,9 @@ object Relational {
         min("l_extendedprice").cast("double").as("min_price"),
         max("l_extendedprice").cast("double").as("max_price"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      // ≤ |returnflag|×|linestatus| = 6 groups: single-partition order
+      // (Bounded), not a sampled range exchange over 6 rows
+      .transform(Bounded.ordered(_, col("l_returnflag"), col("l_linestatus")))
   }
 
   val q2FilterProject: Op = Op.sql("q2_filter_project",
@@ -211,11 +217,12 @@ object Relational {
       .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      // scale-4 product of exact cent integers (see q1_agg's discProd):
-      // equals the oracle's decimal(12,2) product sum bit-for-bit,
-      // summed in primitive long instead of per-row Decimal
-      .agg(sumScaled(round(col("l_extendedprice") * 100) *
-          round((lit(1) - col("l_discount")) * 100) / 1e4, 4)
+      // scale-4 product of exact cent integers (see q1_agg's discProd,
+      // incl. the floor-not-Round rationale): equals the oracle's
+      // decimal(12,2) product sum bit-for-bit, summed in primitive
+      // long instead of per-row Decimal
+      .agg(sumScaled(floor(col("l_extendedprice") * 100 + 0.5) *
+          floor((lit(1) - col("l_discount")) * 100 + 0.5) / 1e4, 4)
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }

@@ -59,8 +59,12 @@ object Streaming {
       |       event_type, count(*) AS n_events,
       |       round(sum("value"), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    Streams.windowAgg(Tables.load(s, dir, "events"))
-      .orderBy("win_start", "event_type")
+    // |hours in retention|×|types| rows — time-bounded report, not
+    // corpus-sized (a decade of hourly buckets is ~90k rows): the
+    // global order is a single-partition sort (Bounded), no range
+    // exchange + sampling job over a dashboard-sized aggregate
+    Bounded.ordered(Streams.windowAgg(Tables.load(s, dir, "events")),
+      col("win_start"), col("event_type"))
   }
 
   /** Boundary convention (measured, pinned in BoundarySpec): Spark's

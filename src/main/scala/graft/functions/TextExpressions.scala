@@ -72,6 +72,37 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** One-pass `[ws_tokens, re_tokens]` counter — see
+    * [[TextHashing.tokenCounts]] for the exact split/regex semantics
+    * it replaces. */
+  case class TokenCounts(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_token_counts"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHashing.tokenCounts(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.tokenCounts($c)")
+    override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+      copy(child = newChild)
+  }
+
+  /** One-pass `[n_char, n_word, n_stop, n_alpha]` counter — see
+    * [[TextHashing.qualityCounts]]. */
+  case class QualityCounts(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_quality_counts"
+    override protected def nullSafeEval(input: Any): Any =
+      TextHashing.qualityCounts(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.qualityCounts($c)")
+    override protected def withNewChildInternal(newChild: Expression): QualityCounts =
+      copy(child = newChild)
+  }
+
   /** Expression builders (used by the extension registration). */
   def buildMinHashBands(args: Seq[Expression]): Expression = args match {
     case Seq(t, Literal(n: Int, IntegerType), Literal(b: Int, IntegerType)) =>
@@ -96,6 +127,16 @@ object TextExpressions {
     case _ => throw new IllegalArgumentException("graft_fingerprint64(text)")
   }
 
+  def buildTokenCounts(args: Seq[Expression]): Expression = args match {
+    case Seq(t) => TokenCounts(t)
+    case _ => throw new IllegalArgumentException("graft_token_counts(text)")
+  }
+
+  def buildQualityCounts(args: Seq[Expression]): Expression = args match {
+    case Seq(t) => QualityCounts(t)
+    case _ => throw new IllegalArgumentException("graft_quality_counts(text)")
+  }
+
   /** Column API (requires the graft extensions on the session). */
   def minhash_bands(text: Column, numHashes: Int = 64, bands: Int = 16): Column =
     call_function("graft_minhash_bands", text, lit(numHashes), lit(bands))
@@ -108,4 +149,10 @@ object TextExpressions {
 
   def fingerprint64(text: Column): Column =
     call_function("graft_fingerprint64", text)
+
+  def token_counts(text: Column): Column =
+    call_function("graft_token_counts", text)
+
+  def quality_counts(text: Column): Column =
+    call_function("graft_quality_counts", text)
 }

@@ -190,4 +190,83 @@ object TextHashing {
     }
     fp
   }
+
+  /** One-pass token counts — `[ws_tokens, re_tokens]`:
+    *
+    *  - `ws_tokens` = `size(split(text, "\\s+"))` under Spark's
+    *    default limit −1 (pieces between maximal whitespace runs,
+    *    leading AND trailing empties kept) = |whitespace runs| + 1;
+    *  - `re_tokens` = matches of `[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]`
+    *    = letter runs + digit runs + each other non-whitespace
+    *    codepoint (one match per CODE POINT, hence the codePointAt
+    *    stepping — a char loop would double-count non-BMP symbols).
+    *
+    * Replaces two Java-regex passes (Pattern machinery + a match
+    * object per token) with one classify-and-count loop — the regex
+    * was the whole single-task scan cost of text_tokens (r9 profile:
+    * 0.33 s for 5k docs). Whitespace is Java regex `\s` =
+    * `[ \t\n\x0B\f\r]`, matching the split/extract semantics the
+    * DuckDB oracle already replays. */
+  def tokenCounts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    var i = 0
+    var wsRuns = 0L
+    var re = 0L
+    var prev = 0 // 0 start, 1 ws, 2 letter, 3 digit, 4 other
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val cls =
+        if (cp == ' ' || (cp >= '\t' && cp <= '\r')) 1
+        else if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) 2
+        else if (cp >= '0' && cp <= '9') 3
+        else 4
+      if (cls == 1) { if (prev != 1) wsRuns += 1 }
+      else if (cls == 4) re += 1
+      else if (cls != prev) re += 1
+      prev = cls
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(Array(wsRuns + 1, re))
+  }
+
+  /** One-pass quality counts — `[n_char, n_word, n_stop, n_alpha]`:
+    * code-point length; single-space-split piece count (every `' '`
+    * starts a new piece, leading/trailing empties kept — DuckDB
+    * `string_split(text, ' ')` = Spark `split(text, " ")` semantics);
+    * pieces equal to one of the seven stopwords the/a/of/and/to/in/is;
+    * `[a-z]` code points. Replaces a split allocation + an INTERPRETED
+    * array_filter lambda + a regexp_replace per row (text_quality's
+    * whole single-task scan cost). */
+  def qualityCounts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    def isStop(st: Int, en: Int): Boolean = (en - st) match {
+      case 1 => s.charAt(st) == 'a'
+      case 2 =>
+        val c0 = s.charAt(st); val c1 = s.charAt(st + 1)
+        (c0 == 'o' && c1 == 'f') || (c0 == 't' && c1 == 'o') ||
+          (c0 == 'i' && (c1 == 'n' || c1 == 's'))
+      case 3 =>
+        val c0 = s.charAt(st); val c1 = s.charAt(st + 1); val c2 = s.charAt(st + 2)
+        (c0 == 't' && c1 == 'h' && c2 == 'e') ||
+          (c0 == 'a' && c1 == 'n' && c2 == 'd')
+      case _ => false
+    }
+    var i = 0
+    var nChar = 0L; var nWord = 1L; var nStop = 0L; var nAlpha = 0L
+    var tokStart = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      nChar += 1
+      if (cp == ' ') {
+        if (isStop(tokStart, i)) nStop += 1
+        nWord += 1
+        tokStart = i + 1
+      } else if (cp >= 'a' && cp <= 'z') nAlpha += 1
+      i += Character.charCount(cp)
+    }
+    if (isStop(tokStart, n)) nStop += 1
+    new GenericArrayData(Array(nChar, nWord, nStop, nAlpha))
+  }
 }

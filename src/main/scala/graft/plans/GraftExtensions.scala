@@ -65,6 +65,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_adc_dot"),
       graft.functions.VectorKernels.buildAdcDot _))
     ext.injectFunction((
+      FunctionIdentifier("graft_token_counts"),
+      new ExpressionInfo(TextExpressions.TokenCounts.getClass.getName,
+        "graft_token_counts"),
+      TextExpressions.buildTokenCounts _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quality_counts"),
+      new ExpressionInfo(TextExpressions.QualityCounts.getClass.getName,
+        "graft_quality_counts"),
+      TextExpressions.buildQualityCounts _))
+    ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(graft.functions.BloomFunctions.getClass.getName,
         "graft_might_contain"),

@@ -97,4 +97,42 @@ class KernelPropertySpec extends AnyFunSuite {
       s1.zip(s3).foreach { case (a, b) => assert((a ^ b) == 15L) }
     }
   }
+
+  // --- one-pass counting kernels vs the regex/HOF forms they replaced ---
+
+  private val alphabet =
+    "ab z9 1.the and of to in is  \t\n\f\r!#其🙂xyzA B7,,"
+
+  private def randomText(): String = {
+    val n = rnd.nextInt(60)
+    (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+  }
+
+  test("tokenCounts == size(split \\s+) and size(regexp_extract_all) on arbitrary text") {
+    val re = java.util.regex.Pattern.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
+    (1 to 2000).foreach { _ =>
+      val t = randomText()
+      val got = TextHashing.tokenCounts(utf8(t)).toLongArray()
+      val ws = t.split("\\s+", -1).length.toLong // Spark split default limit -1
+      val m = re.matcher(t)
+      var n = 0L
+      while (m.find()) n += 1
+      assert(got(0) == ws, s"ws_tokens mismatch on [$t]")
+      assert(got(1) == n, s"re_tokens mismatch on [$t]")
+    }
+  }
+
+  test("qualityCounts == codepoint length / single-space split / stopword filter / [a-z] count") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    (1 to 2000).foreach { _ =>
+      val t = randomText()
+      val got = TextHashing.qualityCounts(utf8(t)).toLongArray()
+      val toks = t.split(" ", -1)
+      assert(got(0) == t.codePointCount(0, t.length).toLong, s"n_char on [$t]")
+      assert(got(1) == toks.length.toLong, s"n_word on [$t]")
+      assert(got(2) == toks.count(stop).toLong, s"n_stop on [$t]")
+      assert(got(3) == t.codePoints().filter(c => c >= 'a' && c <= 'z').count(),
+        s"n_alpha on [$t]")
+    }
+  }
 }

@@ -62,8 +62,9 @@ object Similarity {
        |        ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) <= $TopK
        |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
     val e = emb(s, dir)
-    bruteTopK(e, e.filter(col("vec_id") < NumQueries), TopK)
-      .orderBy("query_id", "neighbor_id")
+    // queries×k rows — client-sized: single-partition order (Bounded)
+    Bounded.ordered(bruteTopK(e, e.filter(col("vec_id") < NumQueries), TopK),
+      col("query_id"), col("neighbor_id"))
   }
 
   /** Hard-negative band: candidates similar enough to be informative
@@ -196,8 +197,8 @@ object Similarity {
        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) <= $TopK
        |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
     val e = emb(s, dir)
-    lshTopK(e, e.filter(col("vec_id") < NumQueries), TopK)
-      .orderBy("query_id", "neighbor_id")
+    Bounded.ordered(lshTopK(e, e.filter(col("vec_id") < NumQueries), TopK),
+      col("query_id"), col("neighbor_id"))
   }
 
   // ---- IVF (inverted-file) ANN ------------------------------------
@@ -371,9 +372,10 @@ object Similarity {
        |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
     // cache key includes the parquet mtime so a regenerated dataset at
     // the same path retrains instead of probing stale cells
-    ivfTopK(emb(s, dir), emb(s, dir).filter(col("vec_id") < NumQueries),
-      TopK, centroidsFor(s, dir))
-      .orderBy("query_id", "neighbor_id")
+    Bounded.ordered(
+      ivfTopK(emb(s, dir), emb(s, dir).filter(col("vec_id") < NumQueries),
+        TopK, centroidsFor(s, dir)),
+      col("query_id"), col("neighbor_id"))
   }
 
   /** Radius threshold for [[annRangeSearch]] — shared by op and
@@ -963,8 +965,9 @@ object Similarity {
          |  WHERE rn <= ${TopK * PqShortlist})""".stripMargin +
       rerankSql("short")) { (s, dir) =>
     val e = emb(s, dir)
-    pqTopK(e, e.filter(col("vec_id") < NumQueries), TopK, codebookFor(s, dir))
-      .orderBy("query_id", "neighbor_id")
+    Bounded.ordered(
+      pqTopK(e, e.filter(col("vec_id") < NumQueries), TopK, codebookFor(s, dir)),
+      col("query_id"), col("neighbor_id"))
   }
 
   /** PQ QUANTIZATION-ERROR report, per subspace (the index-quality

@@ -94,7 +94,11 @@ object Dedup {
     // wrong shape — a driver-built corpus-sized hashed relation that
     // cannot exist at 100 TB. The keyed shuffle join is also measured
     // 2× faster here (no single-threaded broadcast build).
-    val b = bandTable(corpus).hint("shuffle_hash")
+    // localCheckpoint: the self-join consumes the band table twice and
+    // would otherwise re-tokenize + re-minhash the corpus per side
+    // (the simhashPairs/vec_gram multi-consumer rule, §4.3/§4.4); the
+    // materialized table is (doc_id, band_id, band_hash) scalars.
+    val b = bandTable(corpus).localCheckpoint(true).hint("shuffle_hash")
     b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -182,8 +186,11 @@ object Dedup {
                     threshold: Double): DataFrame = {
     // corpus-sized side (shingle SETS — the widest rows in the op):
     // keyed shuffle, never broadcast
+    // localCheckpoint: consumed twice (id_a, id_b) — without it the
+    // shingle sets are re-tokenized per consumer (multi-consumer rule)
     val sets = corpus.select(col("doc_id"),
       array_distinct(shinglesCol(col("text"))).as("sh"))
+      .localCheckpoint(true)
       .hint("shuffle_hash")
     cands
       .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -274,8 +281,15 @@ object Dedup {
     // (the planner's pick at test SF) builds a corpus-sized hashed
     // relation on the driver, impossible at 100 TB and measured 2×
     // slower than the keyed shuffle join even at sf0.1.
+    // localCheckpoint: the self-join consumes `chunked` TWICE, and
+    // Spark re-runs the whole scan+tokenize+simhash+explode subtree
+    // per consumer — the fingerprint pass was ~40% of the op's wall
+    // at sf0.1 (the vec_gram multi-consumer rule, §4.3). The
+    // materialized table is (doc_id, simhash, ck) — 56 rows of 3
+    // longs per doc, far smaller than re-reading and re-hashing text.
     val chunked = sim.select(col("doc_id"), col("simhash"),
       explode(graft.functions.TextExpressions.simhash_chunks(col("simhash"))).as("ck"))
+      .localCheckpoint(true)
       .hint("shuffle_hash")
     chunked.as("a").join(chunked.as("b"),
         col("a.ck") === col("b.ck") &&
@@ -372,8 +386,10 @@ object Dedup {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     // shuffle_hash: corpus-sized banded side must never broadcast
     // (see minhashCandidates) — keyed shuffle is the 100 TB shape
+    // localCheckpoint: self-join consumes b twice (multi-consumer rule)
     val b = e.select(col("vec_id"), col("v"),
       posexplode(Similarity.hyperplaneBands(col("v"))).as(Seq("band_id", "band_bits")))
+      .localCheckpoint(true)
       .hint("shuffle_hash")
     b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -665,7 +681,7 @@ object Dedup {
     // corpus-sized side: keyed shuffle, never broadcast (see
     // minhashCandidates) — the hint only affects the self-join; the
     // final anti-join's drops side stays small and broadcastable
-    val hinted = assigned.hint("shuffle_hash")
+    val hinted = assigned.localCheckpoint(true).hint("shuffle_hash")
     val drops = hinted.as("a").join(hinted.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       // verify in the join output stream (codegen'd cosine), so only

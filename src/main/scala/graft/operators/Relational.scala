@@ -224,7 +224,8 @@ object Relational {
       .agg(sumScaled(floor(col("l_extendedprice") * 100 + 0.5) *
           floor((lit(1) - col("l_discount")) * 100 + 0.5) / 1e4, 4)
         .cast("double").as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      // ≤25 nation groups: single-partition order (Bounded)
+      .transform(Bounded.ordered(_, col("revenue").desc, col("n_name")))
   }
 
   val q11OrderLimitOffset: Op = Op.sql("q11_order_limit_offset",

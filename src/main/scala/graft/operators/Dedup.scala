@@ -94,11 +94,26 @@ object Dedup {
     // wrong shape — a driver-built corpus-sized hashed relation that
     // cannot exist at 100 TB. The keyed shuffle join is also measured
     // 2× faster here (no single-threaded broadcast build).
-    // localCheckpoint: the self-join consumes the band table twice and
+    // localCheckpoint: the self-join consumes the signature twice and
     // would otherwise re-tokenize + re-minhash the corpus per side
-    // (the simhashPairs/vec_gram multi-consumer rule, §4.3/§4.4); the
-    // materialized table is (doc_id, band_id, band_hash) scalars.
-    val b = bandTable(corpus).localCheckpoint(true).hint("shuffle_hash")
+    // (the simhashPairs/vec_gram multi-consumer rule, §4.3/§4.4).
+    // Checkpoint the PRE-explode per-doc signature — (doc_id,
+    // array[Bands] of longs), one row per doc — not the exploded
+    // (doc_id, band_id, band_hash) table: same avoided recompute
+    // (the text kernel), Bands× fewer materialized rows; each join
+    // side re-runs only the trivial codegen'd posexplode (r10,
+    // measured −0.1 s construct at sf0.1).
+    // Deliberately NOT parallelism-floored (see Parallel's doc): a
+    // pre-kernel repartition serializes the text rows in the same
+    // 2-split scan tasks it would relieve — measured net-negative
+    // (r10: construct 0.23 → 0.32 s).
+    val sig = corpus.select(col("doc_id"),
+        graft.functions.TextExpressions.minhash_bands(
+          col("text"), NumHashes, Bands).as("bands"))
+      .localCheckpoint(true)
+    val b = sig.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+      .hint("shuffle_hash")
     b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -271,7 +286,21 @@ object Dedup {
     * ≤ 3, missing a quarter of true near-dups on short docs, where a
     * one-word edit flips ~2-7 fingerprint bits. */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 7): DataFrame = {
-    val sim = corpus.select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+    // localCheckpoint BEFORE the 56-way chunk explode: the self-join
+    // consumes the fingerprints twice, and without a materialization
+    // Spark re-runs scan+tokenize+simhash per side (~40% of the op's
+    // wall at sf0.1, the vec_gram multi-consumer rule §4.3). The
+    // checkpoint holds (doc_id, simhash) — TWO longs per doc; the
+    // previous form materialized the post-explode table (56 rows × 3
+    // longs per doc, 84× the bytes) and paid that write in construct
+    // (0.29 s at sf0.1). Each side re-runs only the codegen'd
+    // chunk-key explode over the cached longs (r10, measured).
+    // NOT parallelism-floored — same measurement as
+    // minhashCandidates: the repartition's shuffle write costs the
+    // bottleneck scan tasks more than the kernel it parallelizes.
+    val sim = corpus
+      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+      .localCheckpoint(true)
     // blocking keys from the codegen'd kernel: each of the 56 triples
     // arrives pre-packed as chunk_id<<24 | 24 chunk bits — one long
     // join key (the chunk_id high bits enforce same-position
@@ -281,15 +310,8 @@ object Dedup {
     // (the planner's pick at test SF) builds a corpus-sized hashed
     // relation on the driver, impossible at 100 TB and measured 2×
     // slower than the keyed shuffle join even at sf0.1.
-    // localCheckpoint: the self-join consumes `chunked` TWICE, and
-    // Spark re-runs the whole scan+tokenize+simhash+explode subtree
-    // per consumer — the fingerprint pass was ~40% of the op's wall
-    // at sf0.1 (the vec_gram multi-consumer rule, §4.3). The
-    // materialized table is (doc_id, simhash, ck) — 56 rows of 3
-    // longs per doc, far smaller than re-reading and re-hashing text.
     val chunked = sim.select(col("doc_id"), col("simhash"),
       explode(graft.functions.TextExpressions.simhash_chunks(col("simhash"))).as("ck"))
-      .localCheckpoint(true)
       .hint("shuffle_hash")
     chunked.as("a").join(chunked.as("b"),
         col("a.ck") === col("b.ck") &&
@@ -385,8 +407,13 @@ object Dedup {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     // shuffle_hash: corpus-sized banded side must never broadcast
-    // (see minhashCandidates) — keyed shuffle is the 100 TB shape
-    // localCheckpoint: self-join consumes b twice (multi-consumer rule)
+    // (see minhashCandidates) — keyed shuffle is the 100 TB shape.
+    // localCheckpoint: self-join consumes b twice (multi-consumer
+    // rule). Materialized POST-explode deliberately (r10 measured):
+    // a pre-explode (vec_id, v, sig) checkpoint is 16× smaller but
+    // makes each join side re-serialize the 64-double vector per
+    // band row into its shuffle — 0.40 → 0.71 s wall; the text dedups
+    // checkpoint pre-explode because their band rows are scalar longs.
     val b = e.select(col("vec_id"), col("v"),
       posexplode(Similarity.hyperplaneBands(col("v"))).as(Seq("band_id", "band_bits")))
       .localCheckpoint(true)

@@ -406,12 +406,23 @@ object Relational {
       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val byCust = Window.partitionBy("o_custkey")
-    t(s, dir, "orders").filter(col("o_custkey") < 50)
-      .select(col("o_custkey"), col("o_orderkey"),
-        row_number().over(byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rn"),
-        rank().over(byCust.orderBy(col("o_orderstatus"))).as("rk"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).over(byCust).cast("double").as("csum"))
-      .orderBy("o_custkey", "o_orderkey")
+    // `o_custkey < 50` is a LITERAL point predicate: ≤50 customers ×
+    // ~10 orders each at ANY corpus size (TPC-H keeps orders/customer
+    // constant) — a client-sized result, Bounded's contract. The
+    // windows still declare partitionBy(o_custkey), but running them
+    // over ONE coalesced partition (SinglePartition satisfies any
+    // clustering) removes the custkey hash exchange AND the final
+    // range exchange + sampling job: zero exchanges, one job
+    // (r10: 0.34 s → ~0.17 s at sf0.1). Unbounded window inputs keep
+    // the exchange shape — this rewrite is justified by the literal
+    // bound alone.
+    Bounded.ordered(
+      t(s, dir, "orders").filter(col("o_custkey") < 50).coalesce(1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rn"),
+          rank().over(byCust.orderBy(col("o_orderstatus"))).as("rk"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).over(byCust).cast("double").as("csum")),
+      col("o_custkey"), col("o_orderkey"))
   }
 
   val q23CreateInsert: Op = Op.sql("q23_create_insert",

@@ -35,7 +35,15 @@ object Sketches {
     * 1.78 s → 1.54 s driver layout, 3.2 s → 1.8 s at 32 partials).
     * Both sketch families are mergeable partial aggregates: partials
     * combine map-side, only sketch buffers move, no row shuffle. */
-  def profile(df: DataFrame): DataFrame =
+  def profile(df: DataFrame): DataFrame = {
+    // NOT parallelism-floored (r10, measured): on the harness's
+    // single-row-group layout a pre-agg repartition must serialize
+    // every row in the SAME single scan task it is trying to
+    // relieve — the shuffle write costs more than it parallelizes
+    // (32 partials: 0.89 s wall / 0.64 s merge-cliff task; 8
+    // partials: 0.90 s; single-task baseline: 0.57 s). At real
+    // layouts the scan carries thousands of splits and the partials
+    // parallelize for free — this shape is already the 100 TB one.
     df.agg(
       count(lit(1)).as("n_rows"),
       hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(14)))
@@ -51,6 +59,7 @@ object Sketches {
       col("acd_suppkey"),
       element_at(col("p_price"), 1).as("p50_price"),
       element_at(col("p_price"), 2).as("p95_price"), col("p50_qty"))
+  }
 
   val statsSketch: Op = Op.rowsOnly("stats_sketch") { (s, dir) =>
     profile(Tables.load(s, dir, "lineitem"))

@@ -65,12 +65,19 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
     copy(runs = runs.filter(col(keyCol) === key)).merged()
 
   /** Ordered key-range scan with latest-wins merge (reference:
-    * range iterators over the merge iterator). The result is
-    * client-sized (≤ |range| keys), so the global order comes from a
-    * single-partition sort, not a sampled range exchange (Bounded). */
-  def range(lo: Column, hi: Column): DataFrame =
-    graft.operators.Bounded.ordered(
-      copy(runs = runs.filter(col(keyCol).between(lo, hi))).merged(), col(keyCol))
+    * range iterators over the merge iterator). The range predicate
+    * is CALLER-CONTROLLED, so the result is client-sized only when
+    * the caller's range is (VERDICT r9 task 3): the single-partition
+    * zero-exchange sort applies only while the planned size estimate
+    * of the admitted runs stays under [[KVTable.BoundedReadBytes]];
+    * a wide range over a big table keeps `orderBy`'s sampled range
+    * exchange — ordered output either way, never a single-task
+    * reduce of the whole keyspace. */
+  def range(lo: Column, hi: Column,
+            boundedBytes: Long = KVTable.BoundedReadBytes): DataFrame =
+    graft.operators.Bounded.orderedIfSmall(
+      copy(runs = runs.filter(col(keyCol).between(lo, hi))).merged(),
+      boundedBytes, col(keyCol))
 
   /** Batched point lookups — the MultiGet API face (reference:
     * `db_impl`'s multi-key read; RocksDB exposes it because a batch
@@ -80,10 +87,14 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
     * a single pushed filter (min/max + bloom pruning reject row
     * groups holding none of the keys) and the latest-wins merge runs
     * once over the union of survivors — k point gets for the price
-    * of one pruned scan. Missing keys simply produce no row. */
-  def multiGet(keys: Seq[Any]): DataFrame =
-    graft.operators.Bounded.ordered(
-      copy(runs = runs.filter(col(keyCol).isin(keys: _*))).merged(), col(keyCol))
+    * of one pruned scan. Missing keys simply produce no row. The
+    * result is ≤|keys| rows, but the PLAN-side guarantee follows
+    * the same size gate as [[range]] (the caller controls |keys|). */
+  def multiGet(keys: Seq[Any],
+               boundedBytes: Long = KVTable.BoundedReadBytes): DataFrame =
+    graft.operators.Bounded.orderedIfSmall(
+      copy(runs = runs.filter(col(keyCol).isin(keys: _*))).merged(),
+      boundedBytes, col(keyCol))
 
   /** Read overlaying RANGE tombstones — RocksDB `DeleteRange`
     * semantics (the reference's storage engine deletes point keys;
@@ -189,4 +200,14 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
       .withColumn(tombstoneCol, org.apache.spark.sql.functions.lit(false))
     KVTable(reloaded, keyCol, seqCol, tombstoneCol)
   }
+}
+
+object KVTable {
+  /** Planned-size ceiling under which a range()/multiGet() result is
+    * treated as client-sized (zero-exchange single-partition sort,
+    * Bounded's contract). 64 MB ≈ a generous client page; reads whose
+    * admitted runs estimate wider keep the sampled range sort. The
+    * estimate is size-only (a Filter doesn't shrink it), so the gate
+    * errs toward the scale-safe shape on big tables. */
+  val BoundedReadBytes: Long = 64L << 20
 }

@@ -23,4 +23,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Bounded {
   def ordered(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  /** [[ordered]] gated on the plan's SIZE ESTIMATE (VERDICT r9
+    * task 3): API faces like `KVTable.range()`/`multiGet()` take
+    * caller-controlled predicates, so boundedness there is a runtime
+    * property, not a literal one — an unconditional single-partition
+    * sort would let `range(MIN, MAX)` funnel the whole keyspace
+    * through one task. When Catalyst's optimized-plan stats put the
+    * result at or under `maxBytes` the zero-exchange shape applies;
+    * anything wider falls back to `orderBy`'s sampled range exchange.
+    * The estimate costs no job (it folds scan file sizes through the
+    * plan), and size-only estimation is deliberately CONSERVATIVE —
+    * a Filter doesn't shrink it, so a huge table stays on the range
+    * path even under a narrow-looking predicate. */
+  def orderedIfSmall(df: DataFrame, maxBytes: Long, cols: Column*): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      ordered(df, cols: _*)
+    else df.orderBy(cols: _*)
 }

@@ -50,6 +50,37 @@ class KVSpec extends SparkSuite {
     assert(got.toSeq == Seq(1L)) // k2 is deleted, k3 out of range
   }
 
+  test("range read: bounded keeps zero-range-exchange, wide falls back to a range sort (VERDICT r9 task 3)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    // client-sized range (planned size under the gate): the order is
+    // a within-partition sort of one coalesced partition — no global
+    // Sort, no range exchange, no sampling job
+    val bounded = fixture.range(lit(0L), lit(100L))
+    assert(bounded.queryExecution.optimizedPlan
+        .collect { case s: Sort if s.global => s }.isEmpty,
+      "client-sized range must sort within one partition, not range-exchange")
+    // caller-wide range (threshold 0 simulates a table whose planned
+    // size exceeds the gate): global order must come from a sampled
+    // RANGE exchange — ordered results WITHOUT a single-task reduce
+    // of the whole keyspace
+    val wide = fixture.range(lit(0L), lit(100L), boundedBytes = 0L)
+    assert(wide.queryExecution.optimizedPlan
+        .collect { case s: Sort if s.global => s }.nonEmpty,
+      "wide range must keep orderBy's global sort")
+    assert(wide.queryExecution.executedPlan.toString
+        .toLowerCase.contains("rangepartitioning"),
+      "wide range must order through a range exchange")
+    val got = wide.collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L) &&
+      got == bounded.collect().map(_.getLong(0)).toSeq,
+      "both paths must return the identical ordered result")
+    // multiGet shares the gate
+    val wideGet = fixture.multiGet(Seq(1L, 3L), boundedBytes = 0L)
+    assert(wideGet.queryExecution.optimizedPlan
+      .collect { case s: Sort if s.global => s }.nonEmpty)
+    assert(wideGet.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
   test("write batch: upsert, delete, and fresh insert all apply in order") {
     import spark.implicits._
     val batch = Seq(

@@ -742,6 +742,18 @@ class PlanAuditSpec extends SparkSuite {
       s"rank<=3 not pushed to partial per-partition limits:\n$p")
   }
 
+  test("kv_range_scan: the gated bounded read keeps the zero-range-exchange shape") {
+    // the size gate (Bounded.orderedIfSmall) must resolve this
+    // client-sized benchmark read to the single-partition sort: one
+    // hash exchange for the latest-wins merge, NO range exchange, no
+    // sampling job. A wide read's fallback shape is pinned in KVSpec.
+    val p = plan("kv_range_scan")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"bounded KV range read regressed to a range exchange:\n$p")
+    assert(p.contains("Coalesce"),
+      s"bounded KV range read lost its single-partition sort:\n$p")
+  }
+
   test("no op runs an unpartitioned Window over corpus-sized input (all 257 plans)") {
     // A WindowExec with an empty partitionSpec funnels its ENTIRE input
     // through one task ("Moving all data to a single partition") — the
@@ -752,7 +764,7 @@ class PlanAuditSpec extends SparkSuite {
     // bounded aggregate AND it is allowlisted with that justification.
     import org.apache.spark.sql.execution.window.WindowExec
     val boundedAggGlobals = Map(
-      "mm_interleave" -> "bucket-offset cumulation over the |docs|/100 bucket aggregate (two-level prefix sum)",
+      "mm_interleave" -> "bucket-offset cumulation over a <=10k-bucket aggregate (width scales as ceil(maxId/10k) — bounded at any corpus)",
       "stats_ks" -> "bucket-offset cumulation over |distinct floor(v)| integer buckets (two-level CDF)",
       "stats_chisq" -> "n_total over the |event_type|x2 contingency aggregate",
       "stats_fdr" -> "BH step-up over the |event_type| p-value aggregate",

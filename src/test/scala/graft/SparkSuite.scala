@@ -8,10 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * the production builder is graft.api.GraftSession). */
 trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSuite.session
-  val sfDir = "/root/testdata/sf0.001"
+  val sfDir: String = SparkSuite.sfDirDefault
 }
 
 object SparkSuite {
+  /** The test data directory, shared by every spec (incl. the
+    * session-free OracleTypeLintSpec — one knob, no drift). */
+  val sfDirDefault: String =
+    sys.env.getOrElse("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

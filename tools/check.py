@@ -77,8 +77,21 @@ def main():
             if wide:
                 print(f"[DUCK-TYPE-BOUNDARY] {name}: oracle columns {wide} — "
                       "wrap in CAST(... AS BIGINT/DOUBLE)"); n_bad += 1; continue
-        except Exception:
-            pass  # DESCRIBE can fail on multi-statement oracles; value check still runs
+        except Exception as e:
+            # DESCRIBE can fail on multi-statement oracles. The value
+            # check still runs, but say so LOUDLY (ADVICE r9) — the
+            # float-coerced value compare cannot catch the
+            # HUGEINT-render class this gate exists for — and fall
+            # back to sniffing the FETCHED values: duckdb surfaces
+            # HUGEINT/DECIMAL results as python Decimal objects.
+            print(f"[DESCRIBE-SKIP] {name}: duck type gate degraded to "
+                  f"fetched-value sniff ({type(e).__name__}: {e})")
+            wide = sorted({d_names[i] for r in d_rows for i, x in enumerate(r)
+                           if hasattr(x, 'as_tuple')})
+            if wide:
+                print(f"[DUCK-TYPE-BOUNDARY] {name}: fetched Decimal values in "
+                      f"{wide} — wrap in CAST(... AS BIGINT/DOUBLE)")
+                n_bad += 1; continue
         bad = render_bad = None
         for i, (a, b) in enumerate(zip(s_rows, d_rows)):
             ca = [float(x) if hasattr(x, 'as_tuple') or isinstance(x, (int, float)) and not isinstance(x, bool) else x for x in a]

@@ -21,7 +21,29 @@ object Bench {
     "text_quality", "text_tokens", "text_fingerprint", "stats_sketch",
     "stream_window_agg", "stream_sessionize")
 
+  /** Second recorded tier (VERDICT r9 task 4): one representative per
+    * non-headline family, so a perf regression in the other 235
+    * correctness-gated ops is visible round over round — vec family
+    * (vec_gram's mapPartitions Gram accumulation + checkpoint), graph
+    * (per-round join iteration), stats (permutation's ×R expansion),
+    * KV write path (WAL replay), multimodal (patchify), and the
+    * composed end-to-end pipeline. Same min-of-3 discipline; no
+    * DuckDB baseline row (these families have no committed analog) —
+    * the tier tracks REGRESSION against prior rounds, not a ratio. */
+  val tier2: Seq[String] = Seq(
+    "vec_gram", "graph_components", "stats_permutation",
+    "kv_wal_replay", "mm_patchify", "pipeline_e2e")
+
+  private def loadavg1m: Option[String] =
+    try Some(java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0))
+    catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
+    // loadavg BEFORE the bench runs: the end-of-run reading includes
+    // the bench's own 32-core bursts, so host quietness is only
+    // attributable from the start marker (r9's "creep" was this)
+    val loadStart = loadavg1m
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.api.GraftSession
@@ -58,7 +80,7 @@ object Bench {
     // time-to-failure is not a throughput) — it lands in the
     // "errors" field instead.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = headline.flatMap { name =>
+    def minOf3(names: Seq[String]): Seq[(String, Double)] = names.flatMap { name =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -74,8 +96,12 @@ object Bench {
       }
       times.minOption.map(name -> _)
     }
+    val results = minOf3(headline)
+    val tier2Results = minOf3(tier2)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val t2Json = tier2Results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(",\"tier2\":{", ",", "}")
     val total = results.map(_._2).sum
     val errJson =
       if (errors.isEmpty) ""
@@ -94,17 +120,13 @@ object Bench {
           .readString(java.nio.file.Paths.get(baselinePath)).trim
         if (raw.startsWith("{")) s""","baseline":$raw""" else ""
       } catch { case _: Throwable => "" }
-    // load marker: 1-min loadavg at bench end, so cross-round swings
-    // on a shared machine are attributable to load, not code
+    // load markers: start (host quietness — what cross-round swings
+    // attribute to) and end (includes the bench's own 32-core bursts)
     val loadJson =
-      try {
-        val l = java.nio.file.Files
-          .readString(java.nio.file.Paths.get("/proc/loadavg"))
-          .split("\\s+")(0)
-        s""","loadavg1m":$l"""
-      } catch { case _: Throwable => "" }
+      loadStart.map(l => s""","loadavg_start":$l""").getOrElse("") +
+        loadavg1m.map(l => s""","loadavg1m":$l""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","spark_noop_floor":$noopFloor$errJson$baseJson$loadJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$t2Json,"sf":"$sfDir","spark_noop_floor":$noopFloor$errJson$baseJson$loadJson}"""
     println(line)
     // also land the line in a file: sbt prefixes forked stdout with
     // "[info] ", which the driver's JSON parse tripped over in round 1

@@ -3129,16 +3129,26 @@ object Analytics {
       // large-star: per node u over its FULL (symmetrized) neighbor
       // set, hang every strictly-larger neighbor on min(N(u) ∪ {u})
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      // no distinct between the half-rounds (r10): small-star's
+      // min-over-u is duplicate-insensitive and the round's OWN
+      // distinct dedups the result — the intermediate exchange bought
+      // nothing but a fourth shuffle per round
       val ls = sym.withColumn("m", least(min(col("v")).over(wu), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: edges arrive (u > v); hang u and all its smaller
-      // neighbors except the min itself on m = min(smaller neighbors)
+      // neighbors except the min itself on m = min(smaller neighbors).
+      // ONE explode emits both outputs — (u, m) always, (v, m) when
+      // v != m — instead of a two-branch unionAll: sm isn't persisted,
+      // so two consumers re-executed the whole two-window chain per
+      // round (the vec_gram multi-consumer rule INSIDE the loop —
+      // r10, measured: ~2x the round's task time)
       val sm = ls.withColumn("m", min(col("v")).over(wu))
-      var next = sm.filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(sm.select(col("u"), col("m").as("v")))
+      var next = sm.select(explode(when(col("v") =!= col("m"),
+            array(struct(col("u"), col("m").as("v")),
+              struct(col("v").as("u"), col("m").as("v"))))
+          .otherwise(array(struct(col("u"), col("m").as("v"))))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
         .distinct()
       next = (if ((rounds + 1) % 4 == 0) next.localCheckpoint()
               else next.persist(StorageLevel.MEMORY_AND_DISK))

@@ -96,8 +96,11 @@ object Bench {
       }
       times.minOption.map(name -> _)
     }
-    val results = minOf3(headline)
-    val tier2Results = minOf3(tier2)
+    // optional args: bench only these names (local A/B iteration);
+    // the recorded artifact always runs the full headline + tier2
+    val only = args.toSet
+    val results = minOf3(if (only.isEmpty) headline else headline.filter(only))
+    val tier2Results = minOf3(if (only.isEmpty) tier2 else tier2.filter(only))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val t2Json = tier2Results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -49,6 +49,11 @@ object RangeJoin {
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    // NO checkpoint before the global sort (r10, measured 0.35 vs
+    // 0.62 s): the range partitioner's sampling pass is far cheaper
+    // than a full materialization here — AQE already materializes the
+    // join's INPUTS, so the re-run the sampler pays is just the
+    // (cheap) join itself, not the scans.
     withinGap(ev, ev, gapMicros = 1000000L)
       .filter(col("a.event_id") =!= col("b.event_id"))
       .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"))

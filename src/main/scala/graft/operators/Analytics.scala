@@ -1528,9 +1528,13 @@ object Analytics {
     val w = PoissonT.map(tU =>
         when(gh >= lit((tU - BigInt(2).pow(63)).toLong), 1L).otherwise(0L))
       .reduce(_ + _)
-    val rep = ev
-      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"),
-        col("event_id"))
+    // Parallel.floor before the ×20 replicate explode (the
+    // stats_permutation rule: expansion kernels pay work/row ≫
+    // serialize/row, so the narrow pre-expansion exchange wins on
+    // few-split layouts and is a no-op at scale)
+    val rep = Parallel.floor(ev
+        .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"),
+          col("event_id")))
       .withColumn("b", explode(typedLit((0 until BootReps).map(_.toLong))))
       .withColumn("h", xxhash64(col("event_id"), col("b")))
       .withColumn("w", w)
@@ -2622,24 +2626,33 @@ object Analytics {
     * and stats_fdr so the BH pass consumes bit-identical inputs. */
   private def permOracleCtes: String = {
     import SqlReplay.{stagedSql, hashLongStages}
+    // Cent-integer metric (r10, the q1 SumScaledExact rule applied to
+    // the ×49 kernel): v = floor(value·100 + 0.5) summed as BIGINT —
+    // for the non-negative corpus this IS the DECIMAL(12,2) quantity,
+    // and the long-buffer hash agg replaces 4.9M non-vectorized
+    // Decimal updates (stats_permutation 0.98 → measured below).
+    // Division tree (sum→double, /100, /count — each step correctly
+    // rounded, sums < 2^53 so the double is exact) is replayed
+    // IDENTICALLY on both engines and in the spec's BigDecimal
+    // recompute (BigDecimal.sum.toDouble == double(cents)/100).
     val staged = stagedSql(
-      "SELECT event_type, CAST(\"value\" AS DECIMAL(12,2)) AS v, " +
+      "SELECT event_type, CAST(floor(\"value\" * 100 + 0.5) AS BIGINT) AS v, " +
         "CAST(user_id AS HUGEINT) AS uk, CAST(7000 + b AS HUGEINT) AS bk, b " +
         s"FROM events, unnest([${(0 until PermReps).mkString(", ")}]) AS t(b)",
       hashLongStages("uk", "42::HUGEINT", "s1") ++ hashLongStages("bk", "s1", "h"))
     s"""obs AS (
        |  SELECT event_type,
-       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST("value" AS DECIMAL(12,2)) END) AS DOUBLE)
-       |      / count(CASE WHEN user_id % 2 = 0 THEN 1 END)
-       |    - CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST("value" AS DECIMAL(12,2)) END) AS DOUBLE)
-       |      / count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS d_obs
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(floor("value" * 100 + 0.5) AS BIGINT) END) AS DOUBLE)
+       |      / 100 / count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+       |    - CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(floor("value" * 100 + 0.5) AS BIGINT) END) AS DOUBLE)
+       |      / 100 / count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS d_obs
        |  FROM events GROUP BY 1),
        |perm AS (
        |  SELECT event_type, b,
        |    CAST(sum(CASE WHEN h % 2 = 0 THEN v END) AS DOUBLE)
-       |      / count(CASE WHEN h % 2 = 0 THEN 1 END)
+       |      / 100 / count(CASE WHEN h % 2 = 0 THEN 1 END)
        |    - CAST(sum(CASE WHEN h % 2 = 1 THEN v END) AS DOUBLE)
-       |      / count(CASE WHEN h % 2 = 1 THEN 1 END) AS d
+       |      / 100 / count(CASE WHEN h % 2 = 1 THEN 1 END) AS d
        |  FROM ($staged) GROUP BY 1, 2),
        |ex AS (
        |  SELECT p.event_type, count(*) AS n_perms,
@@ -2655,16 +2668,23 @@ object Analytics {
     * stats_permutation and stats_fdr. */
   private def permutationReport(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
+    // cent-integer metric, long aggregation buffers (see the oracle
+    // CTE comment): same floor(v·100+0.5) quantization and division
+    // tree on both engines and in the spec's recompute
     def grpDiff(g: Column) =
-      sum(when(g === 0, col("v"))).cast("double") / count(when(g === 0, 1)) -
-        sum(when(g === 1, col("v"))).cast("double") / count(when(g === 1, 1))
+      sum(when(g === 0, col("v"))).cast("double") / 100 / count(when(g === 0, 1)) -
+        sum(when(g === 1, col("v"))).cast("double") / 100 / count(when(g === 1, 1))
+    def cents = floor(col("value") * 100 + 0.5).cast("long").as("v")
     val obs = ev
-      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"),
-        col("user_id"))
+      .select(col("event_type"), cents, col("user_id"))
       .groupBy("event_type").agg(grpDiff(col("user_id") % 2).as("d_obs"))
-    val perm = ev
-      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"),
-        col("user_id"))
+    // Parallel.floor BEFORE the ×49 replicate explode: the expansion
+    // kernel (49 hashes + decimal agg updates per input row) is ~50×
+    // the per-row serialize cost, so on a single-row-group layout one
+    // narrow 3-column exchange buys cores× kernel parallelism
+    // (1.58 → ~0.3 s at sf0.1); a no-op at real multi-split layouts
+    val perm = Parallel.floor(ev
+        .select(col("event_type"), cents, col("user_id")))
       .withColumn("b", explode(typedLit((0 until PermReps).map(_.toLong))))
       .withColumn("h", xxhash64(col("user_id"), lit(7000L) + col("b")))
       .groupBy("event_type", "b")

@@ -3145,32 +3145,41 @@ object Analytics {
     var eCount = e.count()
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxIter) {
-      // large-star: per node u over its FULL (symmetrized) neighbor
-      // set, hang every strictly-larger neighbor on min(N(u) ∪ {u})
-      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      // no distinct between the half-rounds (r10): small-star's
-      // min-over-u is duplicate-insensitive and the round's OWN
-      // distinct dedups the result — the intermediate exchange bought
-      // nothing but a fourth shuffle per round
+    // ONE contraction round as a plan fragment:
+    // large-star — per node u over its FULL (symmetrized) neighbor
+    // set, hang every strictly-larger neighbor on min(N(u) ∪ {u});
+    // no distinct between the half-rounds (r10): small-star's
+    // min-over-u is duplicate-insensitive and the round's own
+    // distinct dedups the result.
+    // small-star — edges arrive (u > v); hang u and all its smaller
+    // neighbors except the min itself on m = min(smaller neighbors).
+    // ONE explode emits both outputs — (u, m) always, (v, m) when
+    // v != m — instead of a two-branch unionAll: an unpersisted sm
+    // with two consumers re-executed the whole two-window chain per
+    // round (the vec_gram multi-consumer rule INSIDE the loop — r10,
+    // measured ~2x the round's task time).
+    def contract(edges: DataFrame): DataFrame = {
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
       val ls = sym.withColumn("m", least(min(col("v")).over(wu), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-      // small-star: edges arrive (u > v); hang u and all its smaller
-      // neighbors except the min itself on m = min(smaller neighbors).
-      // ONE explode emits both outputs — (u, m) always, (v, m) when
-      // v != m — instead of a two-branch unionAll: sm isn't persisted,
-      // so two consumers re-executed the whole two-window chain per
-      // round (the vec_gram multi-consumer rule INSIDE the loop —
-      // r10, measured: ~2x the round's task time)
       val sm = ls.withColumn("m", min(col("v")).over(wu))
-      var next = sm.select(explode(when(col("v") =!= col("m"),
+      sm.select(explode(when(col("v") =!= col("m"),
             array(struct(col("u"), col("m").as("v")),
               struct(col("v").as("u"), col("m").as("v"))))
           .otherwise(array(struct(col("u"), col("m").as("v"))))).as("p"))
         .select(col("p.u").as("u"), col("p.v").as("v"))
         .distinct()
-      next = (if ((rounds + 1) % 4 == 0) next.localCheckpoint()
+    }
+    while (!converged && rounds < maxIter) {
+      // TWO rounds per materialization (r10): the convergence action
+      // and the persist are the per-iteration fixed cost — pairing
+      // rounds halves them for at most one overshoot round of (tiny,
+      // shrinking) extra compute. Star contraction is monotone (each
+      // round lowers the total-depth potential), so a fixpoint is
+      // stable through both rounds and the paired compare is exact.
+      var next = contract(contract(e))
+      next = (if ((rounds / 2 + 1) % 2 == 0) next.localCheckpoint()
               else next.persist(StorageLevel.MEMORY_AND_DISK))
       // fixpoint = identical edge set. Both sides are distinct, so
       // |next| == |e| plus one-way next ⊆ e decides set equality —
@@ -3181,7 +3190,7 @@ object Analytics {
       e.unpersist()
       e = next
       eCount = nextCount
-      rounds += 1
+      rounds += 2
     }
     val out = if (converged) e.localCheckpoint(true) else e
     e.unpersist()

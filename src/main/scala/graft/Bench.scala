@@ -133,8 +133,13 @@ object Bench {
     println(line)
     // also land the line in a file: sbt prefixes forked stdout with
     // "[info] ", which the driver's JSON parse tripped over in round 1
+    // subset A/B runs land in a separate default file:
+    // tools/baseline_duckdb.py learns the headline list from
+    // target/bench.json's keys, so a subset run overwriting it would
+    // silently shrink a later baseline re-measure
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/target/bench.json")
+      if (only.isEmpty) "/root/repo/target/bench.json"
+      else "/root/repo/target/bench_subset.json")
     Option(java.nio.file.Paths.get(outFile).getParent)
       .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")

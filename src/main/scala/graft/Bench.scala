@@ -97,8 +97,14 @@ object Bench {
       times.minOption.map(name -> _)
     }
     // optional args: bench only these names (local A/B iteration);
-    // the recorded artifact always runs the full headline + tier2
+    // the recorded artifact always runs the full headline + tier2.
+    // Unknown names fail fast: a typo'd subset would otherwise emit
+    // an empty-but-valid JSON line and mislead an A/B comparison.
     val only = args.toSet
+    val unknown = only -- headline.toSet -- tier2.toSet
+    require(unknown.isEmpty,
+      s"unknown bench op(s): ${unknown.mkString(", ")} — " +
+        s"valid names are Bench.headline ++ Bench.tier2")
     val results = minOf3(if (only.isEmpty) headline else headline.filter(only))
     val tier2Results = minOf3(if (only.isEmpty) tier2 else tier2.filter(only))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

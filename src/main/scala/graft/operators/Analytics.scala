@@ -2627,14 +2627,18 @@ object Analytics {
   private def permOracleCtes: String = {
     import SqlReplay.{stagedSql, hashLongStages}
     // Cent-integer metric (r10, the q1 SumScaledExact rule applied to
-    // the ×49 kernel): v = floor(value·100 + 0.5) summed as BIGINT —
-    // for the non-negative corpus this IS the DECIMAL(12,2) quantity,
-    // and the long-buffer hash agg replaces 4.9M non-vectorized
-    // Decimal updates (stats_permutation 0.98 → measured below).
-    // Division tree (sum→double, /100, /count — each step correctly
-    // rounded, sums < 2^53 so the double is exact) is replayed
-    // IDENTICALLY on both engines and in the spec's BigDecimal
-    // recompute (BigDecimal.sum.toDouble == double(cents)/100).
+    // the ×49 kernel): v = floor(value·100 + 0.5) summed as BIGINT.
+    // NOTE this quantization is defined on the DOUBLE's value — it
+    // can differ from a decimal(12,2) cast (which rounds the double's
+    // exact decimal expansion) at binary .5-boundary values and on
+    // negatives; it is the op's METRIC DEFINITION, replayed with the
+    // same floor expression on both engines and in the spec's
+    // long-cents driver recompute (r11) — never compared against a
+    // decimal rounding. The long-buffer hash agg replaces 4.9M
+    // non-vectorized Decimal updates (stats_permutation 0.98 →
+    // measured below). Division tree (sum→double, /100, /count —
+    // sums < 2^53 so the double is exact) is replayed IDENTICALLY
+    // everywhere.
     val staged = stagedSql(
       "SELECT event_type, CAST(floor(\"value\" * 100 + 0.5) AS BIGINT) AS v, " +
         "CAST(user_id AS HUGEINT) AS uk, CAST(7000 + b AS HUGEINT) AS bk, b " +

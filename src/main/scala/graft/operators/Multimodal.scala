@@ -1197,9 +1197,13 @@ object Multimodal {
     // |docs|/100 rows would still funnel one window task and be
     // broadcast everywhere. Width = ceil(maxId/10k) caps level 2 at
     // ≤10k rows at ANY corpus size — a genuinely bounded aggregate
-    // (~160 KB broadcast). maxId is one max() scalar read at plan
-    // time (metadata-sized, same pattern as kv_write_batch's seq).
-    val maxId = toks.agg(max("doc_id")).head().getLong(0)
+    // (~160 KB broadcast). maxId costs ONE construct-time max() job
+    // over the filtered id column — a single narrow-projection scan
+    // (parquet aggregate pushdown doesn't apply through the filter),
+    // parallel over splits and returning one long; null-guarded so an
+    // empty corpus degrades to width 1 instead of an NPE.
+    val maxId = Option(toks.agg(max("doc_id")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val width = maxId / 10000L + 1L
     val W = org.apache.spark.sql.expressions.Window
     val wLocal = W.partitionBy("b").orderBy("doc_id")

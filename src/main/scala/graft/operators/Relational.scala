@@ -408,16 +408,19 @@ object Relational {
     val byCust = Window.partitionBy("o_custkey")
     // `o_custkey < 50` is a LITERAL point predicate: ≤50 customers ×
     // ~10 orders each at ANY corpus size (TPC-H keeps orders/customer
-    // constant) — a client-sized result, Bounded's contract. The
+    // constant) — a client-sized RESULT, Bounded's contract. The
     // windows still declare partitionBy(o_custkey), but running them
-    // over ONE coalesced partition (SinglePartition satisfies any
-    // clustering) removes the custkey hash exchange AND the final
-    // range exchange + sampling job: zero exchanges, one job
-    // (r10: 0.34 s → ~0.17 s at sf0.1). Unbounded window inputs keep
-    // the exchange shape — this rewrite is justified by the literal
-    // bound alone.
+    // over ONE partition (numPartitions=1 satisfies any clustering)
+    // removes the custkey hash exchange AND the final range exchange
+    // + sampling job. `repartition(1)`, NOT `coalesce(1)` (VERDICT
+    // r10): coalesce folds the SCAN into the single task too —
+    // custkey stripes across orders, so at 100 TB one task would read
+    // every surviving row group serially. The round-robin exchange
+    // moves only the ≤~500 filtered rows while the scan+filter stay
+    // split-parallel; the literal bound justifies a single-partition
+    // WINDOW/SORT, never a single-task scan.
     Bounded.ordered(
-      t(s, dir, "orders").filter(col("o_custkey") < 50).coalesce(1)
+      t(s, dir, "orders").filter(col("o_custkey") < 50).repartition(1)
         .select(col("o_custkey"), col("o_orderkey"),
           row_number().over(byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rn"),
           rank().over(byCust.orderBy(col("o_orderstatus"))).as("rk"),

@@ -651,23 +651,30 @@ class AnalyticsSpec extends SparkSuite {
       .map(r => r.getString(0) ->
         (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     val B = Analytics.PermReps
+    // the op's cent-integer metric (r10): quantize floor(v·100+0.5)
+    // to LONG cents IN THE DRIVER (same IEEE double ops as the
+    // kernel's floor expression, independently evaluated) and replay
+    // the exact division tree sum.toDouble/100/count — NOT a
+    // decimal(12,2) cast, which rounds the double's exact decimal
+    // expansion and disagrees with floor(v·100+0.5) at binary
+    // .5-boundary and negative values
     val rows = Tables.load(spark, sfDir, "events")
-      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"),
-        col("user_id"))
+      .select(col("event_type"), col("value"), col("user_id"))
       .withColumn("b", explode(typedLit((0 until B).map(_.toLong))))
       .withColumn("h", xxhash64(col("user_id"), lit(7000L) + col("b")))
       .collect()
-      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     rows.groupBy(_._1).foreach { case (ty, xs) =>
       val (dObs, nPerms, nExtreme, p) = got(ty)
       assert(nPerms == B.toLong)
       val base = xs.filter(_._4 == 0L)
-      def diff(group: ((String, BigDecimal, Long, Long, Long)) => Long) = {
+      def diff(group: ((String, Long, Long, Long, Long)) => Long) = {
         val a = base.filter(r => group(r) == 0L)
         val bg = base.filter(r => group(r) == 1L)
-        a.map(_._2).sum.toDouble / a.length - bg.map(_._2).sum.toDouble / bg.length
+        a.map(_._2).sum.toDouble / 100 / a.length -
+          bg.map(_._2).sum.toDouble / 100 / bg.length
       }
       val dObsDrv = diff(r => r._3 % 2)
       assert(dObs == r6(dObsDrv), s"$ty d_obs")
@@ -675,7 +682,8 @@ class AnalyticsSpec extends SparkSuite {
         val perm = xs.filter(_._4 == b.toLong)
         val a = perm.filter(r => (r._5 & 1L) == 0L)
         val bg = perm.filter(r => (r._5 & 1L) == 1L)
-        val d = a.map(_._2).sum.toDouble / a.length - bg.map(_._2).sum.toDouble / bg.length
+        val d = a.map(_._2).sum.toDouble / 100 / a.length -
+          bg.map(_._2).sum.toDouble / 100 / bg.length
         math.abs(d) >= math.abs(dObsDrv)
       }
       assert(nExtreme == extremes.toLong, s"$ty n_extreme")

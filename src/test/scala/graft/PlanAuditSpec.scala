@@ -754,6 +754,26 @@ class PlanAuditSpec extends SparkSuite {
       s"bounded KV range read lost its single-partition sort:\n$p")
   }
 
+  test("q22: bounded-window rewrite shuffles the filtered rows, never the scan") {
+    // The literal o_custkey<50 bounds the RESULT (≤~500 rows at any
+    // corpus size), so the windows may legally run over one partition
+    // — but the funnel must be a SHUFFLE of the filtered rows
+    // (repartition(1)), never a CoalesceExec folding the parallel
+    // scan+filter into one task (VERDICT r10: coalesce(1) here would
+    // serialize a 100 TB orders scan — custkey stripes across the
+    // table, so row-group pruning rejects almost nothing). Pins BOTH
+    // halves of the shape: no range exchange above, no scan
+    // serialization below.
+    val p = plan("q22_window_funcs")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"q22 regressed to a sampled range sort:\n$p")
+    assert(p.contains("SinglePartition, REPARTITION_BY_NUM"),
+      s"q22's single-partition funnel must be a shuffle of the filtered " +
+        s"rows (repartition(1)) so the scan stays split-parallel:\n$p")
+    assert(p.contains("LessThan(o_custkey,50)"),
+      s"q22's literal bound no longer pushes to the parquet scan:\n$p")
+  }
+
   test("no op runs an unpartitioned Window over corpus-sized input (all 257 plans)") {
     // A WindowExec with an empty partitionSpec funnels its ENTIRE input
     // through one task ("Moving all data to a single partition") — the

@@ -3141,6 +3141,8 @@ object Analytics {
   private[graft] def largeSmallStar(edgesIn: DataFrame,
                                     maxIter: Int = 32): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
+    val spark = edgesIn.sparkSession
+    // the initial dedup runs under the caller's (AQE) config
     var e = edgesIn.toDF("x", "y").filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
       .distinct()
@@ -3149,6 +3151,37 @@ object Analytics {
     var eCount = e.count()
     var rounds = 0
     var converged = false
+    // LOOP SCHEDULING (r11, measured): with AQE on, EVERY exchange of
+    // every contraction round is its own scheduler job (~60 ms fixed
+    // cost here — the measured noop-job floor), and a 12-round
+    // convergence pays ~26 of them: wall was 5.3 s against 0.15 s of
+    // executor time. AQE's only service inside the loop is
+    // post-shuffle coalescing — window-by-node skew is concentration
+    // under HASH partitioning, which neither AQE nor more partitions
+    // can split — so the loop applies the same size rule at PLAN time
+    // instead: shuffle partitions for each batch are computed from
+    // the PREVIOUS materialization's exact edge count (the fixpoint
+    // count() we already pay), inflated by the batch's worst-case
+    // dupe growth. AQE off + plan-time sizing turns a whole batch
+    // (4 rounds + count) into ONE job. Naive AQE-off alone measured
+    // 19 s (every tiny reduce stage ran at 32 partitions); batching
+    // alone measured 4.1 s; this shape is the one that removes the
+    // per-exchange job without losing right-sized tasks. Both knobs
+    // are session config, saved and restored in finally, so the
+    // caller's surrounding plan keeps AQE.
+    val RoundsPerBatch = 4
+    def loopPartitions(edgeRows: Long): Int = {
+      // ~48 B per shuffled (u,v) unsafe row incl. framing; 64 MB
+      // target partitions (AQE's advisory default); ≤2×/round
+      // transient dupe inflation between batch-boundary dedups
+      val bytes = edgeRows * 48L * (1L << RoundsPerBatch)
+      math.max(1L, math.min(1000000L, bytes / (64L << 20) + 1)).toInt
+    }
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val sppKey = "spark.sql.shuffle.partitions"
+    val saved = Seq(aqeKey, sppKey).map(k => k -> spark.conf.get(k))
+    try {
+    spark.conf.set(aqeKey, "false")
     // ONE contraction round as a plan fragment:
     // large-star — per node u over its FULL (symmetrized) neighbor
     // set, hang every strictly-larger neighbor on min(N(u) ∪ {u});
@@ -3162,28 +3195,47 @@ object Analytics {
     // with two consumers re-executed the whole two-window chain per
     // round (the vec_gram multi-consumer rule INSIDE the loop — r10,
     // measured ~2x the round's task time).
-    def contract(edges: DataFrame): DataFrame = {
-      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    def contract(edges: DataFrame, dedup: Boolean): DataFrame = {
+      // symmetrize with ONE consumer of `edges` (r11): the unionAll
+      // formulation referenced `edges` twice, so BATCHED unpersisted
+      // rounds recomputed the inner contraction per consumer
+      // (exponential in batch depth — the 3-deep batch measured 8.7 s
+      // vs 5.3). A per-row explode emits the same two directions with
+      // a linear plan chain, making round-batching pay.
+      val sym = edges.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
       val ls = sym.withColumn("m", least(min(col("v")).over(wu), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
       val sm = ls.withColumn("m", min(col("v")).over(wu))
-      sm.select(explode(when(col("v") =!= col("m"),
+      val out = sm.select(explode(when(col("v") =!= col("m"),
             array(struct(col("u"), col("m").as("v")),
               struct(col("v").as("u"), col("m").as("v"))))
           .otherwise(array(struct(col("u"), col("m").as("v"))))).as("p"))
         .select(col("p.u").as("u"), col("p.v").as("v"))
-        .distinct()
+      // dedup only at the BATCH boundary (r11): both window mins are
+      // duplicate-insensitive, so intra-batch dupes are harmless and
+      // bounded (each round emits ≤2 rows per input row → ≤2×/round
+      // transient inflation of a shrinking edge set), while each
+      // skipped distinct removes one exchange + one AQE stage job per
+      // round. The batch-final distinct restores the set property the
+      // count-equality fixpoint compare relies on.
+      if (dedup) out.distinct() else out
     }
     while (!converged && rounds < maxIter) {
-      // TWO rounds per materialization (r10): the convergence action
-      // and the persist are the per-iteration fixed cost — pairing
-      // rounds halves them for at most one overshoot round of (tiny,
-      // shrinking) extra compute. Star contraction is monotone (each
-      // round lowers the total-depth potential), so a fixpoint is
-      // stable through both rounds and the paired compare is exact.
-      var next = contract(contract(e))
-      next = (if ((rounds / 2 + 1) % 2 == 0) next.localCheckpoint()
+      // FOUR rounds per materialization (r10 paired two; r11 extends
+      // — VERDICT r10 task 2): the convergence action and the
+      // persist are the per-iteration fixed cost, so batching rounds
+      // divides them by four for at most three overshoot rounds of
+      // (tiny, shrinking) extra compute. Star contraction is monotone
+      // (each round lowers the total-depth potential), so a fixpoint
+      // is stable through all batched rounds and the compare is exact.
+      spark.conf.set(sppKey, loopPartitions(eCount).toString)
+      var next = contract(contract(contract(contract(e,
+        dedup = false), dedup = false), dedup = false), dedup = true)
+      next = (if ((rounds / RoundsPerBatch + 1) % 2 == 0) next.localCheckpoint()
               else next.persist(StorageLevel.MEMORY_AND_DISK))
       // fixpoint = identical edge set. Both sides are distinct, so
       // |next| == |e| plus one-way next ⊆ e decides set equality —
@@ -3194,12 +3246,13 @@ object Analytics {
       e.unpersist()
       e = next
       eCount = nextCount
-      rounds += 2
+      rounds += RoundsPerBatch
     }
     val out = if (converged) e.localCheckpoint(true) else e
     e.unpersist()
     require(converged, s"largeSmallStar: edges still moving after $rounds rounds")
     (out, rounds)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   /** §2.3 dedup clustering at scale: connected components by star

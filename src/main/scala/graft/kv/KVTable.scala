@@ -144,7 +144,13 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
     * caller writing this out gets key-range-clustered files
     * (`sortWithinPartitions` after `repartitionByRange` on a real
     * cluster), which is what makes future point reads prune. */
-  def compacted(): DataFrame = merged().orderBy(keyCol)
+  /** Size-gated like [[range]] (r11): the latest-wins hash exchange
+    * below keeps the merge parallel either way; a small planned
+    * estimate skips the final range exchange + sampling job, a big
+    * table keeps the sampled sort. */
+  def compacted(): DataFrame =
+    graft.operators.Bounded.orderedIfSmall(
+      merged(), KVTable.BoundedReadBytes, col(keyCol))
 
   /** Leveled (partial) compaction, reference `compaction/`'s level
     * picker: fold only the runs with `seq <= upToSeq` (the OLD end of

@@ -40,4 +40,25 @@ object Bounded {
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
       ordered(df, cols: _*)
     else df.orderBy(cols: _*)
+
+  /** Default gate for [[orderedIfSmall]]/[[orderedNarrowIfSmall]] at
+    * query tails: one sort task over ≤64 MB (the session's broadcast
+    * / AQE-advisory sizing) is cheaper than a range exchange plus its
+    * RangePartitioner SAMPLING job, and the conservative plan-stats
+    * estimate keeps any corpus-scaled frame on the sampled path. */
+  val SmallSortBytes: Long = 64L << 20
+
+  /** [[orderedIfSmall]] for frames with NO exchange between the sort
+    * and the scan (scan-rooted projections, broadcast-join outputs):
+    * there `ordered`'s coalesce(1) would fold the SCAN itself into
+    * one task — the q22 lesson (VERDICT r10) — so the small path
+    * funnels through a `repartition(1)` SHUFFLE of the
+    * estimated-small result instead. The scan/filter stay
+    * split-parallel; one tiny exchange replaces the range exchange
+    * AND its sampling job. Falls back to the sampled range sort the
+    * moment the plan estimate outgrows the gate. */
+  def orderedNarrowIfSmall(df: DataFrame, maxBytes: Long, cols: Column*): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      df.repartition(1).sortWithinPartitions(cols: _*)
+    else df.orderBy(cols: _*)
 }

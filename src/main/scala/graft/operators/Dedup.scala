@@ -58,7 +58,11 @@ object Dedup {
     corpusExact(s, dir)
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("keep_id")
+      // size-gated tail sort (r11): the agg exchange below keeps the
+      // scan parallel either way; while the distinct-hash frame plans
+      // small this skips the range exchange + sampling job, and a
+      // corpus-scaled estimate falls back to the sampled sort
+      .transform(Bounded.orderedIfSmall(_, Bounded.SmallSortBytes, col("keep_id")))
   }
 
   // ---- shingle + MinHash LSH --------------------------------------
@@ -429,7 +433,12 @@ object Dedup {
         round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= 0.4)
       .distinct()
-      .orderBy("id_a", "id_b")
+      // size-gated tail sort (r11): the pair-dedup exchange below
+      // keeps everything parallel; unlike q30 the gate sees the
+      // DISTINCT's post-shuffle estimate, and a corpus-scaled
+      // near-dup set falls back to the sampled sort
+      .transform(Bounded.orderedIfSmall(_, Bounded.SmallSortBytes,
+        col("id_a"), col("id_b")))
   }
 
   // ---- line-level (C4-style) exact dedup --------------------------

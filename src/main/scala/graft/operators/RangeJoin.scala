@@ -57,6 +57,12 @@ object RangeJoin {
     withinGap(ev, ev, gapMicros = 1000000L)
       .filter(col("a.event_id") =!= col("b.event_id"))
       .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"))
+      // MEASURED NEGATIVE (r11): the size-gated single-partition tail
+      // sort that pays off on the other headline tails LOSES here
+      // (0.36 → 0.65 s) — plan stats carry the join's INPUT size, not
+      // its pair fan-out, so the gate mis-classifies a ~600k-pair
+      // result as small and serializes its sort. Pair-generating
+      // joins keep the sampled range sort unconditionally.
       .orderBy("id_a", "id_b")
   }
 
@@ -107,7 +113,10 @@ object RangeJoin {
       right = ev.filter(col("event_type") === "signup"),
       key = "user_id", leftId = "event_id", rightId = "event_id")
       .select(col("left_id").as("purchase_id"), col("right_id").as("signup_id"))
-      .orderBy("purchase_id")
+      // size-gated tail sort (r11): the as-of window's user_id
+      // exchange keeps the scan parallel; small planned estimate →
+      // no range exchange/sampling job, big → sampled sort
+      .transform(Bounded.orderedIfSmall(_, Bounded.SmallSortBytes, col("purchase_id")))
   }
 
   /** q49: as-of with a TOLERANCE bound (pandas merge_asof's

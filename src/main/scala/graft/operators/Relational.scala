@@ -106,7 +106,12 @@ object Relational {
         && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // NARROW size gate (r11): scan-rooted projection — the small
+      // path shuffles the filtered rows (repartition(1)), never
+      // coalesces the scan; a corpus-scaled estimate keeps the
+      // sampled range sort
+      .transform(Bounded.orderedNarrowIfSmall(_, Bounded.SmallSortBytes,
+        col("l_orderkey"), col("l_linenumber")))
   }
 
   val q3JoinInner: Op = Op.sql("q3_join_inner",

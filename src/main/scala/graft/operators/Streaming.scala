@@ -89,8 +89,12 @@ object Streaming {
       |       count(*) AS n_events
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, s_start""".stripMargin) { (s, dir) =>
+    // size-gated tail sort (r11): the session-window agg's user_id
+    // exchange keeps the scan parallel; small planned estimate → no
+    // range exchange/sampling job, corpus-scaled → sampled sort
     Streams.sessionize(Tables.load(s, dir, "events"))
-      .orderBy("user_id", "s_start")
+      .transform(Bounded.orderedIfSmall(_, Bounded.SmallSortBytes,
+        col("user_id"), col("s_start")))
   }
 
   val streamStatefulTrack: Op = Op.sql("stream_stateful_track",

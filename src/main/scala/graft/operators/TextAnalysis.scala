@@ -75,6 +75,15 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Size-gated tail sort for per-document narrow projections (r11):
+    * scan-rooted frames must SHUFFLE on the small path (repartition(1)
+    * — never coalesce, which would serialize the scan; the q22
+    * lesson); a corpus-scaled plan estimate keeps the sampled range
+    * sort. Replaces the range exchange + RangePartitioner sampling
+    * job on every doc-level op tail while the corpus plans small. */
+  private def byDocId(df: DataFrame): DataFrame =
+    Bounded.orderedNarrowIfSmall(df, Bounded.SmallSortBytes, col("doc_id"))
+
   /** Quality scores — length, word count/lengths, stopword ratio,
     * alpha ratio — rounded to fixed decimals on both sides. */
   val textQuality: Op = Op.sql("text_quality",
@@ -100,7 +109,7 @@ object TextAnalysis {
       round(qc.getItem(0) * 1.0 / qc.getItem(1), 4).as("chars_per_word"),
       round(qc.getItem(2) * 1.0 / qc.getItem(1), 4).as("stopword_ratio"),
       round(qc.getItem(3) * 1.0 / qc.getItem(0), 4).as("alpha_ratio"))
-      .orderBy("doc_id")
+      .transform(byDocId)
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex token count
@@ -119,7 +128,7 @@ object TextAnalysis {
       col("doc_id"),
       tc.getItem(0).as("ws_tokens"),
       tc.getItem(1).as("re_tokens"))
-      .orderBy("doc_id")
+      .transform(byDocId)
   }
 
   /** 64-bit fingerprint over the token sequence (order-sensitive,
@@ -165,7 +174,7 @@ object TextAnalysis {
     (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
-        .orderBy("doc_id")
+        .transform(byDocId)
   }
 
   /** Canonical text normalization (the pipeline stage before any

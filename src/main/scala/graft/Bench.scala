@@ -5,11 +5,15 @@ package graft
 /** Benchmark main: times the headline operator set (SURVEY §6) at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Queries are forced through the `noop` datasource sink — unlike
-  * `count()`, that materializes every projected column (count lets
-  * Catalyst prune the payload and would overstate throughput) while
-  * writing nothing. One untimed warmup amortizes JVM/codegen startup,
-  * which a long-running cluster job wouldn't pay per-query.
+  * Queries are forced through a per-partition drain of the executed
+  * plan's row iterator — unlike `count()`, that materializes every
+  * projected column (count lets Catalyst prune the payload and would
+  * overstate throughput) while writing nothing; unlike the `noop`
+  * datasource sink used through r10, it skips the DataSourceV2 commit
+  * protocol's measured ~15-50 ms/query fixed overhead that no
+  * engine's native result path pays (see `exec`). One untimed warmup
+  * amortizes JVM/codegen startup, which a long-running cluster job
+  * wouldn't pay per-query.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -51,9 +55,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Force FULL materialization of every projected column by
+    // draining the executed plan's row iterator per partition: the
+    // unsafe rows arrive fully built (whole-stage codegen writes all
+    // projected columns before emitting), so this is exactly the work
+    // the previous `noop` datasource sink measured MINUS the
+    // DataSourceV2 commit protocol + SQLExecution wrapper, which cost
+    // a measured ~15-50 ms of per-query fixed overhead that no query
+    // engine's native sink pays (the DuckDB baseline's fetchall()
+    // materializes every row too — into Python objects, strictly
+    // more work). The floor below is measured with the SAME action,
+    // so adjusted ratios are unaffected; only the harness constant
+    // shrinks. count() remains wrong for this purpose (Catalyst
+    // prunes the payload columns).
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+        .queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
 
     try exec("q1_agg") // warmup (untimed)
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
@@ -69,7 +86,8 @@ object Bench {
     val noopFloor =
       try (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        spark.range(1).write.format("noop").mode("overwrite").save()
+        spark.range(1).toDF().queryExecution.toRdd
+          .foreachPartition(it => while (it.hasNext) it.next())
         (System.nanoTime() - t0) / 1e9
       }.min
       catch { case e: Throwable => System.err.println(s"[bench] floor: $e"); 0.0 }

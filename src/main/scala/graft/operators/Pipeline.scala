@@ -49,16 +49,31 @@ object Pipeline {
         " +", " ")).as("t"))
     val filtered = norm.filter(
       size(split(col("t"), " ")) >= 5 && length(col("t")) >= 20)
-    val dedup = filtered.groupBy("t").agg(min("doc_id").as("doc_id"))
-    val assigned = dedup.withColumn("h",
-        conv(substring(md5(col("t").cast("binary")), 1, 1), 16, 10).cast("bigint"))
+    // dedup keyed on the md5 FINGERPRINT, not the text (r11): the
+    // per-doc stats the report needs (length, word count) are
+    // functions of t, so identical-t rows carry identical values and
+    // min() recovers them per group — the dedup shuffle then moves
+    // (32-char hash, 2 longs) instead of the full normalized payload
+    // (~20× fewer bytes at any corpus), with map-side combine
+    // collapsing duplicates before the wire. The split label is a
+    // function of the grouping key itself.
+    val dedup = filtered
+      .select(md5(col("t").cast("binary")).as("m"), col("doc_id"),
+        length(col("t")).as("len"), size(split(col("t"), " ")).as("words"))
+      .groupBy("m")
+      .agg(min("doc_id").as("doc_id"), min("len").as("len"),
+        min("words").as("words"))
+    val assigned = dedup
+      .withColumn("h", conv(substring(col("m"), 1, 1), 16, 10).cast("bigint"))
       .withColumn("split",
         when(col("h") < 13, "train").when(col("h") < 15, "val").otherwise("test"))
     assigned.groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("t"))).cast("bigint").as("n_chars"),
-        sum(size(split(col("t"), " "))).cast("bigint").as("n_words"))
-      .orderBy("split")
+        sum(col("len")).cast("bigint").as("n_chars"),
+        sum(col("words")).cast("bigint").as("n_words"))
+      // ≤3 split groups at any corpus: single-partition order, no
+      // sampled range exchange over 3 rows
+      .transform(Bounded.ordered(_, col("split")))
   }
 
   /** The pipeline's OUTPUT side: after normalize → quality-gate →

@@ -83,14 +83,22 @@ object Bench {
     // baseline ratios should be read as (spark - floor) / duckdb.
     // guarded like the warmup: a floor-measurement failure must not
     // abort the whole bench — 0.0 just means "no floor correction"
-    val noopFloor =
-      try (1 to 3).map { _ =>
+    def measureFloor(): Double =
+      try (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         spark.range(1).toDF().queryExecution.toRdd
           .foreachPartition(it => while (it.hasNext) it.next())
         (System.nanoTime() - t0) / 1e9
       }.min
       catch { case e: Throwable => System.err.println(s"[bench] floor: $e"); 0.0 }
+    // floor BEFORE and AFTER the measured queries, min reported
+    // (r11): at bench start the JVM has seen one warmup query, and
+    // C2 compilation of the scheduler path is still in flight — the
+    // start-floor measured 0.07-0.11 s on runs whose steady state is
+    // ~0.03 s, overstating the very constant it subtracts. The
+    // post-run floor is the fixed cost the later queries actually
+    // paid; both readings are recorded.
+    val floorBefore = measureFloor()
 
     // min of 3 runs: steady-state throughput (what a warm cluster
     // job sees), not first-run codegen/JIT compilation or a stray
@@ -125,6 +133,8 @@ object Bench {
         s"valid names are Bench.headline ++ Bench.tier2")
     val results = minOf3(if (only.isEmpty) headline else headline.filter(only))
     val tier2Results = minOf3(if (only.isEmpty) tier2 else tier2.filter(only))
+    val floorAfter = measureFloor()
+    val noopFloor = math.min(floorBefore, floorAfter)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val t2Json = tier2Results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -153,7 +163,7 @@ object Bench {
       loadStart.map(l => s""","loadavg_start":$l""").getOrElse("") +
         loadavg1m.map(l => s""","loadavg1m":$l""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$t2Json,"sf":"$sfDir","spark_noop_floor":$noopFloor$errJson$baseJson$loadJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$t2Json,"sf":"$sfDir","spark_noop_floor":$noopFloor,"floor_before":$floorBefore,"floor_after":$floorAfter$errJson$baseJson$loadJson}"""
     println(line)
     // also land the line in a file: sbt prefixes forked stdout with
     // "[info] ", which the driver's JSON parse tripped over in round 1

@@ -418,6 +418,14 @@ object Dedup {
     // makes each join side re-serialize the 64-double vector per
     // band row into its shuffle — 0.40 → 0.71 s wall; the text dedups
     // checkpoint pre-explode because their band rows are scalar longs.
+    // MEASURED NEGATIVE (r11): Parallel.floor before the signature
+    // kernel (the stats_permutation pattern) LOSES here — 0.57 →
+    // 0.88 s same-host A/B. The banding kernel is ~65k flops/row,
+    // but the row being shuffled is a 64-double vector (~0.5 KB +
+    // array (de)serialization), so work/row ≯ serialize/row the way
+    // it is for the 3-scalar-column stats kernels, and the exchange
+    // also splits the eager checkpoint across 32 block writes. The
+    // single-split scan keeps the kernel.
     val b = e.select(col("vec_id"), col("v"),
       posexplode(Similarity.hyperplaneBands(col("v"))).as(Seq("band_id", "band_bits")))
       .localCheckpoint(true)

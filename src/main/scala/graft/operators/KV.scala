@@ -725,7 +725,12 @@ object KV {
     val replayed = segments
       .flatMap { case (_, blob) => Wal.decode(blob).records }
       .toDF()
-    KVTable(replayed, "key", "seq", "tombstone").merged().orderBy("key")
+    // same size-gated tail as KVTable.compacted (r11): the
+    // latest-wins hash exchange keeps the merge parallel; small
+    // planned estimate skips the range exchange + sampling job
+    Bounded.orderedIfSmall(
+      KVTable(replayed, "key", "seq", "tombstone").merged(),
+      KVTable.BoundedReadBytes, col("key"))
   }
 
   /** Compaction-pick core over a seq column — factored so the spec

@@ -774,6 +774,23 @@ class PlanAuditSpec extends SparkSuite {
       s"q22's literal bound no longer pushes to the parquet scan:\n$p")
   }
 
+  test("pipeline_e2e: the dedup shuffle carries the md5 fingerprint, never the text") {
+    // the e2e pipeline's dedup stage groups on md5(t) and ships only
+    // (hash, per-doc scalars) — grouping on the normalized text would
+    // put the whole corpus payload on the wire (r11). Shape: exactly
+    // two hash exchanges (fingerprint dedup + ≤3-row split agg), a
+    // bounded single-partition tail, no sampled range sort.
+    val p = plan("pipeline_e2e")
+    assert(p.contains("hashpartitioning(m#"),
+      s"dedup must shuffle on the md5 fingerprint:\n$p")
+    assert(!p.contains("hashpartitioning(t#"),
+      s"dedup must not shuffle the normalized text payload:\n$p")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"the ≤3-row split report must not range-exchange:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 4, // tree + detail = 2×2
+      s"pipeline_e2e grew an unexpected shuffle:\n$p")
+  }
+
   test("no op runs an unpartitioned Window over corpus-sized input (all 257 plans)") {
     // A WindowExec with an empty partitionSpec funnels its ENTIRE input
     // through one task ("Moving all data to a single partition") — the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Op
@@ -80,12 +80,37 @@ object RangeJoin {
     * `last` over the same window (zero extra shuffles) so callers
     * can apply staleness/tolerance bounds post-hoc ([[q49AsofTolerance]]). */
   def asof(left: DataFrame, right: DataFrame, key: String,
-           leftId: String, rightId: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tagged = right.select(col(key), col("ts_us"), lit(0).as("_side"),
+           leftId: String, rightId: String): DataFrame =
+    asofCore(right.select(col(key), col("ts_us"), lit(0).as("_side"),
         lit(null).cast("long").as("_lid"), col(rightId).cast("long").as("_rid"))
       .unionByName(left.select(col(key), col("ts_us"), lit(1).as("_side"),
-        col(leftId).cast("long").as("_lid"), lit(null).cast("long").as("_rid")))
+        col(leftId).cast("long").as("_lid"), lit(null).cast("long").as("_rid"))),
+      key)
+
+  /** [[asof]] when BOTH sides filter the SAME source frame with
+    * DISJOINT predicates (the common enrichment shape: fact rows and
+    * dimension rows are event types of one log). The two-frame API
+    * costs a second corpus read there — Catalyst does not merge
+    * identical scans across union branches — so this builds the
+    * tagged frame in ONE scan: rows matching `rightPred` become
+    * side-0 dimension rows, `leftPred` side-1 fact rows, everything
+    * else is filtered out, exactly the union's contents. Disjointness
+    * is the caller's contract (a row matching both would union-tag
+    * TWICE but can one-scan-tag only once; for disjoint predicates
+    * the two frames are row-identical). */
+  def asofOneSource(src: DataFrame, leftPred: Column, rightPred: Column,
+                    key: String, leftId: String, rightId: String): DataFrame =
+    asofCore(src.filter(leftPred || rightPred).select(
+      col(key), col("ts_us"),
+      when(rightPred, 0).otherwise(1).as("_side"),
+      when(leftPred, col(leftId).cast("long")).as("_lid"),
+      when(rightPred, col(rightId).cast("long")).as("_rid")), key)
+
+  /** The shared window core: one (key, ts)-sorted running `last
+    * ignoring nulls` over the tagged union — see [[asof]]'s doc for
+    * the semantics (side 0 sorts first, making equal-ts inclusive). */
+  private def asofCore(tagged: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(key).orderBy(col("ts_us"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
@@ -108,9 +133,11 @@ object RangeJoin {
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    asof(
-      left = ev.filter(col("event_type") === "purchase"),
-      right = ev.filter(col("event_type") === "signup"),
+    // one-scan tagged input (r11): both sides are event types of the
+    // SAME log, so the two-frame form read events twice
+    asofOneSource(ev,
+      leftPred = col("event_type") === "purchase",
+      rightPred = col("event_type") === "signup",
       key = "user_id", leftId = "event_id", rightId = "event_id")
       .select(col("left_id").as("purchase_id"), col("right_id").as("signup_id"))
       // size-gated tail sort (r11): the as-of window's user_id
@@ -139,9 +166,9 @@ object RangeJoin {
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    asof(
-      left = ev.filter(col("event_type") === "purchase"),
-      right = ev.filter(col("event_type") === "signup"),
+    asofOneSource(ev,
+      leftPred = col("event_type") === "purchase",
+      rightPred = col("event_type") === "signup",
       key = "user_id", leftId = "event_id", rightId = "event_id")
       .select(col("left_id").as("purchase_id"),
         when(col("ts_us") - col("right_ts_us") <= TolUs, col("right_id"))
@@ -164,12 +191,26 @@ object RangeJoin {
     * they execute in one Window operator); no pair materialization
     * at any skew, same cost envelope as [[asof]]. */
   def asofNearest(left: DataFrame, right: DataFrame, key: String,
-                  leftId: String, rightId: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tagged = right.select(col(key), col("ts_us"), lit(0).as("_side"),
+                  leftId: String, rightId: String): DataFrame =
+    asofNearestCore(
+      right.select(col(key), col("ts_us"), lit(0).as("_side"),
         lit(null).cast("long").as("_lid"), col(rightId).cast("long").as("_rid"))
       .unionByName(left.select(col(key), col("ts_us"), lit(1).as("_side"),
-        col(leftId).cast("long").as("_lid"), lit(null).cast("long").as("_rid")))
+        col(leftId).cast("long").as("_lid"), lit(null).cast("long").as("_rid"))),
+      key)
+
+  /** [[asofNearest]] over one scan of a shared source — same
+    * disjoint-predicate contract as [[asofOneSource]]. */
+  def asofNearestOneSource(src: DataFrame, leftPred: Column, rightPred: Column,
+                           key: String, leftId: String, rightId: String): DataFrame =
+    asofNearestCore(src.filter(leftPred || rightPred).select(
+      col(key), col("ts_us"),
+      when(rightPred, 0).otherwise(1).as("_side"),
+      when(leftPred, col(leftId).cast("long")).as("_lid"),
+      when(rightPred, col(rightId).cast("long")).as("_rid")), key)
+
+  private def asofNearestCore(tagged: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val back = Window.partitionBy(key).orderBy(col("ts_us"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = Window.partitionBy(key).orderBy(col("ts_us"), col("_side"))
@@ -227,9 +268,9 @@ object RangeJoin {
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    asofNearest(
-      left = ev.filter(col("event_type") === "purchase"),
-      right = ev.filter(col("event_type") === "signup"),
+    asofNearestOneSource(ev,
+      leftPred = col("event_type") === "purchase",
+      rightPred = col("event_type") === "signup",
       key = "user_id", leftId = "event_id", rightId = "event_id")
       .select(col("left_id").as("purchase_id"), col("right_id").as("signup_id"),
         col("direction"))

@@ -144,10 +144,13 @@ final case class KVTable(runs: DataFrame, keyCol: String, seqCol: String,
     * caller writing this out gets key-range-clustered files
     * (`sortWithinPartitions` after `repartitionByRange` on a real
     * cluster), which is what makes future point reads prune. */
-  /** Size-gated like [[range]] (r11): the latest-wins hash exchange
-    * below keeps the merge parallel either way; a small planned
-    * estimate skips the final range exchange + sampling job, a big
-    * table keeps the sampled sort. */
+  /** Size-gated like [[range]] (r11; comment fixed r12 per ADVICE):
+    * the latest-wins hash-aggregate MERGE stays parallel on the
+    * sampled path, but on the small path the coalesce(1) folds the
+    * post-exchange final-merge stage into one task — acceptable
+    * exactly because the gate (with its decompression factor) bounds
+    * what that task can hold; only the map-side partials are
+    * parallel either way. */
   def compacted(): DataFrame =
     graft.operators.Bounded.orderedIfSmall(
       merged(), KVTable.BoundedReadBytes, col(keyCol))

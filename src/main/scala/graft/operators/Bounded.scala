@@ -29,17 +29,41 @@ object Bounded {
     * caller-controlled predicates, so boundedness there is a runtime
     * property, not a literal one — an unconditional single-partition
     * sort would let `range(MIN, MAX)` funnel the whole keyspace
-    * through one task. When Catalyst's optimized-plan stats put the
-    * result at or under `maxBytes` the zero-exchange shape applies;
-    * anything wider falls back to `orderBy`'s sampled range exchange.
+    * through one task. When Catalyst's plan stats put the result at
+    * or under `maxBytes` the zero-exchange shape applies; anything
+    * wider falls back to `orderBy`'s sampled range exchange.
     * The estimate costs no job (it folds scan file sizes through the
     * plan), and size-only estimation is deliberately CONSERVATIVE —
     * a Filter doesn't shrink it, so a huge table stays on the range
-    * path even under a narrow-looking predicate. */
+    * path even under a narrow-looking predicate.
+    *
+    * Probed on the ANALYZED plan (r12; was optimizedPlan): the
+    * optimizer fixpoint cost 10-75 ms per construction as a pure
+    * gate probe — the final frame re-optimizes from scratch anyway —
+    * while the analyzed-plan size visitor folds the same file-size
+    * estimates in <1 ms; verified byte-equal across all ten gated
+    * ops at sf0.1 (q22 differs by 1 B of division rounding). Where
+    * they could diverge, analysis-time estimates are the larger
+    * (pre-pruning) side, i.e. the conservative direction. */
   def orderedIfSmall(df: DataFrame, maxBytes: Long, cols: Column*): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
-      ordered(df, cols: _*)
+    if (estimatedSmall(df, maxBytes)) ordered(df, cols: _*)
     else df.orderBy(cols: _*)
+
+  /** Plan-stats size gate shared by the `IfSmall` faces. The raw
+    * estimate is scaled by [[DecompressionFactor]] before the
+    * comparison: scan estimates fold COMPRESSED parquet file sizes,
+    * but what the single sort task must hold is decompressed unsafe
+    * rows — parquet commonly expands 3-10x decoded (ADVICE r11), so
+    * an unscaled 64 MB gate could funnel several hundred MB through
+    * one task before the fallback triggered. */
+  private def estimatedSmall(df: DataFrame, maxBytes: Long): Boolean =
+    df.queryExecution.analyzed.stats.sizeInBytes * DecompressionFactor <= maxBytes
+
+  /** Parquet-to-unsafe-row expansion applied to size estimates at
+    * the gate: 4x sits mid-range of parquet's common 3-10x
+    * compression and keeps every sf0.1 bounded tail (all ≤2.7 MB
+    * estimated) on the zero-exchange path with 6x headroom. */
+  val DecompressionFactor: Int = 4
 
   /** Default gate for [[orderedIfSmall]]/[[orderedNarrowIfSmall]] at
     * query tails: one sort task over ≤64 MB (the session's broadcast
@@ -58,7 +82,7 @@ object Bounded {
     * AND its sampling job. Falls back to the sampled range sort the
     * moment the plan estimate outgrows the gate. */
   def orderedNarrowIfSmall(df: DataFrame, maxBytes: Long, cols: Column*): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+    if (estimatedSmall(df, maxBytes))
       df.repartition(1).sortWithinPartitions(cols: _*)
     else df.orderBy(cols: _*)
 }

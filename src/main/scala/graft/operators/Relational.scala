@@ -210,6 +210,19 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    // Join-order lab (r12, both MEASURED NEGATIVE vs this shape's
+    // 0.42 s at equal load): (a) dims-first with the fact join left
+    // to AQE — 0.74-0.83 s: AQE broadcast-converts the 13.5k-row
+    // (o_orderkey, n_name) JOIN OUTPUT and its driver-side
+    // LongToUnsafeRowMap build + serialize stalls 300 ms between
+    // stages (stack-sampled); (b) dims-first with the fact join
+    // pinned shuffle_hash — 0.50-0.55 s: pays the 600k-row lineitem
+    // exchange this shape's all-broadcast chain avoids entirely. The
+    // shape below keeps every estimate-driven decision with AQE: at
+    // sf0.1 every non-fact side sits under the threshold so the scan
+    // feeds a pure BHJ chain + partial agg in one stage; at 100 TB
+    // the same code degrades to keyed shuffle joins exactly where the
+    // runtime sizes demand it.
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01")),

@@ -774,6 +774,22 @@ class PlanAuditSpec extends SparkSuite {
       s"q22's literal bound no longer pushes to the parquet scan:\n$p")
   }
 
+  test("q30: the binned range join stays a keyed shuffle join, never broadcast") {
+    // shuffle_hash pin (r12): without it AQE sees the materialized
+    // sides under the broadcast threshold and converts the
+    // post-shuffle join to broadcast — a driver-side collect +
+    // LZ4/torrent rebuild of a CORPUS-SIZED event stream, measured as
+    // a 156-192 ms inter-job stall at sf0.1 and the wrong shape
+    // outright at 100 TB. The bin equi-key must stay the shuffle key.
+    val p = plan("q30_range_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q30's bin join lost its shuffle-hash pin:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"q30 must never broadcast a corpus-sized join side:\n$p")
+    assert(p.contains("hashpartitioning(_bin"),
+      s"q30's shuffle must be keyed on the range bin:\n$p")
+  }
+
   test("pipeline_e2e: the dedup shuffle carries the md5 fingerprint, never the text") {
     // the e2e pipeline's dedup stage groups on md5(t) and ships only
     // (hash, per-doc scalars) — grouping on the normalized text would

@@ -123,11 +123,16 @@ object Profile {
         while (sampling) {
           import scala.jdk.CollectionConverters._
           Thread.getAllStackTraces.asScala.foreach { case (th, st) =>
-            if (th.getState == Thread.State.RUNNABLE &&
+            // main is sampled in EVERY state (a parked main with no
+            // running job is exactly the mystery worth attributing —
+            // the park frame's caller names the awaited future);
+            // other threads only when RUNNABLE
+            if ((th.getName == "main" || th.getState == Thread.State.RUNNABLE) &&
                 !th.getName.contains("Executor task launch") &&
                 !th.getName.contains("profile-sampler") && st.nonEmpty) {
-              val frame = st.take(24).map(_.toString)
-                .find(f => f.startsWith("org.apache.spark") || f.startsWith("graft"))
+              val frame = st.take(32).map(_.toString)
+                .find(f => (f.startsWith("org.apache.spark") || f.startsWith("graft")) &&
+                  !f.contains("ThreadUtils") && !f.contains("awaitResult"))
                 .getOrElse(st.head.toString)
               stackCounts.synchronized {
                 val k = th.getName.replaceAll("-[0-9]+$", "") + " @ " + frame

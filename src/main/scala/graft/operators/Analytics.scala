@@ -3132,127 +3132,134 @@ object Analytics {
     * roughly halving path lengths, so rounds track the LOG of the
     * largest component. Each half-round is ONE window aggregation
     * keyed on the grouping node — a single keyed shuffle of the edge
-    * list, no join and no driver-held state; the (persisted) edge
-    * list is the only loop state, and a periodic localCheckpoint
+    * list, no join and no driver-held state; the (checkpointed) edge
+    * list is the only loop state, and a per-batch localCheckpoint
     * bounds lineage exactly as in [[Dedup.connectedComponents]].
     * Returns the converged star forest (node -> component min) and
     * the rounds taken; AnalyticsSpec pins the log-round bound on a
     * chain where label propagation provably cannot converge. */
   private[graft] def largeSmallStar(edgesIn: DataFrame,
                                     maxIter: Int = 32): (DataFrame, Int) = {
+    import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     val spark = edgesIn.sparkSession
-    // the initial dedup runs under the caller's (AQE) config
-    var e = edgesIn.toDF("x", "y").filter(col("x") =!= col("y"))
-      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+    import spark.implicits._
+    // the initial dedup runs under the caller's (AQE) config; node
+    // ids normalize to long (every caller's ids are integral), so the
+    // loop rows are primitive 16 B tuples with no row codec
+    val e0 = edgesIn.toDF("x", "y").filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).cast("long").as("u"),
+        least(col("x"), col("y")).cast("long").as("v"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val wu = Window.partitionBy("u")
-    var eCount = e.count()
+    // THE LOOP IS RDD-NATIVE (r12). History of the Dataset-API loop:
+    // r11 measured AQE scheduling (~60 ms/exchange job) and moved to
+    // AQE-off + plan-time partition sizing + 4-round batches (5.3 s
+    // -> 2.1-3.3 s). The residual cost was then jstack'd to the
+    // DRIVER: 250-460 ms of parse/analyze/optimize/plan per batch —
+    // and it survived every Catalyst formulation tried (incremental
+    // Dataset calls; per-batch lineage truncation; the whole batch as
+    // ONE generated CTE text analyzed once — all within 10% of the
+    // same stall, measured this round). An 8-window tree is simply
+    // that expensive to plan, and an iterative algorithm pays it
+    // EVERY batch while the data shrinks. This is the textbook case
+    // for the RDD escape hatch (SURVEY posture: mapPartitions only
+    // for genuine per-partition imperative logic): the contraction
+    // kernel below is plan-free (zero per-batch Catalyst work),
+    // partition counts are explicit per batch (the r11 plan-time
+    // sizing rule, now just an argument), NO session config is
+    // touched (the ADVICE r11 isolation concern dissolves — nothing
+    // to isolate), and the secondary-sort kernel streams each
+    // neighborhood with O(1) state where WindowExec buffers the
+    // whole unbounded frame per key — strictly better under hot-key
+    // concentration, which hash partitioning cannot split anyway.
+    //
+    // Each half-round: repartitionAndSortWithinPartitions on
+    // (node, neighbor) with a node-hash partitioner — ONE shuffle,
+    // exactly what the Window formulation paid — then a streaming
+    // run-length pass; the sorted run's FIRST neighbor is the
+    // neighborhood min.
     var rounds = 0
     var converged = false
-    // LOOP SCHEDULING (r11, measured): with AQE on, EVERY exchange of
-    // every contraction round is its own scheduler job (~60 ms fixed
-    // cost here — the measured noop-job floor), and a 12-round
-    // convergence pays ~26 of them: wall was 5.3 s against 0.15 s of
-    // executor time. AQE's only service inside the loop is
-    // post-shuffle coalescing — window-by-node skew is concentration
-    // under HASH partitioning, which neither AQE nor more partitions
-    // can split — so the loop applies the same size rule at PLAN time
-    // instead: shuffle partitions for each batch are computed from
-    // the PREVIOUS materialization's exact edge count (the fixpoint
-    // count() we already pay), inflated by the batch's worst-case
-    // dupe growth. AQE off + plan-time sizing turns a whole batch
-    // (4 rounds + count) into ONE job. Naive AQE-off alone measured
-    // 19 s (every tiny reduce stage ran at 32 partitions); batching
-    // alone measured 4.1 s; this shape is the one that removes the
-    // per-exchange job without losing right-sized tasks. Both knobs
-    // are session config, saved and restored in finally, so the
-    // caller's surrounding plan keeps AQE.
     val RoundsPerBatch = 4
     def loopPartitions(edgeRows: Long): Int = {
-      // ~48 B per shuffled (u,v) unsafe row incl. framing; 64 MB
-      // target partitions (AQE's advisory default); ≤2×/round
-      // transient dupe inflation between batch-boundary dedups
+      // ~48 B per shuffled (u,v) record incl. framing; 64 MB target
+      // partitions (AQE's advisory default); <=2x/round transient
+      // dupe inflation between batch-boundary dedups
       val bytes = edgeRows * 48L * (1L << RoundsPerBatch)
       math.max(1L, math.min(1000000L, bytes / (64L << 20) + 1)).toInt
     }
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val sppKey = "spark.sql.shuffle.partitions"
-    val saved = Seq(aqeKey, sppKey).map(k => k -> spark.conf.get(k))
-    try {
-    spark.conf.set(aqeKey, "false")
-    // ONE contraction round as a plan fragment:
-    // large-star — per node u over its FULL (symmetrized) neighbor
-    // set, hang every strictly-larger neighbor on min(N(u) ∪ {u});
-    // no distinct between the half-rounds (r10): small-star's
-    // min-over-u is duplicate-insensitive and the round's own
-    // distinct dedups the result.
-    // small-star — edges arrive (u > v); hang u and all its smaller
-    // neighbors except the min itself on m = min(smaller neighbors).
-    // ONE explode emits both outputs — (u, m) always, (v, m) when
-    // v != m — instead of a two-branch unionAll: an unpersisted sm
-    // with two consumers re-executed the whole two-window chain per
-    // round (the vec_gram multi-consumer rule INSIDE the loop — r10,
-    // measured ~2x the round's task time).
-    def contract(edges: DataFrame, dedup: Boolean): DataFrame = {
-      // symmetrize with ONE consumer of `edges` (r11): the unionAll
-      // formulation referenced `edges` twice, so BATCHED unpersisted
-      // rounds recomputed the inner contraction per consumer
-      // (exponential in batch depth — the 3-deep batch measured 8.7 s
-      // vs 5.3). A per-row explode emits the same two directions with
-      // a linear plan chain, making round-batching pay.
-      val sym = edges.select(explode(array(
-          struct(col("u"), col("v")),
-          struct(col("v").as("u"), col("u").as("v")))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
-      val ls = sym.withColumn("m", least(min(col("v")).over(wu), col("u")))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-      val sm = ls.withColumn("m", min(col("v")).over(wu))
-      val out = sm.select(explode(when(col("v") =!= col("m"),
-            array(struct(col("u"), col("m").as("v")),
-              struct(col("v").as("u"), col("m").as("v"))))
-          .otherwise(array(struct(col("u"), col("m").as("v"))))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
-      // dedup only at the BATCH boundary (r11): both window mins are
-      // duplicate-insensitive, so intra-batch dupes are harmless and
-      // bounded (each round emits ≤2 rows per input row → ≤2×/round
-      // transient inflation of a shrinking edge set), while each
-      // skipped distinct removes one exchange + one AQE stage job per
-      // round. The batch-final distinct restores the set property the
-      // count-equality fixpoint compare relies on.
-      if (dedup) out.distinct() else out
+    // secondary sort: partition by the grouping node, order by
+    // (node, neighbor) inside each partition
+    def byNode(parts: Int) = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = parts
+      override def getPartition(key: Any): Int = {
+        val h = java.lang.Long.hashCode(key.asInstanceOf[(Long, Long)]._1)
+        ((h % parts) + parts) % parts
+      }
     }
+    // large-star: per node u over its FULL (symmetrized) neighbor
+    // set, hang every strictly-larger neighbor on m = min(N(u) + u);
+    // emits (v, m) for v > u — edges leave strictly (big, small).
+    // small-star: edges arrive (u > v); hang u and every smaller
+    // neighbor except the min itself on m = min(N(u)): (u, m) once
+    // per run plus (v, m) for v != m. Dupes between batch-boundary
+    // distincts are harmless — both mins are duplicate-insensitive
+    // (the r11 rule, unchanged).
+    def halfRound(in: RDD[(Long, Long)], large: Boolean, parts: Int): RDD[(Long, Long)] = {
+      val keyed: RDD[((Long, Long), Unit)] =
+        if (large) in.flatMap { case (u, v) => Iterator(((u, v), ()), ((v, u), ())) }
+        else in.map { case (u, v) => ((u, v), ()) }
+      keyed.repartitionAndSortWithinPartitions(byNode(parts))
+        .mapPartitions({ it =>
+          var curU = 0L; var m = 0L; var first = true
+          if (large) it.flatMap { case ((u, v), _) =>
+            if (first || u != curU) { curU = u; m = math.min(v, u); first = false }
+            if (v > u) Iterator((v, m)) else Iterator.empty
+          }
+          else it.flatMap { case ((u, v), _) =>
+            if (first || u != curU) { curU = u; m = v; first = false; Iterator((u, m)) }
+            else if (v != m) Iterator((v, m)) else Iterator.empty
+          }
+        }, preservesPartitioning = false)
+    }
+    var e: RDD[(Long, Long)] = e0.as[(Long, Long)].rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var eCount = e.count()
     while (!converged && rounds < maxIter) {
-      // FOUR rounds per materialization (r10 paired two; r11 extends
-      // — VERDICT r10 task 2): the convergence action and the
-      // persist are the per-iteration fixed cost, so batching rounds
-      // divides them by four for at most three overshoot rounds of
-      // (tiny, shrinking) extra compute. Star contraction is monotone
-      // (each round lowers the total-depth potential), so a fixpoint
-      // is stable through all batched rounds and the compare is exact.
-      spark.conf.set(sppKey, loopPartitions(eCount).toString)
-      var next = contract(contract(contract(contract(e,
-        dedup = false), dedup = false), dedup = false), dedup = true)
-      next = (if ((rounds / RoundsPerBatch + 1) % 2 == 0) next.localCheckpoint()
-              else next.persist(StorageLevel.MEMORY_AND_DISK))
-      // fixpoint = identical edge set. Both sides are distinct, so
-      // |next| == |e| plus one-way next ⊆ e decides set equality —
-      // the count on the just-persisted frame is near-free, halving
-      // the per-round convergence cost vs two except jobs
+      // FOUR rounds per materialization (r10 paired two; r11 four):
+      // the convergence action and the materialization are the
+      // per-iteration fixed cost; batching divides them by four for
+      // at most three overshoot rounds of (tiny, shrinking) extra
+      // compute. Star contraction is monotone (each round lowers the
+      // total-depth potential), so a fixpoint is stable through all
+      // batched rounds and the compare is exact. The batch-final
+      // distinct restores the set property the count-equality
+      // fixpoint compare relies on.
+      val parts = loopPartitions(eCount)
+      var next = e
+      (1 to RoundsPerBatch).foreach { _ =>
+        next = halfRound(halfRound(next, large = true, parts), large = false, parts)
+      }
+      next = next.distinct(parts)
+      // localCheckpoint: truncate lineage at every batch so a lost
+      // partition never recomputes across batches and the DAG stays
+      // one batch deep; superseded checkpoint blocks are reclaimed by
+      // the ContextCleaner once unreferenced (the same guarantee
+      // Dedup.connectedComponents leans on)
+      next.localCheckpoint()
       val nextCount = next.count()
-      converged = nextCount == eCount && next.except(e).isEmpty
-      e.unpersist()
+      // fixpoint = identical edge set: both sides are distinct, so
+      // |next| == |e| plus one-way next is-subset-of e decides set
+      // equality; the subtract only ever runs on the final
+      // (count-stable) batch
+      converged = nextCount == eCount && next.subtract(e).isEmpty()
+      e.unpersist(blocking = false)
       e = next
       eCount = nextCount
       rounds += RoundsPerBatch
     }
-    val out = if (converged) e.localCheckpoint(true) else e
-    e.unpersist()
     require(converged, s"largeSmallStar: edges still moving after $rounds rounds")
-    (out, rounds)
-    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    (spark.createDataset(e).toDF("u", "v"), rounds)
   }
 
   /** §2.3 dedup clustering at scale: connected components by star

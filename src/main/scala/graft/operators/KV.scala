@@ -710,6 +710,15 @@ object KV {
        |SELECT * FROM ${mergeSql("survivors")} ORDER BY key""".stripMargin) { (s, dir) =>
     import s.implicits._
     val t = kv(s, dir)
+    // MEASURED NEGATIVE (r12, VERDICT task 6): resolving the live
+    // segment in-plan — crossJoin(broadcast(agg(max seq / segment)))
+    // with a codegen'd substring tear — read 0.60-0.68 s vs this
+    // shape's 0.33-0.39 s at equal load: the broadcast build gates
+    // the post-shuffle segment stage behind a full second runs-scan
+    // (BroadcastNestedLoopJoin cannot start until the build lands),
+    // while the sequential head() below finishes the same scan+agg
+    // before the main job and lets the segment shuffle pipeline
+    // freely. The driver action stays.
     val maxSeq = t.runs.agg(max("seq")).head().getLong(0)
     val liveSegment = maxSeq / WalSegmentRecords
     val segments = t.runs.as[(Long, Long, Boolean, Double)]

@@ -57,6 +57,14 @@ object Pipeline {
     // (~20× fewer bytes at any corpus), with map-side combine
     // collapsing duplicates before the wire. The split label is a
     // function of the grouping key itself.
+    // COLLISION CONTRACT (r12, ADVICE r11): md5 keying is the
+    // framework-wide exactness contract for content-hash dedup —
+    // Dedup.corpusExact and dedup_lines group on the same md5(text),
+    // and the DuckDB oracles replay it, so both engines merge the
+    // same (astronomically unlikely, but constructible) colliding
+    // texts and stay hash-equal. A pipeline hardening against
+    // adversarial corpus content should swap ONE symbol — this md5 —
+    // for sha2(t, 256) on both sides; the plan shape is unchanged.
     val dedup = filtered
       .select(md5(col("t").cast("binary")).as("m"), col("doc_id"),
         length(col("t")).as("len"), size(split(col("t"), " ")).as("words"))

@@ -693,6 +693,48 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("cent quantization + mean tree: fixed inputs match hand-computed literals") {
+    // ADVICE r11: the replay tests above verify CONSISTENCY between
+    // the kernel and a driver recompute of the same floor(v·100+0.5)
+    // tree — a mis-specified quantization would reproduce on both
+    // sides and pass. This pins the metric DEFINITION itself on five
+    // hand-derived cases (worked out from IEEE-754 semantics,
+    // independently cross-checked):
+    //   12.34  → 12.34·100  = 1233.9999999999998 → floor(+0.5) = 1234
+    //   2.675  → 2.675·100  = 267.50000000000003 → 268 (product
+    //            rounds UP in binary; a decimal(12,2) HALF_EVEN cast
+    //            would give 267.50 → this is why the contract is the
+    //            double tree, not a decimal cast)
+    //   -1.005 → -100.49999999999999 → floor(-99.999…) = -100
+    //   0.005  →  0.5 + 0.5 = 1.0  → 1
+    //   -0.005 → -0.5 + 0.5 = 0.0 → 0  (floor(x+0.5) is NOT
+    //            half-away-from-zero at negative boundaries)
+    // and the division tree sum.toDouble/100/count on two groups:
+    //   g1 = [12.34, 2.675, -1.005] → cents 1402 → 1402.0/100/3
+    //      = 4.673333333333333
+    //   g2 = [0.005, -0.005]        → cents 1    → 1.0/100/2 = 0.005
+    import spark.implicits._
+    val fix = Seq(("g1", 12.34), ("g1", 2.675), ("g1", -1.005),
+      ("g2", 0.005), ("g2", -0.005)).toDF("g", "v")
+    val cents = fix.select(col("g"),
+      floor(col("v") * 100 + 0.5).cast("long").as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(cents.toSet == Set(("g1", 1234L), ("g1", 268L), ("g1", -100L),
+      ("g2", 1L), ("g2", 0L)).map(identity),
+      s"quantization drifted: ${cents.toSeq}")
+    val means = fix.groupBy("g")
+      .agg((sum(floor(col("v") * 100 + 0.5).cast("long")).cast("double")
+        / 100 / count(lit(1))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(means("g1") == 4.673333333333333, s"g1 mean ${means("g1")}")
+    assert(means("g2") == 0.005, s"g2 mean ${means("g2")}")
+    // the driver-side replay helper used by the permutation/bootstrap
+    // specs must agree with the same literals (closing the loop: spec
+    // replay == kernel == definition)
+    assert(math.floor(2.675 * 100 + 0.5).toLong == 268L)
+    assert(math.floor(-1.005 * 100 + 0.5).toLong == -100L)
+  }
+
   test("winsorized/trimmed means equal a sequential order-statistics recompute") {
     val got = Analytics.statsWinsorize.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),

@@ -55,6 +55,25 @@ def headline():
 
 RUNS = 3  # min-of-3, matching Bench.scala
 
+# Delivery convention (r12, ADVICE r11): queries are timed through a
+# DELIVERY-FREE consume — CREATE TEMP TABLE AS — which materializes
+# every output column engine-side but never converts rows to Python
+# objects. This matches what graft.Bench measures on the Spark side
+# (a per-partition drain of fully-built unsafe rows on the executors,
+# no driver delivery). The previous fetchall() convention charged
+# DuckDB for Python-object materialization Spark never paid — measured
+# +9 ms on q2 (2k rows) and +48 ms on stream_sessionize (9.5k rows)
+# at sf0.1. Prior-round entries measured > REUSE_OVER_S seconds are
+# carried over unchanged when --reuse points at the previous JSON:
+# at 2000+ s the delivery term is noise, and re-running the two
+# quadratic all-pairs analogs costs ~4 h per measurement.
+REUSE_OVER_S = 60.0
+
+
+def consume(con, sql):
+    """Run `sql` materializing all columns, delivery-free."""
+    con.execute("CREATE OR REPLACE TEMP TABLE _bench_sink AS " + sql)
+
 # Task ANALOGS for the spec-only headline ops: the same user task,
 # done the way a DuckDB user would do it with DuckDB's native tools
 # (no LSH / IVF / sketch-merge machinery to call, so near-dup pairs
@@ -107,10 +126,23 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     times = {}
     analog_names = []
+    reused = []
+    prior = {}
+    prior_path = os.environ.get("BASELINE_REUSE",
+                                out if os.path.exists(out) else "")
+    if prior_path and os.path.exists(prior_path):
+        with open(prior_path) as f:
+            prior = json.load(f)
     measured = {}  # sql text -> seconds; identical analogs measured once
     for name in headline():
         sql, runs = oracles.get(name), RUNS
-        if sql is None and name in ANALOGS:
+        # ANALOGS take precedence even when the op also carries a
+        # (replay-style) correctness oracle: the baseline times what a
+        # DuckDB user would natively run for the same task, not a SQL
+        # replay of graft's own index/signature machinery (r12 fix —
+        # the replay oracles for ann_ivf/text_fingerprint had silently
+        # started shadowing their analogs once they became static)
+        if name in ANALOGS:
             ref, runs = ANALOGS[name]
             if " " in ref:  # raw SQL analog
                 sql = ref
@@ -126,13 +158,18 @@ def main():
         if sql in measured:
             times[name] = measured[sql]
         else:
-            best = None
-            for _ in range(runs):
-                t0 = time.monotonic()
-                con.execute(sql).fetchall()  # materialize every row
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
-            times[name] = measured[sql] = round(best, 4)
+            prior_t = prior.get("queries", {}).get(name)
+            if prior_t is not None and prior_t > REUSE_OVER_S:
+                reused.append(name)
+                times[name] = measured[sql] = prior_t
+            else:
+                best = None
+                for _ in range(runs):
+                    t0 = time.monotonic()
+                    consume(con, sql)  # delivery-free, all columns
+                    dt = time.monotonic() - t0
+                    best = dt if best is None else min(best, dt)
+                times[name] = measured[sql] = round(best, 4)
         print(f"{name}: {times[name]}s"
               + (" (task analog)" if name in analog_names else ""),
               file=sys.stderr)
@@ -150,10 +187,16 @@ def main():
         if sql is None:
             continue
         try:
+            prior_t = prior.get("tier2_queries", {}).get(name)
+            if prior_t is not None and prior_t > REUSE_OVER_S:
+                reused.append(name)
+                tier2_times[name] = prior_t
+                print(f"tier2 {name}: reused {prior_t}s", file=sys.stderr)
+                continue
             best = None
             for _ in range(RUNS):
                 t0 = time.monotonic()
-                con.execute(sql).fetchall()
+                consume(con, sql)
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
             tier2_times[name] = round(best, 4)
@@ -163,6 +206,9 @@ def main():
                   f"{str(e)[:120]}", file=sys.stderr)
     doc = {
         "engine": "duckdb",
+        "consume": "create_temp_table_as (delivery-free; r12)",
+        "reused_over_s": REUSE_OVER_S,
+        "reused": reused,
         "version": duckdb.__version__,
         "threads": con.execute("SELECT current_setting('threads')").fetchone()[0],
         "sf": os.path.basename(sf_dir.rstrip("/")),

@@ -64,7 +64,11 @@ object Relational {
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s0, dir) =>
+    // bounded-reduce pin (r12, measured): ≤6 output groups — the one
+    // shuffle is a |groups|-row aggregate, so AQE's per-stage jobs
+    // buy nothing; Tuned.boundedReduce runs the query as ONE job
+    val s = Tuned.boundedReduce(s0)
     // scale-4 disc product: cents(price) x cents(1-disc) are exact
     // integer doubles (<=1e9 and <=100, product <=1e11 < 2^53), so
     // this equals the decimal(12,2) product sum bit-for-bit.
@@ -421,8 +425,12 @@ object Relational {
       |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rk,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS csum
       |FROM orders WHERE o_custkey < 50
-      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s0, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // bounded-reduce pin (r12): everything past the scan runs over
+    // the ≤~500 literally-bounded rows, so the one repartition(1)
+    // funnel needs no AQE service — ONE scheduler job (Tuned)
+    val s = Tuned.boundedReduce(s0)
     val byCust = Window.partitionBy("o_custkey")
     // `o_custkey < 50` is a LITERAL point predicate: ≤50 customers ×
     // ~10 orders each at ANY corpus size (TPC-H keeps orders/customer

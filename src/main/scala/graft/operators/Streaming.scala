@@ -58,11 +58,14 @@ object Streaming {
     """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start,
       |       event_type, count(*) AS n_events,
       |       round(sum("value"), 2) AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s0, dir) =>
     // |hours in retention|×|types| rows — time-bounded report, not
     // corpus-sized (a decade of hourly buckets is ~90k rows): the
     // global order is a single-partition sort (Bounded), no range
-    // exchange + sampling job over a dashboard-sized aggregate
+    // exchange + sampling job over a dashboard-sized aggregate.
+    // bounded-reduce pin (r12): the one exchange is that
+    // dashboard-sized aggregate — ONE scheduler job (Tuned)
+    val s = graft.operators.Tuned.boundedReduce(s0)
     Bounded.ordered(Streams.windowAgg(Tables.load(s, dir, "events")),
       col("win_start"), col("event_type"))
   }

@@ -774,6 +774,24 @@ class PlanAuditSpec extends SparkSuite {
       s"q22's literal bound no longer pushes to the parquet scan:\n$p")
   }
 
+  test("bounded-reduce ops run non-adaptive on the Tuned session (one scheduler job)") {
+    // Tuned.boundedReduce (r12): ops whose ONLY exchange is a
+    // literally-bounded reduce (q1's ≤6 groups, q22's ≤~500 filtered
+    // rows, stream_window_agg's hours×types dashboard aggregate) run
+    // with AQE off so all stages submit as one job — AQE's per-stage
+    // jobs cost 30-50 ms each and its coalescing has nothing to do on
+    // a bounded reduce. Corpus-shuffling ops must NOT appear here.
+    Seq("q1_agg", "q22_window_funcs", "stream_window_agg").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("AdaptiveSparkPlan"),
+        s"$q lost its bounded-reduce pin (AQE re-enabled):\n$p")
+    }
+    // and the pin must stay ISOLATED: the caller session keeps AQE
+    // (the op derives its own session; shared state untouched)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "an op mutated the shared session's AQE flag")
+  }
+
   test("q30: the binned range join stays a keyed shuffle join, never broadcast") {
     // shuffle_hash pin (r12): without it AQE sees the materialized
     // sides under the broadcast threshold and converts the

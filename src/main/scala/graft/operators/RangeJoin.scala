@@ -71,12 +71,16 @@ object RangeJoin {
     withinGap(ev, ev, gapMicros = 1000000L)
       .filter(col("a.event_id") =!= col("b.event_id"))
       .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"))
-      // MEASURED NEGATIVE (r11): the size-gated single-partition tail
-      // sort that pays off on the other headline tails LOSES here
-      // (0.36 → 0.65 s) — plan stats carry the join's INPUT size, not
-      // its pair fan-out, so the gate mis-classifies a ~600k-pair
-      // result as small and serializes its sort. Pair-generating
-      // joins keep the sampled range sort unconditionally.
+      // Tail audit (r12, corrects the r11 note): the r11 negative
+      // (0.36 → 0.65 s) was the COALESCE-path gate folding the whole
+      // candidate-evaluation stage into one task, not an oversized
+      // result — the sf0.1 pair count is 3,859 (density 0.039 ev/s ×
+      // 1 s gap), not ~600k. A narrow repartition(1) funnel was
+      // retried this round and is a NO-OP: the gate probes the
+      // join's size estimate, which is a product of the children —
+      // over any corpus it exceeds the gate, so the op always lands
+      // on the sampled range sort anyway. Keep orderBy directly;
+      // the pair sort legitimately range-partitions at every scale.
       .orderBy("id_a", "id_b")
   }
 
@@ -154,10 +158,14 @@ object RangeJoin {
       rightPred = col("event_type") === "signup",
       key = "user_id", leftId = "event_id", rightId = "event_id")
       .select(col("left_id").as("purchase_id"), col("right_id").as("signup_id"))
-      // size-gated tail sort (r11): the as-of window's user_id
-      // exchange keeps the scan parallel; small planned estimate →
-      // no range exchange/sampling job, big → sampled sort
-      .transform(Bounded.orderedIfSmall(_, Bounded.SmallSortBytes, col("purchase_id")))
+      // size-gated tail sort via the NARROW funnel (r12; was
+      // orderedIfSmall): a WINDOW stage has no partial reduction, so
+      // coalesce(1) above it folded the whole as-of window pass into
+      // one task (the stream_sessionize finding, same class);
+      // repartition(1) keeps the window stage parallel and funnels
+      // only the matched rows. Small planned estimate still skips
+      // the range exchange/sampling job, big → sampled sort.
+      .transform(Bounded.orderedNarrowIfSmall(_, Bounded.SmallSortBytes, col("purchase_id")))
   }
 
   /** q49: as-of with a TOLERANCE bound (pandas merge_asof's

@@ -91,12 +91,24 @@ object Streaming {
       |       epoch_us(max(ts)) + 1800000000 AS s_end,
       |       count(*) AS n_events
       |FROM g GROUP BY user_id, sid
-      |ORDER BY user_id, s_start""".stripMargin) { (s, dir) =>
-    // size-gated tail sort (r11): the session-window agg's user_id
-    // exchange keeps the scan parallel; small planned estimate → no
-    // range exchange/sampling job, corpus-scaled → sampled sort
+      |ORDER BY user_id, s_start""".stripMargin) { (s0, dir) =>
+    // parallel-coalesce pin (r12): AQE's 1 MB coalesce floor folded
+    // the session-window aggregate of the whole 2.5 MB shuffle into
+    // ONE task (~160 ms single-threaded UpdatingSessions pass,
+    // PROFILE r12); the 64 KB floor keeps AQE and its sizing but
+    // lets the merge stage use the cores (scale-neutral — see Tuned)
+    val s = Tuned.parallelCoalesce(s0)
+    // size-gated tail sort via the NARROW funnel (r12; was
+    // orderedIfSmall): session partials barely reduce — every event
+    // is its own window until the merge — so coalesce(1) here folded
+    // the whole Sort+MergingSessions+final-agg stage over ~|events|
+    // partial rows into ONE task (plan-read + PROFILE: 160 ms
+    // single-threaded). repartition(1) keeps the merge stage
+    // parallel and funnels only the ~|sessions| finished rows; the
+    // small planned estimate still skips the range exchange/sampling
+    // job, corpus-scaled falls back to the sampled sort.
     Streams.sessionize(Tables.load(s, dir, "events"))
-      .transform(Bounded.orderedIfSmall(_, Bounded.SmallSortBytes,
+      .transform(Bounded.orderedNarrowIfSmall(_, Bounded.SmallSortBytes,
         col("user_id"), col("s_start")))
   }
 

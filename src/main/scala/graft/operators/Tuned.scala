@@ -30,6 +30,24 @@ import org.apache.spark.sql.SparkSession
 object Tuned {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]()
+  private val cacheMin =
+    new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]()
+
+  /** AQE kept fully on, but the post-shuffle COALESCE floor lowered
+    * from Spark's 1 MB default to 64 KB: with parallelismFirst
+    * coalescing (the default), AQE targets
+    * max(totalBytes/parallelism, minPartitionSize) — a 2-3 MB
+    * dashboard-scale shuffle coalesces to 1-2 partitions under the
+    * 1 MB floor, serializing a window/agg stage 32 cores could run in
+    * parallel. At cluster scale totalBytes/parallelism dwarfs either
+    * floor, so the knob only affects small shuffles (scale-neutral by
+    * construction). Derived-session isolation as [[boundedReduce]]. */
+  def parallelCoalesce(parent: SparkSession): SparkSession =
+    cacheMin.computeIfAbsent(System.identityHashCode(parent), _ => {
+      val s = parent.newSession()
+      s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
+      s
+    })
 
   /** Shuffle partitions for the pinned ops: enough to spread a
     * bounded reduce, few enough that task-launch overhead stays

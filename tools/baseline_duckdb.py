@@ -108,7 +108,23 @@ ANALOGS = {
 }
 
 
+def loadavg1m():
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return None
+
+
 def main():
+    # quiet-host gate (r12): the baseline is only comparable to a
+    # quiet-host bench artifact if it is itself measured quiet — an
+    # inflated DuckDB number silently flatters every Spark ratio
+    deadline = time.monotonic() + float(os.environ.get("BASELINE_QUIET_WAIT_S", "240"))
+    while (loadavg1m() or 0) > 1.5 and time.monotonic() < deadline:
+        print(f"waiting for loadavg <= 1.5 (now {loadavg1m()})", file=sys.stderr)
+        time.sleep(15)
+    load_start = loadavg1m()
     oracle_path, sf_dir = sys.argv[1], sys.argv[2]
     out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -206,6 +222,7 @@ def main():
                   f"{str(e)[:120]}", file=sys.stderr)
     doc = {
         "engine": "duckdb",
+        "loadavg_start": load_start,
         "consume": "create_temp_table_as (delivery-free; r12)",
         "reused_over_s": REUSE_OVER_S,
         "reused": reused,

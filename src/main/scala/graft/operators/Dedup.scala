@@ -407,7 +407,12 @@ object Dedup {
        |FROM sig a JOIN sig b
        |  ON a.vec_id < b.vec_id AND ${Similarity.bandMatchSql("a", "b")}
        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
-       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+       |ORDER BY id_a, id_b""".stripMargin) { (s0, dir) =>
+    // parallel-coalesce pin (r12): the banded self-join carries
+    // ~1.5 s of cosine-verify task time that AQE's 1 MB coalesce
+    // floor squeezed onto ~10 tasks; the 64 KB floor spreads it
+    // across the cores (scale-neutral — see Tuned.parallelCoalesce)
+    val s = Tuned.parallelCoalesce(s0)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     // shuffle_hash: corpus-sized banded side must never broadcast

@@ -125,7 +125,14 @@ object Bench {
     // guarded like the warmup: a floor-measurement failure must not
     // abort the whole bench — 0.0 just means "no floor correction"
     def measureFloor(): Double =
-      try (1 to 5).map { _ =>
+      // 12 reps (r12; was 5): the floor is defined as the harness's
+      // STEADY-STATE per-query constant, but at run start the first
+      // several one-row plans still pay C2 compilation of the
+      // scheduler path — min-of-5 read 0.06-0.10 s on runs whose
+      // steady floor is 0.02-0.03 s, tripping the acceptance gate on
+      // genuinely quiet hosts. More reps converge the min to the
+      // constant the adjustment is meant to subtract.
+      try (1 to 12).map { _ =>
         val t0 = System.nanoTime()
         spark.range(1).toDF().queryExecution.toRdd
           .foreachPartition(it => while (it.hasNext) it.next())

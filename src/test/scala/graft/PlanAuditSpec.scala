@@ -781,7 +781,8 @@ class PlanAuditSpec extends SparkSuite {
     // with AQE off so all stages submit as one job — AQE's per-stage
     // jobs cost 30-50 ms each and its coalescing has nothing to do on
     // a bounded reduce. Corpus-shuffling ops must NOT appear here.
-    Seq("q1_agg", "q22_window_funcs", "stream_window_agg").foreach { q =>
+    Seq("q1_agg", "q22_window_funcs", "stream_window_agg",
+        "kv_range_scan").foreach { q =>
       val p = plan(q)
       assert(!p.contains("AdaptiveSparkPlan"),
         s"$q lost its bounded-reduce pin (AQE re-enabled):\n$p")

@@ -3139,7 +3139,8 @@ object Analytics {
     * the rounds taken; AnalyticsSpec pins the log-round bound on a
     * chain where label propagation provably cannot converge. */
   private[graft] def largeSmallStar(edgesIn: DataFrame,
-                                    maxIter: Int = 32): (DataFrame, Int) = {
+                                    maxIter: Int = 32,
+                                    localMaxBytes: Long = 64L << 20): (DataFrame, Int) = {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     val spark = edgesIn.sparkSession
@@ -3225,6 +3226,47 @@ object Analytics {
     var e: RDD[(Long, Long)] = e0.as[(Long, Long)].rdd
       .persist(StorageLevel.MEMORY_AND_DISK)
     var eCount = e.count()
+    // SIZE-GATED LOCAL KERNEL (r12): when the deduped edge set fits
+    // one task's budget — the same 64 MB bound Bounded grants a
+    // single sort task, ~48 B per edge — iterating a distributed
+    // contraction is pure scheduling overhead: every one of its
+    // ~2 stages/round exists to move data BETWEEN tasks that a
+    // single task could hold whole. One mapPartitions task runs
+    // union-find with min-representatives (path-halving; the labels
+    // are provably the same component minima the contraction
+    // converges to) in ONE job. The gate is the measured edge COUNT,
+    // not an estimate, and a corpus-scaled graph takes the
+    // distributed loop below — which stays property-pinned by
+    // AnalyticsSpec forcing localMaxBytes = 0. Same smallness
+    // discipline as Bounded.orderedIfSmall, same reason DuckDB's
+    // recursive CTE wins tiny graphs: below one task of data, local
+    // beats distributed by exactly the scheduling constant.
+    if (eCount * 48L <= localMaxBytes) {
+      val stars = e.coalesce(1).mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x
+          while (parent.getOrDefault(c, c) != r) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+        it.foreach { case (u, v) =>
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+        }
+        import scala.jdk.CollectionConverters._
+        // one pointer per non-root node, rooted at the component min
+        parent.keySet.asScala.iterator.map(n => (n, find(n)))
+          .filter { case (n, r) => n != r }
+      }.localCheckpoint()
+      val out = spark.createDataset(stars).toDF("u", "v")
+      out.count() // materialize before unpersisting the input
+      e.unpersist(blocking = false)
+      return (out, 1)
+    }
     while (!converged && rounds < maxIter) {
       // FOUR rounds per materialization (r10 paired two; r11 four):
       // the convergence action and the materialization are the

@@ -490,13 +490,22 @@ class AnalyticsSpec extends SparkSuite {
     // a 200-node chain: diameter 199, so min-label propagation needs
     // ~199 rounds; star contraction should take O(log n)
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("x", "y")
-    val (stars, rounds) = Analytics.largeSmallStar(chain)
+    // localMaxBytes = 0 forces the DISTRIBUTED contraction — this
+    // test pins the log-round property of the loop itself, which the
+    // size-gated local union-find (r12) would otherwise shadow at
+    // fixture scale
+    val (stars, rounds) = Analytics.largeSmallStar(chain, localMaxBytes = 0L)
     assert(rounds <= 15, s"star contraction took $rounds rounds on a 200-chain")
     val labels = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 199L).forall(labels(_) == 0L), "chain must collapse to component 0")
     assert(!labels.contains(0L), "the root holds no star edge")
     // converged state is a star FOREST: exactly one pointer per node
     assert(stars.groupBy("u").count().filter(col("count") > 1).isEmpty)
+    // the local kernel must produce the IDENTICAL forest (pointer per
+    // non-root node, rooted at the component min)
+    val local = Analytics.largeSmallStar(chain)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == labels, "local union-find diverges from the contraction")
     // the diameter-bound algorithm provably cannot finish a 61-node
     // chain in 12 rounds — this is WHY the operator exists
     val chain60 = (0L until 60L).map(i => (i, i + 1)).toDF("x", "y")
@@ -1476,12 +1485,20 @@ class AnalyticsSpec extends SparkSuite {
       val edges = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
       val df = edges.toDF("x", "y")
-      val (stars, _) = Analytics.largeSmallStar(df)
-      val viaStar = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // BOTH kernels against the independent propagation oracle: the
+      // size-gated local union-find (default) and the distributed
+      // contraction (localMaxBytes = 0), which the gate would
+      // otherwise hide at fixture scale (r12)
+      val viaStar = Analytics.largeSmallStar(df)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaDist = Analytics.largeSmallStar(df, localMaxBytes = 0L)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val viaProp = graft.operators.Dedup.connectedComponents(df, maxIter = 60)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val aligned = viaProp.map { case (node, _) => node -> viaStar.getOrElse(node, node) }
       assert(aligned == viaProp, s"trial $trial (n=$n): star labels diverge from propagation")
+      assert(viaDist == viaStar,
+        s"trial $trial (n=$n): distributed contraction diverges from local union-find")
     }
   }
 

@@ -55,6 +55,10 @@ object Dedup {
       |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
       |       count(*) AS n_copies
       |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    // sized one-job pin: MEASURED NEGATIVE (r12, two interleaved A/B
+    // batches, +2%/+28%): the md5-keyed agg exchange moves whole
+    // hash+count partials — AQE's coalesced 1-2 partitions beat the
+    // static 8-task floor's per-task constants. Keep AQE.
     corpusExact(s, dir)
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
@@ -408,10 +412,13 @@ object Dedup {
        |  ON a.vec_id < b.vec_id AND ${Similarity.bandMatchSql("a", "b")}
        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin) { (s0, dir) =>
-    // parallel-coalesce pin (r12): the banded self-join carries
-    // ~1.5 s of cosine-verify task time that AQE's 1 MB coalesce
-    // floor squeezed onto ~10 tasks; the 64 KB floor spreads it
-    // across the cores (scale-neutral — see Tuned.parallelCoalesce)
+    // sized one-job pin: MEASURED NEGATIVE (r12, interleaved A/B:
+    // +123% on one batch, the worst regression of the sweep) — with
+    // AQE off the static core-count partitioning serializes the
+    // single-split checkpoint read into the join's 32-way exchange
+    // and loses the coalesce right-sizing the verify stage depends
+    // on. The r12 parallel-coalesce pin (64 KB floor, AQE kept)
+    // remains the measured best shape.
     val s = Tuned.parallelCoalesce(s0)
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))

@@ -71,6 +71,9 @@ object KV {
   val kvCompact: Op = Op.sql("kv_compact",
     s"""WITH $kvCte
        |SELECT * FROM ${mergeSql("kv")} ORDER BY key""".stripMargin) { (s, dir) =>
+    // sized one-job pin: MEASURED NEGATIVE (r12, two interleaved A/B
+    // batches, +6%/+10%): the latest-wins merge exchange is small
+    // enough that AQE's coalescing beats the static floor. Keep AQE.
     kv(s, dir).compacted()
   }
 

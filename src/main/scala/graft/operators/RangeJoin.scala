@@ -60,7 +60,16 @@ object RangeJoin {
       |  ON epoch_us(b.ts) >= epoch_us(a.ts)
       | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1000000
       | AND a.event_id <> b.event_id
-      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      |ORDER BY id_a, id_b""".stripMargin) { (s0, dir) =>
+    // sized one-job pin (r12, measured): 5 AQE stage jobs (two bin
+    // exchanges + join + sampling + sort) → 2 (main + the range
+    // sort's sampling pass, which reuses the bin shuffles' map
+    // output and re-runs only the cheap join reduce). Partitions
+    // derive from the events estimate (Tuned.sizedOneJob); the
+    // shuffle key is the time BIN — density-uniform by construction
+    // (0.039 ev/s, see withinGap) — so AQE's skew splitting has
+    // nothing to do here.
+    val s = Tuned.sizedOneJob(s0, Tables.load(s0, dir, "events"))
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
     // NO checkpoint before the global sort (r10, measured 0.35 vs
@@ -147,7 +156,12 @@ object RangeJoin {
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
-      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      |ORDER BY purchase_id""".stripMargin) { (s0, dir) =>
+    // sized one-job pin (r12, measured): 3 AQE stage jobs (key
+    // exchange + window stage + funnel sort) → 1. Partitions derive
+    // from the events estimate; the window key is the uniform
+    // synthetic user_id — no skew splitting to lose.
+    val s = Tuned.sizedOneJob(s0, Tables.load(s0, dir, "events"))
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))

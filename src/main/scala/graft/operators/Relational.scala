@@ -104,7 +104,12 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s0, dir) =>
+    // sized one-job pin (r12, measured): 2 AQE stage jobs (narrow
+    // funnel exchange + sort) → 1. The only exchange is the gated
+    // repartition(1) funnel (or the sampled range sort on the big
+    // path) — AQE had no partition decision to make here at all.
+    val s = Tuned.sizedOneJob(s0, t(s0, dir, "lineitem"))
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
         && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
@@ -213,7 +218,17 @@ object Relational {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
       |GROUP BY n_name
-      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s0, dir) =>
+    // sized one-job pin (r12, measured): 6 AQE stage jobs → 1. The
+    // only exchange is the ≤25-row nation aggregate; the four dim
+    // joins stay estimate-driven broadcasts under the static
+    // planner (same shape AQE picked), and the broadcast builds now
+    // OVERLAP the lineitem map stage on the exchange thread pool
+    // instead of serializing as AQE stage waves. Shuffle partitions
+    // derive from the lineitem estimate (Tuned.sizedOneJob). Skew:
+    // the one shuffle key is (returnflag-style) bounded-domain
+    // n_name — no skew splitting to lose.
+    val s = Tuned.sizedOneJob(s0, t(s0, dir, "lineitem"))
     // Join-order lab (r12, both MEASURED NEGATIVE vs this shape's
     // 0.42 s at equal load): (a) dims-first with the fact join left
     // to AQE — 0.74-0.83 s: AQE broadcast-converts the 13.5k-row
@@ -792,6 +807,12 @@ object Relational {
     """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot
       |FROM orders GROUP BY o_custkey
       |ORDER BY tot DESC, o_custkey LIMIT 10""".stripMargin) { (s, dir) =>
+    // sized one-job pin: MEASURED NEGATIVE (r12, two interleaved A/B
+    // batches): 2 jobs → 1, but +17%/+24% wall — the 150k-key agg
+    // exchange at the static 8-partition floor pays more per-task
+    // constant than AQE's 1-2 coalesced partitions plus its one
+    // stage job. AQE's coalescing IS the right shape for a 1.2 MB
+    // shuffle; keep it.
     t(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(sumScaled(col("o_totalprice"), 2).cast("double").as("tot"))

@@ -61,6 +61,11 @@ object Similarity {
        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) <= $TopK
        |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
+    // sized one-job pin: MEASURED NEGATIVE (r12, two interleaved A/B
+    // batches, +13%/+41%): the WindowGroupLimit shuffle is ~queries×k
+    // rows per map split — AQE coalesces it to one partition for one
+    // stage job, cheaper than the static 8-task floor's launch
+    // constants. Keep AQE.
     val e = emb(s, dir)
     // queries×k rows — client-sized: single-partition order (Bounded)
     Bounded.ordered(bruteTopK(e, e.filter(col("vec_id") < NumQueries), TopK),
@@ -172,6 +177,15 @@ object Similarity {
       // instead of two 64-float vectors per candidate
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         cosine(col("q.v"), col("c.v")).as("cos_raw"))
+      // ONE exchange for dedup + ranking (r12, measured): the
+      // multi-band dedup keys on (query_id, neighbor_id) and the
+      // top-k window on query_id — left to itself Catalyst plans two
+      // exchanges. Partitioning by query_id alone satisfies BOTH
+      // clustering requirements (same pair ⇒ same query_id), so one
+      // explicit repartition serves the aggregate and the window;
+      // the rows it moves are the same (id, id, cos) scalars the
+      // dedup exchange carried.
+      .repartition(col("query_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(first("cos_raw").as("cos_raw"))
     cands
@@ -195,7 +209,12 @@ object Similarity {
        |FROM q JOIN sig c ON q.vec_id <> c.vec_id AND ${bandMatchSql("q", "c")}
        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) <= $TopK
-       |ORDER BY query_id, neighbor_id""".stripMargin) { (s, dir) =>
+       |ORDER BY query_id, neighbor_id""".stripMargin) { (s0, dir) =>
+    // sized one-job pin (r12, measured): 4 AQE stage jobs (two band
+    // exchanges + candidate exchange + window/sort) → 1. Partitions
+    // derive from the embeddings estimate; shuffle keys are banded
+    // signatures and query ids — hash-uniform by construction.
+    val s = Tuned.sizedOneJob(s0, emb(s0, dir))
     val e = emb(s, dir)
     Bounded.ordered(lshTopK(e, e.filter(col("vec_id") < NumQueries), TopK),
       col("query_id"), col("neighbor_id"))

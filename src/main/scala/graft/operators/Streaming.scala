@@ -92,12 +92,16 @@ object Streaming {
       |       count(*) AS n_events
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, s_start""".stripMargin) { (s0, dir) =>
-    // parallel-coalesce pin (r12): AQE's 1 MB coalesce floor folded
-    // the session-window aggregate of the whole 2.5 MB shuffle into
-    // ONE task (~160 ms single-threaded UpdatingSessions pass,
-    // PROFILE r12); the 64 KB floor keeps AQE and its sizing but
-    // lets the merge stage use the cores (scale-neutral — see Tuned)
-    val s = Tuned.parallelCoalesce(s0)
+    // sized one-job pin (r12, measured; supersedes the r12
+    // parallel-coalesce pin): 3 AQE stage jobs → 1. The session-
+    // window merge is per-row heavy (the 1 MB-coalesce finding
+    // below), so the local partition floor is the CORE COUNT — the
+    // static equivalent of the 64 KB coalesce floor this replaces;
+    // at scale the size-derived term takes over. Window key =
+    // uniform synthetic user_id.
+    val s = Tuned.sizedOneJob(s0,
+      s0.sparkContext.defaultParallelism,
+      Tables.load(s0, dir, "events"))
     // size-gated tail sort via the NARROW funnel (r12; was
     // orderedIfSmall): session partials barely reduce — every event
     // is its own window until the merge — so coalesce(1) here folded

@@ -32,6 +32,94 @@ object Tuned {
     new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]()
   private val cacheMin =
     new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]()
+  private val cacheSized =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), SparkSession]()
+
+  /** Shuffle-partition target for [[sizedOneJob]]: the same
+    * 64 MB/partition advisory AQE coalesces toward — the static
+    * sizing reproduces AQE's outcome without AQE's per-stage jobs. */
+  private val SizedPartitionBytes = BigInt(64L << 20)
+
+  /** AQE-off one-job session with SIZE-DERIVED static shuffle
+    * partitions (r12, VERDICT r11 task 1's "measured per-query
+    * AQE-off pin" with largeSmallStar's plan-side sizing): under AQE
+    * every exchange materializes as its own scheduler job plus a
+    * driver-side re-optimization — a measured 25-50 ms/job constant
+    * at sf0.1 (PROFILE job timelines) that dominates queries whose
+    * total task time is <300 ms. With AQE off the whole query is ONE
+    * scheduler job (all stages submitted together, broadcast builds
+    * overlap the map stages on the exchange thread pool).
+    *
+    * What AQE would have provided is re-derived statically:
+    *  - partition sizing: `spark.sql.shuffle.partitions` is computed
+    *    from the ANALYZED plan's size estimate of the op's input
+    *    frames (file sizes folded through the plan, <1 ms, no job —
+    *    the Bounded gate's machinery) times the parquet
+    *    decompression factor, at AQE's own 64 MB/partition advisory
+    *    target, floored at the session's core count and rounded up
+    *    to a power of two (so the memoized-session set stays
+    *    bounded). At sf0.1 that lands on |cores| partitions — one
+    *    task wave; at 100 TB inputs it derives thousands of
+    *    partitions, exactly what AQE's coalescing would produce.
+    *    NOT a local[32] constant (the r12 rule): the count scales
+    *    with the input estimate and the harness core count.
+    *  - join strategy: the ops pinned here either hint their joins
+    *    (shuffle_hash for corpus-sized banded sides) or join
+    *    broadcast-safe dims; the static planner keeps the
+    *    estimate-driven broadcast threshold, and at sizes past it
+    *    degrades to the sort-merge default — the pre-AQE posture
+    *    every production Spark 2.x cluster ran.
+    *  - what is genuinely LOST is runtime skew-splitting; callers
+    *    must be ops whose shuffle keys are structurally low-skew
+    *    (time bins, uniform synthetic ids, banded signatures) —
+    *    documented per call site.
+    *
+    * Derived-session isolation (ADVICE r11): parent session is never
+    * mutated; memoized per (parent, partition count) so the Tables
+    * relation cache stays warm across bench repetitions. */
+  def sizedOneJob(parent: SparkSession,
+                  inputs: org.apache.spark.sql.DataFrame*): SparkSession =
+    sizedOneJob(parent, PinnedShufflePartitions, inputs: _*)
+
+  /** [[sizedOneJob]] with an explicit local partition floor — pass
+    * the session core count when the pinned op's post-shuffle
+    * per-row work is heavy enough that a reduced local fan-out would
+    * serialize it (the Tuned.parallelCoalesce class of stages). */
+  def sizedOneJob(parent: SparkSession, minPartitions: Int,
+                  inputs: org.apache.spark.sql.DataFrame*): SparkSession = {
+    // measurement escape hatch: lets a bench A/B toggle the pin
+    // WITHOUT a recompile, so both variants run minutes apart on the
+    // same host state (the throttling sandbox makes cross-build
+    // comparisons unreliable). Never set outside A/B runs.
+    if (sys.env.get("GRAFT_DISABLE_SIZED_PIN").contains("1")) return parent
+    val bytes = inputs
+      .map(_.queryExecution.analyzed.stats.sizeInBytes *
+        Bounded.DecompressionFactor).sum
+    val need = ((bytes + SizedPartitionBytes - 1) / SizedPartitionBytes)
+      .min(BigInt(1 << 20)).max(BigInt(1)).toInt
+    // local floor: [[PinnedShufflePartitions]], NOT the core count —
+    // on dashboard-scale shuffles (the only place the floor binds;
+    // the size term dominates past 8·64 MB of input) a full
+    // core-count fan-out just multiplies per-task launch constants
+    // onto sub-MB stages, the exact overhead AQE's coalescing
+    // removes (measured: q30 0.54 → 0.73 s with a 32-task floor on
+    // tiny bin shuffles). Callers whose per-row work is heavy enough
+    // to need the full fan-out pass `minPartitions = cores`.
+    val raw = math.max(math.min(minPartitions,
+      parent.sparkContext.defaultParallelism), need)
+    // round UP to a power of two: bounds the distinct memoized
+    // sessions (log2 many) while never undershooting the size target
+    val n = Integer.highestOneBit(raw) match {
+      case h if h == raw => raw
+      case h => h << 1
+    }
+    cacheSized.computeIfAbsent((System.identityHashCode(parent), n), _ => {
+      val s = parent.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      s
+    })
+  }
 
   /** AQE kept fully on, but the post-shuffle COALESCE floor lowered
     * from Spark's 1 MB default to 64 KB: with parallelismFirst

@@ -70,27 +70,44 @@ object RangeJoin {
     // (0.039 ev/s, see withinGap) — so AQE's skew splitting has
     // nothing to do here.
     val s = Tuned.sizedOneJob(s0, Tables.load(s0, dir, "events"))
-    val ev = Tables.load(s, dir, "events")
-      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
     // NO checkpoint before the global sort (r10, measured 0.35 vs
-    // 0.62 s): the range partitioner's sampling pass is far cheaper
-    // than a full materialization here — AQE already materializes the
-    // join's INPUTS, so the re-run the sampler pays is just the
-    // (cheap) join itself, not the scans.
-    withinGap(ev, ev, gapMicros = 1000000L)
-      .filter(col("a.event_id") =!= col("b.event_id"))
-      .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"))
-      // Tail audit (r12, corrects the r11 note): the r11 negative
-      // (0.36 → 0.65 s) was the COALESCE-path gate folding the whole
-      // candidate-evaluation stage into one task, not an oversized
-      // result — the sf0.1 pair count is 3,859 (density 0.039 ev/s ×
-      // 1 s gap), not ~600k. A narrow repartition(1) funnel was
-      // retried this round and is a NO-OP: the gate probes the
-      // join's size estimate, which is a product of the children —
-      // over any corpus it exceeds the gate, so the op always lands
-      // on the sampled range sort anyway. Keep orderBy directly;
-      // the pair sort legitimately range-partitions at every scale.
-      .orderBy("id_a", "id_b")
+    // 0.62 s): the range partitioner's sampling pass re-runs only
+    // the (cheap) join reduce over reused shuffle map output, far
+    // cheaper than a full materialization.
+    //
+    // ONE-TEXT construction (r12, measured): a single sql() analysis
+    // pass replacing the ~8-Dataset withinGap chain. The SQL is
+    // withinGap's bin-and-overlap verbatim (one side replicated into
+    // bin and bin−1, residual range predicate in the join output;
+    // the SHUFFLE_HASH hint on the un-exploded side keeps the keyed
+    // shuffle join — see withinGap's scale note). withinGap remains
+    // the API face for other callers; a semantic change THERE must
+    // be mirrored HERE.
+    //
+    // Tail audit (r12, corrects the r11 note): the r11 negative
+    // (0.36 → 0.65 s) was the COALESCE-path gate folding the whole
+    // candidate-evaluation stage into one task, not an oversized
+    // result — the sf0.1 pair count is 3,859 (density 0.039 ev/s ×
+    // 1 s gap), not ~600k. A narrow repartition(1) funnel is a
+    // NO-OP: the join's size estimate is a product of the children —
+    // over any corpus it exceeds the gate, so the op always lands
+    // on the sampled range sort anyway. Keep ORDER BY directly; the
+    // pair sort legitimately range-partitions at every scale.
+    Tables.registerAllOnce(s, dir)
+    s.sql("""
+      SELECT /*+ SHUFFLE_HASH(a) */
+             a.event_id AS id_a, b.event_id AS id_b
+      FROM (SELECT event_id, ts_us, ts_us div 1000000 AS _bin
+            FROM (SELECT event_id, unix_micros(ts) AS ts_us FROM events)) a
+      JOIN (SELECT event_id, ts_us,
+                   explode(array(ts_us div 1000000, ts_us div 1000000 - 1))
+                     AS _bin
+            FROM (SELECT event_id, unix_micros(ts) AS ts_us FROM events)) b
+        ON a._bin = b._bin
+      WHERE b.ts_us >= a.ts_us AND b.ts_us <= a.ts_us + 1000000
+        AND a.event_id <> b.event_id
+      ORDER BY id_a, id_b
+    """)
   }
 
   /** AS-OF join, Spark-first: for each left row, the latest right
@@ -162,16 +179,37 @@ object RangeJoin {
     // from the events estimate; the window key is the uniform
     // synthetic user_id — no skew splitting to lose.
     val s = Tuned.sizedOneJob(s0, Tables.load(s0, dir, "events"))
-    val ev = Tables.load(s, dir, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
-    // one-scan tagged input (r11): both sides are event types of the
-    // SAME log, so the two-frame form read events twice
-    asofOneSource(ev,
-      leftPred = col("event_type") === "purchase",
-      rightPred = col("event_type") === "signup",
-      key = "user_id", leftId = "event_id", rightId = "event_id")
-      .select(col("left_id").as("purchase_id"), col("right_id").as("signup_id"))
+    Tables.registerAllOnce(s, dir)
+    // ONE-TEXT construction (r12, measured): the Dataset API
+    // analyzes eagerly per transformation, so the asofOneSource +
+    // select chain re-ran the analyzer ~8 times per bench rep —
+    // construction/planning INSIDE the timed region. One sql() text
+    // is a single analysis pass over the same logical plan. The SQL
+    // replays asofOneSource/asofCore exactly (one-scan disjoint
+    // side-tagging, side-0-sorts-first inclusive tie rule) — those
+    // remain the API faces for q49/q77 and genuinely two-frame
+    // callers; a semantic change THERE must be mirrored HERE.
+    // nested subqueries, NOT a WITH-CTE: the Bounded gate probes the
+    // ANALYZED plan, where a CTERelationRef reports the
+    // defaultSizeInBytes sentinel — a CTE here silently flips the
+    // gated tail onto the sampled range sort (measured: 1 job → 2).
+    s.sql("""
+      SELECT _lid AS purchase_id, _asof AS signup_id FROM (
+        SELECT _side, _lid,
+               last(_rid, true) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, _side
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _asof
+        FROM (
+          SELECT user_id, unix_micros(ts) AS ts_us,
+                 CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS _side,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(event_id AS BIGINT) END AS _lid,
+                 CASE WHEN event_type = 'signup'
+                      THEN CAST(event_id AS BIGINT) END AS _rid
+          FROM events
+          WHERE event_type = 'purchase' OR event_type = 'signup'))
+      WHERE _side = 1
+    """)
       // size-gated tail sort via the NARROW funnel (r12; was
       // orderedIfSmall): a WINDOW stage has no partial reduction, so
       // coalesce(1) above it folded the whole as-of window pass into

@@ -237,30 +237,39 @@ object Relational {
     // stages (stack-sampled); (b) dims-first with the fact join
     // pinned shuffle_hash — 0.50-0.55 s: pays the 600k-row lineitem
     // exchange this shape's all-broadcast chain avoids entirely. The
-    // shape below keeps every estimate-driven decision with AQE: at
-    // sf0.1 every non-fact side sits under the threshold so the scan
-    // feeds a pure BHJ chain + partial agg in one stage; at 100 TB
-    // the same code degrades to keyed shuffle joins exactly where the
-    // runtime sizes demand it.
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01")),
-        col("l_orderkey") === col("o_orderkey"))
-      // nation/region are fixed 25/5-row dims — always broadcastable;
-      // customer scales with SF, so its join is left to the
-      // threshold/AQE rather than force-broadcast
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
-        col("n_regionkey") === col("r_regionkey"))
-      .groupBy("n_name")
-      // scale-4 product of exact cent integers (see q1_agg's discProd,
-      // incl. the floor-not-Round rationale): equals the oracle's
-      // decimal(12,2) product sum bit-for-bit, summed in primitive
-      // long instead of per-row Decimal
-      .agg(sumScaled(floor(col("l_extendedprice") * 100 + 0.5) *
-          floor((lit(1) - col("l_discount")) * 100 + 0.5) / 1e4, 4)
-        .cast("double").as("revenue"))
+    // shape below keeps every estimate-driven decision with the
+    // static planner: at sf0.1 every non-fact side sits under the
+    // threshold so the scan feeds a pure BHJ chain + partial agg in
+    // one stage; at 100 TB the same code degrades to keyed shuffle
+    // joins exactly where the size estimates demand it.
+    //
+    // ONE-TEXT construction (r12, measured): the 5-join Dataset
+    // chain re-ran the eager analyzer ~8 times per bench rep; one
+    // sql() text is a single analysis pass over the same logical
+    // plan. nation/region are fixed 25/5-row dims — always
+    // broadcastable (hinted, as broadcast() was); customer scales
+    // with SF, so its join is left to the size threshold. The
+    // scale-4 product of exact cent integers (see q1_agg's discProd,
+    // incl. the floor-not-Round rationale) equals the oracle's
+    // decimal(12,2) product sum bit-for-bit, summed in primitive
+    // long via graft_sum_scaled.
+    Tables.registerAllOnce(s, dir)
+    s.sql("""
+      SELECT /*+ BROADCAST(nation), BROADCAST(region) */ n_name,
+             CAST(graft_sum_scaled(
+               floor(l_extendedprice * 100 + 0.5) *
+               floor((1 - l_discount) * 100 + 0.5) / 1e4, 4) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY n_name
+    """)
       // ≤25 nation groups: single-partition order (Bounded)
       .transform(Bounded.ordered(_, col("revenue").desc, col("n_name")))
   }

@@ -111,7 +111,22 @@ object Streaming {
     // parallel and funnels only the ~|sessions| finished rows; the
     // small planned estimate still skips the range exchange/sampling
     // job, corpus-scaled falls back to the sampled sort.
-    Streams.sessionize(Tables.load(s, dir, "events"))
+    //
+    // ONE-TEXT construction (r12, measured): a single sql() analysis
+    // pass replaying Streams.sessionize's batch semantics verbatim
+    // (same session_window(ts, '30 minutes') aggregate; the
+    // withWatermark wrapper is a batch no-op and the streaming spec
+    // keeps driving Streams.sessionize itself). A semantic change
+    // THERE must be mirrored HERE.
+    Tables.registerAllOnce(s, dir)
+    s.sql("""
+      SELECT user_id, unix_micros(sw.start) AS s_start,
+             unix_micros(sw.end) AS s_end, n_events
+      FROM (SELECT session_window(ts, '30 minutes') AS sw, user_id,
+                   count(1) AS n_events
+            FROM events
+            GROUP BY session_window(ts, '30 minutes'), user_id)
+    """)
       .transform(Bounded.orderedNarrowIfSmall(_, Bounded.SmallSortBytes,
         col("user_id"), col("s_start")))
   }

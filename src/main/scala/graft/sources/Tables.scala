@@ -67,4 +67,18 @@ object Tables {
   /** Register every table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // registerAllOnce memo — same key discipline as the relation cache
+  // above (identity of the session + dir); registration is plan-only
+  // catalog state, so the memo holds no data.
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
+
+  /** [[registerAll]] memoized per (session, dir): ops that build
+    * their plan from ONE sql() text (r12) re-register views on every
+    * bench repetition otherwise — ten catalog commands inside the
+    * timed region. */
+  def registerAllOnce(spark: SparkSession, dir: String): Unit =
+    registered.computeIfAbsent(
+      (System.identityHashCode(spark), dir), _ => { registerAll(spark, dir); true })
 }

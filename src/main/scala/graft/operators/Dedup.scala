@@ -190,7 +190,16 @@ object Dedup {
   }
 
   val dedupMinhashLsh: Op = Op.sql("dedup_minhash_lsh", minhashOracleSql) {
-    (s, dir) => minhashCandidates(corpusNear(s, dir)).orderBy("id_a", "id_b")
+    (s0, dir) =>
+      // sized one-job pin (r12, measured): 6 AQE stage jobs
+      // (checkpoint + two band-explode exchanges + distinct +
+      // sampling + sort) → 3 (checkpoint + main + the range sort's
+      // sampling pass). Band keys are minhash values — uniform by
+      // construction, nothing for skew splitting to do; the heavy
+      // text kernel runs in the scan stage, untouched by the
+      // partition conf.
+      val s = Tuned.sizedOneJob(s0, docs(s0, dir))
+      minhashCandidates(corpusNear(s, dir)).orderBy("id_a", "id_b")
   }
 
   // ---- n-gram Jaccard verification --------------------------------
@@ -389,7 +398,11 @@ object Dedup {
       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b, hamming FROM pairs
       |WHERE hamming <= 7 AND clean >= 3
-      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      |ORDER BY id_a, id_b""".stripMargin) { (s0, dir) =>
+    // sized one-job pin (r12, measured): same shape and rationale as
+    // dedup_minhash_lsh above — 6 AQE stage jobs → 3; chunk-triple
+    // block keys are fmix64 output, uniform.
+    val s = Tuned.sizedOneJob(s0, docs(s0, dir))
     simhashPairs(corpusNear(s, dir)).orderBy("id_a", "id_b")
   }
 

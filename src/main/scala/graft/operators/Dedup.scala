@@ -451,6 +451,12 @@ object Dedup {
     // it is for the 3-scalar-column stats kernels, and the exchange
     // also splits the eager checkpoint across 32 block writes. The
     // single-split scan keeps the kernel.
+    // r12 retest: DROPPING this checkpoint entirely (recompute the
+    // banding per join side) measured a wash within host noise
+    // (min 0.709 vs 0.728 s interleaved) — kept for the determinism
+    // guarantee the self-join wants (both sides read one
+    // materialization) and the r10 measurement against the
+    // pre-explode variant.
     val b = e.select(col("vec_id"), col("v"),
       posexplode(Similarity.hyperplaneBands(col("v"))).as(Seq("band_id", "band_bits")))
       .localCheckpoint(true)

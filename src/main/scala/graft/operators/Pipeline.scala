@@ -41,6 +41,12 @@ object Pipeline {
       |       CAST(sum(length(t)) AS BIGINT) AS n_chars,
       |       CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_words
       |FROM assigned GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+    // Parallel.floor on the raw docs: MEASURED NEGATIVE (r12,
+    // matched-floor A/B 1.55-1.62 → 1.92-2.35 s) — four regex passes
+    // per doc still lose to serializing the full text payload
+    // through the single scan task's shuffle write, the same
+    // boundary Parallel's doc records for the dedup text kernels.
+    // The regex chain stays fused into the scan.
     val scrubbed = Tables.load(s, dir, "documents").select(col("doc_id"),
       regexp_replace(regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
         TextAnalysis.PhoneRe, "<PHONE>").as("text"))

@@ -146,7 +146,31 @@ object Bench {
     // ~0.03 s, overstating the very constant it subtracts. The
     // post-run floor is the fixed cost the later queries actually
     // paid; both readings are recorded.
-    val floorBefore = measureFloor()
+    //
+    // FLOOR-CONVERGENCE WAIT (r13): loadavg clears minutes before the
+    // sandbox's burstable-CPU credits refill, so r12's driver run
+    // started at loadavg 1.44 but floor 0.144 — self-rejected by its
+    // own gate and every query time inflated 2-6x by the throttle.
+    // For full (non-subset) runs, if the start floor misses the 0.06
+    // acceptance gate, sleep and re-probe within its own bounded
+    // budget (SPARK_GRAFT_FLOOR_WAIT_S, default 300 s) until the
+    // probe clears or the budget runs out. Timing methodology is
+    // unchanged — this only moves WHEN the measured run starts, the
+    // same role as the loadavg wait above; a run that never clears is
+    // still emitted, still stamped "accepted": false.
+    val floorBefore = {
+      var f = measureFloor()
+      if (args.isEmpty) {
+        val floorDeadline = System.nanoTime() +
+          sys.env.getOrElse("SPARK_GRAFT_FLOOR_WAIT_S", "300").toLong * 1000000000L
+        while (f >= 0.06 && System.nanoTime() < floorDeadline) {
+          System.err.println(f"[bench] floor $f%.3f >= 0.06 gate, waiting for CPU credits")
+          Thread.sleep(20000)
+          f = measureFloor()
+        }
+      }
+      f
+    }
 
     // min of 3 runs: steady-state throughput (what a warm cluster
     // job sees), not first-run codegen/JIT compilation or a stray

@@ -457,14 +457,38 @@ object Dedup {
     // guarantee the self-join wants (both sides read one
     // materialization) and the r10 measurement against the
     // pre-explode variant.
+    // the full packed-signature array rides each band row (+4 longs
+    // against a 64-double vector, ~6% wider) to enable the
+    // FIRST-MATCH filter below
     val b = e.select(col("vec_id"), col("v"),
-      posexplode(Similarity.hyperplaneBands(col("v"))).as(Seq("band_id", "band_bits")))
+        Similarity.hyperplaneBands(col("v")).as("bands"))
+      .select(col("vec_id"), col("v"), col("bands"),
+        posexplode(col("bands")).as(Seq("band_id", "band_bits")))
       .localCheckpoint(true)
       .hint("shuffle_hash")
+    // FIRST-MATCH pair dedup (r13, measured): a pair sharing m bands
+    // used to surface m(≤SigBands) times, evaluate the 64-dim cosine
+    // kernel m times, and rely on a distinct exchange to collapse the
+    // copies. Keeping only the row whose band_id is the SMALLEST
+    // matching band — i.e. every earlier band differs, a pure codegen
+    // comparison of the band arrays both sides already carry — emits
+    // each pair exactly once at the join, so the verify kernel runs
+    // once per pair and the distinct becomes a pass-through over
+    // already-unique scalars (kept: its post-shuffle estimate is what
+    // lets the size gate pick the single-partition tail sort, and at
+    // corpus scale a keyed exchange over final pairs is the right
+    // shape anyway). Same rows at every scale: the kept band is a
+    // function of the pair's signatures, not of partitioning.
+    val firstMatch = (0 until Similarity.SigBands).map { j =>
+      (0 until j).map(i =>
+          element_at(col("a.bands"), i + 1) =!= element_at(col("b.bands"), i + 1))
+        .foldLeft(col("a.band_id") === j)(_ && _)
+    }.reduce(_ || _)
     b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_bits") === col("b.band_bits") &&
         col("a.vec_id") < col("b.vec_id"))
+      .filter(firstMatch)
       // verify before the dedup shuffle: cosine runs codegen'd in the
       // join output stream, so sub-threshold bucket collisions die
       // here and the distinct carries only (id, id, cos) scalars

@@ -112,20 +112,39 @@ object Streaming {
     // small planned estimate still skips the range exchange/sampling
     // job, corpus-scaled falls back to the sampled sort.
     //
-    // ONE-TEXT construction (r12, measured): a single sql() analysis
-    // pass replaying Streams.sessionize's batch semantics verbatim
-    // (same session_window(ts, '30 minutes') aggregate; the
-    // withWatermark wrapper is a batch no-op and the streaming spec
-    // keeps driving Streams.sessionize itself). A semantic change
-    // THERE must be mirrored HERE.
+    // ONE-TEXT construction (r12) now on the LAG/CUMSUM formulation
+    // (r13, measured): the session_window replay's MergingSessions
+    // aggregate cost ~1.86 s of task time for 100k events (≈19 µs/row
+    // — sort + per-row session-object merge, graft.Profile), where
+    // the equivalent lag-gap-split + running-sum + hash-agg plan is
+    // one (user_id, ts) sort feeding TWO frame processors in a single
+    // WindowExec and a codegen'd aggregate. Row-identical by the
+    // BoundarySpec boundary convention (session_window merges while
+    // next <= prev + gap ⇔ a strict > gap starts a new session;
+    // s_end = max(ts) + gap IS session_window's end) — and
+    // tie-stable: equal timestamps always co-session whichever side
+    // of the lag they land, and the cumulative sum's RANGE frame
+    // gives tied rows one sid. OneTextParitySpec asserts this plan ==
+    // Streams.sessionize (the streaming face, which keeps the real
+    // session_window aggregate and its streaming spec) row for row —
+    // a semantic change THERE must be mirrored HERE.
     Tables.registerAllOnce(s, dir)
     s.sql("""
-      SELECT user_id, unix_micros(sw.start) AS s_start,
-             unix_micros(sw.end) AS s_end, n_events
-      FROM (SELECT session_window(ts, '30 minutes') AS sw, user_id,
-                   count(1) AS n_events
-            FROM events
-            GROUP BY session_window(ts, '30 minutes'), user_id)
+      SELECT user_id, unix_micros(min(ts)) AS s_start,
+             unix_micros(max(ts)) + 1800000000 AS s_end,
+             count(1) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        FROM (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events))
+      GROUP BY user_id, sid
     """)
       .transform(Bounded.orderedNarrowIfSmall(_, Bounded.SmallSortBytes,
         col("user_id"), col("s_start")))

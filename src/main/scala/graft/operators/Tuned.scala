@@ -28,12 +28,17 @@ import org.apache.spark.sql.SparkSession
   * concurrent caller keeps AQE (the ADVICE r11 isolation rule).
   */
 object Tuned {
+  // Keyed on the parent SparkSession OBJECT (r13, ADVICE r12):
+  // SparkSession does not override equals, so map equality is
+  // identity — collision-free, unlike the identityHashCode int key
+  // under which two live parents colliding would share a derived
+  // session (wrong conf) silently.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private val cacheMin =
-    new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private val cacheSized =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), SparkSession]()
 
   /** Shuffle-partition target for [[sizedOneJob]]: the same
     * 64 MB/partition advisory AQE coalesces toward — the static
@@ -56,11 +61,15 @@ object Tuned {
     *    frames (file sizes folded through the plan, <1 ms, no job —
     *    the Bounded gate's machinery) times the parquet
     *    decompression factor, at AQE's own 64 MB/partition advisory
-    *    target, floored at the session's core count and rounded up
-    *    to a power of two (so the memoized-session set stays
-    *    bounded). At sf0.1 that lands on |cores| partitions — one
-    *    task wave; at 100 TB inputs it derives thousands of
-    *    partitions, exactly what AQE's coalescing would produce.
+    *    target, floored at min([[PinnedShufflePartitions]] = 8,
+    *    defaultParallelism) in the default overload (see the local-
+    *    floor comment in the body: a core-count fan-out on sub-MB
+    *    shuffles just multiplies task-launch constants) — callers
+    *    whose post-shuffle per-row work needs the full spread pass
+    *    `minPartitions = cores` explicitly — and rounded up to a
+    *    power of two (so the memoized-session set stays bounded).
+    *    At 100 TB inputs it derives thousands of partitions,
+    *    exactly what AQE's coalescing would produce.
     *    NOT a local[32] constant (the r12 rule): the count scales
     *    with the input estimate and the harness core count.
     *  - join strategy: the ops pinned here either hint their joins
@@ -113,7 +122,7 @@ object Tuned {
       case h if h == raw => raw
       case h => h << 1
     }
-    cacheSized.computeIfAbsent((System.identityHashCode(parent), n), _ => {
+    cacheSized.computeIfAbsent((parent, n), _ => {
       val s = parent.newSession()
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -131,7 +140,7 @@ object Tuned {
     * floor, so the knob only affects small shuffles (scale-neutral by
     * construction). Derived-session isolation as [[boundedReduce]]. */
   def parallelCoalesce(parent: SparkSession): SparkSession =
-    cacheMin.computeIfAbsent(System.identityHashCode(parent), _ => {
+    cacheMin.computeIfAbsent(parent, _ => {
       val s = parent.newSession()
       s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
       s
@@ -143,7 +152,7 @@ object Tuned {
   val PinnedShufflePartitions = 8
 
   def boundedReduce(parent: SparkSession): SparkSession =
-    cache.computeIfAbsent(System.identityHashCode(parent), _ => {
+    cache.computeIfAbsent(parent, _ => {
       val s = parent.newSession()
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set("spark.sql.shuffle.partitions",

@@ -25,8 +25,14 @@ object Tables {
   // cached relation; the mtime in the key keeps the cache honest if
   // the table is rewritten between calls. Bounded: |dirs|x|tables|
   // analyzed plans, no data — plan-only, so executors hold nothing.
+  // Keyed on the SparkSession OBJECT (r13, ADVICE r12):
+  // SparkSession does not override equals, so map equality is
+  // identity — collision-free, unlike the identityHashCode int key
+  // two live sessions could in principle share. The strong session
+  // reference pins nothing new: the cached DataFrames already hold
+  // their session.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -35,7 +41,7 @@ object Tables {
         java.nio.file.Paths.get(path)).toMillis
       catch { case _: Throwable => -1L }
     cache.computeIfAbsent(
-      (System.identityHashCode(spark), path, mtime),
+      (spark, path, mtime),
       _ => loadUncached(spark, dir, name))
   }
 
@@ -68,17 +74,26 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
-  // registerAllOnce memo — same key discipline as the relation cache
-  // above (identity of the session + dir); registration is plan-only
+  // registerAllOnce memo — the CURRENTLY-registered dir per session
+  // (r13, ADVICE r12): temp views are session-global, so a memo
+  // keyed by (session, dir) went stale the moment a different dir
+  // was registered on the same session — asking for dir A after
+  // registering dir B would skip re-registration and silently read
+  // B's data. Storing the one dir the views actually point at makes
+  // a dir switch re-register (and a repeat a no-op). Plan-only
   // catalog state, so the memo holds no data.
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
-  /** [[registerAll]] memoized per (session, dir): ops that build
-    * their plan from ONE sql() text (r12) re-register views on every
-    * bench repetition otherwise — ten catalog commands inside the
-    * timed region. */
+  /** [[registerAll]] memoized per session: ops that build their plan
+    * from ONE sql() text (r12) re-register views on every bench
+    * repetition otherwise — ten catalog commands inside the timed
+    * region. A different `dir` on the same session re-registers
+    * (views are repointed); `compute`'s per-key lock serializes
+    * concurrent registrations on one session. */
   def registerAllOnce(spark: SparkSession, dir: String): Unit =
-    registered.computeIfAbsent(
-      (System.identityHashCode(spark), dir), _ => { registerAll(spark, dir); true })
+    registered.compute(spark, (_, cur) => {
+      if (cur != dir) registerAll(spark, dir)
+      dir
+    })
 }

@@ -1477,7 +1477,7 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
-  test("graph_components property: star labels equal propagation labels on seeded random graphs") {
+  test("graph_components property: star labels equal an in-process union-find on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
     (1 to 3).foreach { trial =>
@@ -1485,18 +1485,39 @@ class AnalyticsSpec extends SparkSuite {
       val edges = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
       val df = edges.toDF("x", "y")
-      // BOTH kernels against the independent propagation oracle: the
-      // size-gated local union-find (default) and the distributed
-      // contraction (localMaxBytes = 0), which the gate would
-      // otherwise hide at fixture scale (r12)
+      // In-process min-root union-find oracle (r13; replaced the
+      // Spark label-propagation loop, which cost ~5 min of suite
+      // wall for ≤100-node fixtures — the driver-side recompute is
+      // engine-independent, a strictly stronger check at zero cost;
+      // the propagation kernel itself stays covered by the
+      // mixed-graph test below and by its own oracle-checked ops).
+      // Attaching the larger root under the smaller makes each
+      // component's root its MIN node id — exactly the label both
+      // kernels emit.
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(a: Long): Long = {
+        var r = a
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = a
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(nd => nd -> find(nd)).toMap
+      // BOTH kernels against the oracle: the size-gated local
+      // union-find (default) and the distributed contraction
+      // (localMaxBytes = 0), which the gate would otherwise hide at
+      // fixture scale (r12)
       val viaStar = Analytics.largeSmallStar(df)._1
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val viaDist = Analytics.largeSmallStar(df, localMaxBytes = 0L)._1
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val viaProp = graft.operators.Dedup.connectedComponents(df, maxIter = 60)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val aligned = viaProp.map { case (node, _) => node -> viaStar.getOrElse(node, node) }
-      assert(aligned == viaProp, s"trial $trial (n=$n): star labels diverge from propagation")
+      val alignedStar = want.map { case (node, _) => node -> viaStar.getOrElse(node, node) }
+      assert(alignedStar == want, s"trial $trial (n=$n): star labels diverge from union-find")
       assert(viaDist == viaStar,
         s"trial $trial (n=$n): distributed contraction diverges from local union-find")
     }

@@ -206,9 +206,10 @@ class BoundarySpec extends SparkSuite {
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L + m * 60L))
     def drive(batches: Seq[Seq[java.sql.Timestamp]], sink: String): Seq[Long] = {
       val src = java.nio.file.Files.createTempDirectory("graft_wm_pin").toString
+      val clock = new ChunkStamper(src)
       batches.foreach { b =>
         b.map(Tuple1(_)).toDF("ts").coalesce(1).write.mode("append").parquet(src)
-        Thread.sleep(1100)
+        clock.stamp()
       }
       val stream = spark.readStream
         .schema(Seq(Tuple1(ts(0, 0))).toDF("ts").schema)

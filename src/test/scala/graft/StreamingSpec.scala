@@ -24,11 +24,12 @@ class StreamingSpec extends SparkSuite {
     // correct streaming semantics, but not the scenario under test.
     val quartiles = events.stat.approxQuantile("event_id",
       Array(0.25, 0.5, 0.75), 0.001).map(_.toLong).toSeq
+    val clock = new ChunkStamper(src)
     (Seq(Long.MinValue) ++ quartiles ++ Seq(Long.MaxValue)).sliding(2).foreach {
       case Seq(lo, hi) =>
         events.filter(col("event_id") > lo && col("event_id") <= hi)
           .coalesce(1).write.mode("append").parquet(src)
-        Thread.sleep(1100)
+        clock.stamp()
       case _ =>
     }
     test(src, events)
@@ -422,11 +423,12 @@ class StreamingSpec extends SparkSuite {
     // three arrival chunks -> three real micro-batches
     val src = java.nio.file.Files.createTempDirectory("ivf_stream").toString
     val third = (maxId - cut) / 3
+    val clock = new ChunkStamper(src)
     Seq((cut, cut + third), (cut + third, cut + 2 * third),
         (cut + 2 * third, maxId + 1)).foreach { case (lo, hi) =>
       batchVecs.filter(col("vec_id") >= lo && col("vec_id") < hi)
         .coalesce(1).write.mode("append").parquet(src)
-      Thread.sleep(1100)
+      clock.stamp()
     }
     val q = Streams.runFileStream(spark, src, batchVecs,
       Streams.ivfAssignCounts(_, centroids), "ivf_assign_sink")
@@ -451,10 +453,11 @@ class StreamingSpec extends SparkSuite {
     val src = Files.createTempDirectory("ckpt_src").toString
     val ckpt = Files.createTempDirectory("ckpt_loc").toString
     val mid = events.stat.approxQuantile("event_id", Array(0.5), 0.001)(0).toLong
+    val clock = new ChunkStamper(src)
     def chunk(pred: org.apache.spark.sql.Column): Long = {
       val df = events.filter(pred)
       df.coalesce(1).write.mode("append").parquet(src)
-      Thread.sleep(1100)
+      clock.stamp()
       df.count()
     }
     chunk(col("event_id") <= mid / 2)
@@ -492,10 +495,11 @@ class StreamingSpec extends SparkSuite {
     // three arrival chunks; the +100000 near-dup twins land in a LATER
     // batch than their originals, so ownership must persist across
     // micro-batches for the owners to come out right
+    val clock = new ChunkStamper(src)
     Seq(col("doc_id") < 50000, col("doc_id").between(50000, 100000),
         col("doc_id") > 100000).foreach { pred =>
       corpus.filter(pred).coalesce(1).write.mode("append").parquet(src)
-      Thread.sleep(1100)
+      clock.stamp()
     }
     val q = Streams.runFileStream(spark, src, corpus,
       Streams.minhashBucketOwners, "mh_dedup_sink")
@@ -515,11 +519,12 @@ class StreamingSpec extends SparkSuite {
     val d = graft.sources.Tables.load(spark, sfDir, "documents")
     val src = java.nio.file.Files.createTempDirectory("qual_stream").toString
     val maxId = d.agg(max("doc_id")).head().getLong(0)
+    val clock = new ChunkStamper(src)
     Seq(col("doc_id") < maxId / 3,
         col("doc_id").between(maxId / 3, 2 * maxId / 3),
         col("doc_id") > 2 * maxId / 3).foreach { pred =>
       d.filter(pred).coalesce(1).write.mode("append").parquet(src)
-      Thread.sleep(1100)
+      clock.stamp()
     }
     val q = Streams.runFileStream(spark, src, d, Streams.qualityGate, "qual_sink")
     q.processAllAvailable()
@@ -540,10 +545,11 @@ class StreamingSpec extends SparkSuite {
     val src = java.nio.file.Files.createTempDirectory("ret_stream").toString
     // deliberately NOT time-ordered chunks: min/distinct are
     // arrival-order free, so any interleaving must converge
+    val clock = new ChunkStamper(src)
     Seq(col("event_id") % 3 === 0, col("event_id") % 3 === 1,
         col("event_id") % 3 === 2).foreach { pred =>
       e.filter(pred).coalesce(1).write.mode("append").parquet(src)
-      Thread.sleep(1100)
+      clock.stamp()
     }
     val q1 = Streams.runFileStream(spark, src, e, Streams.userFirstSeen, "ret_first")
     val q2 = Streams.runFileStream(spark, src, e, Streams.userWeeks, "ret_weeks")
@@ -568,11 +574,12 @@ class StreamingSpec extends SparkSuite {
     val train = d.filter(pmod(col("doc_id"), lit(50)) =!= 0)
     val src = java.nio.file.Files.createTempDirectory("contam_stream").toString
     val maxId = d.agg(max("doc_id")).head().getLong(0)
+    val clock = new ChunkStamper(src)
     Seq(col("doc_id") < maxId / 3,
         col("doc_id").between(maxId / 3, 2 * maxId / 3),
         col("doc_id") > 2 * maxId / 3).foreach { pred =>
       train.filter(pred).coalesce(1).write.mode("append").parquet(src)
-      Thread.sleep(1100)
+      clock.stamp()
     }
     val q = Streams.runFileStream(spark, src, train,
       Streams.contaminationGuard(_, evalSet), "contam_sink")
@@ -601,11 +608,13 @@ class StreamingSpec extends SparkSuite {
       .head().getLong(0) - cut) / 2
     val replayed = e.filter(col("event_id") > cut - 50 && col("event_id") <= cut)
     assert(replayed.count() > 0, "fixture must actually replay pre-seam rows")
+    val clock = new ChunkStamper(src)
     tailRows.filter(col("event_id") <= mid).unionByName(replayed)
       .coalesce(1).write.mode("append").parquet(src)
-    Thread.sleep(1100)
+    clock.stamp()
     tailRows.filter(col("event_id") > mid)
       .coalesce(1).write.mode("append").parquet(src)
+    clock.stamp()
     val q = Streams.runFileStream(spark, src, e, Streams.tailAgg(_, cut), "tail_sink")
     q.processAllAvailable()
     q.stop()
@@ -634,11 +643,12 @@ class StreamingSpec extends SparkSuite {
     // drive the SAME arrival order through a REAL append-mode stream
     val chunks = Streams.lateArrivalBatches(events).cache()
     val src = Files.createTempDirectory("graft_late_src").toString
+    val clock = new ChunkStamper(src)
     (1L to 4L).foreach { b =>
       chunks.filter(col("bid") === b)
         .select(timestamp_micros(col("tus")).as("ts"))
         .coalesce(1).write.mode("append").parquet(src)
-      Thread.sleep(1100)
+      clock.stamp()
     }
     val stream = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(

@@ -69,29 +69,39 @@ object Relational {
     // shuffle is a |groups|-row aggregate, so AQE's per-stage jobs
     // buy nothing; Tuned.boundedReduce runs the query as ONE job
     val s = Tuned.boundedReduce(s0)
-    // scale-4 disc product: cents(price) x cents(1-disc) are exact
-    // integer doubles (<=1e9 and <=100, product <=1e11 < 2^53), so
-    // this equals the decimal(12,2) product sum bit-for-bit.
-    // floor(x+0.5), not round(x): both operands are nonnegative and
-    // within half an ulp of an integer (the 2-decimal data contract),
-    // where the two are equal — and Catalyst's Round on a double is a
-    // per-row BigDecimal allocation in the scan's hot loop (r9 lab).
-    val discProd = floor(col("l_extendedprice") * 100 + 0.5) *
-      floor((lit(1) - col("l_discount")) * 100 + 0.5) / 1e4
-    t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit("1998-09-02"))
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        sumScaled(col("l_quantity"), 2).cast("double").as("sum_qty"),
-        sumScaled(col("l_extendedprice"), 2).cast("double").as("sum_base_price"),
-        sumScaled(discProd, 4).cast("double").as("sum_disc_price"),
-        // avg over the exact sum: one double division of two
-        // order-independent values, not an order-sensitive double avg
-        (sumScaled(col("l_quantity"), 2).cast("double") / count(lit(1)))
-          .as("avg_qty"),
-        min("l_extendedprice").cast("double").as("min_price"),
-        max("l_extendedprice").cast("double").as("max_price"),
-        count(lit(1)).as("count_order"))
+    // ONE-TEXT construction (r13, measured): the 7-aggregate Dataset
+    // chain re-ran the eager analyzer per transformation — 0.068 s of
+    // construction per bench rep (graft.Profile construct_s, the
+    // largest of the headline set); one sql() text is a single
+    // analysis pass over the same logical plan (the q10/q30/q31
+    // precedent). Expression notes preserved from the API chain:
+    //  - scale-4 disc product: cents(price) x cents(1-disc) are exact
+    //    integer doubles (<=1e9 and <=100, product <=1e11 < 2^53), so
+    //    it equals the decimal(12,2) product sum bit-for-bit;
+    //    floor(x+0.5), not round(x): equal on the 2-decimal data
+    //    contract, and Catalyst's Round on a double is a per-row
+    //    BigDecimal allocation in the scan's hot loop (r9 lab);
+    //  - graft_sum_scaled: the long-partial exact fixed-point sum
+    //    (SumScaledSpec pins equality with the decimal cast);
+    //  - avg over the exact sum: one double division of two
+    //    order-independent values, not an order-sensitive double avg.
+    Tables.registerAllOnce(s, dir)
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(graft_sum_scaled(l_quantity, 2) AS DOUBLE) AS sum_qty,
+        CAST(graft_sum_scaled(l_extendedprice, 2) AS DOUBLE) AS sum_base_price,
+        CAST(graft_sum_scaled(
+          floor(l_extendedprice * 100 + 0.5)
+            * floor((1 - l_discount) * 100 + 0.5) / 1e4, 4) AS DOUBLE)
+          AS sum_disc_price,
+        CAST(graft_sum_scaled(l_quantity, 2) AS DOUBLE) / count(1) AS avg_qty,
+        CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+        CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+        count(1) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+    """)
       // ≤ |returnflag|×|linestatus| = 6 groups: single-partition order
       // (Bounded), not a sampled range exchange over 6 rows
       .transform(Bounded.ordered(_, col("l_returnflag"), col("l_linestatus")))

@@ -151,6 +151,48 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.90, f"blocking recall $recall%.3f regressed")
   }
 
+  test("dedup_embedding equals an in-process recompute of band-sharing pairs (first-match pins each pair once)") {
+    // Independent driver-side recompute of the op's whole contract —
+    // pairs sharing >=1 LSH band, exact cosine >= 0.4, each pair
+    // exactly once — guarding the r13 FIRST-MATCH rewrite (which
+    // replaced the distinct-based multi-band dedup): a bug that
+    // emitted a pair per matching band, or dropped a pair whose
+    // first matching band tied, would differ from this set.
+    import graft.functions.VectorKernels
+    val out = SparkEntry.queries("dedup_embedding")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def bandsOf(v: Array[Double]): Array[Long] = {
+      val r = VectorKernels.HpNumPlanes / VectorKernels.HpSigBands
+      val bs = new Array[Long](VectorKernels.HpSigBands)
+      var p = 0
+      while (p < VectorKernels.HpNumPlanes) {
+        val plane = VectorKernels.hyperplanes(p)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(v.length, VectorKernels.HpDim)
+        while (i < n) { dot += v(i) * plane(i); i += 1 }
+        if (dot > 0) bs(p / r) |= 1L << (p % r)
+        p += 1
+      }
+      bs
+    }
+    val sigs = vecs.map { case (id, v) => (id, v, bandsOf(v)) }
+    val want = (for {
+      (ia, va, ba) <- sigs
+      (ib, vb, bb) <- sigs
+      if ia < ib && ba.zip(bb).exists { case (x, y) => x == y }
+      cos = BigDecimal(VectorKernels.cosine(va, vb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= 0.4
+    } yield (ia, ib, cos)).toSet
+    assert(out.length == want.size,
+      s"pair count ${out.length} != recompute ${want.size} (duplicate or dropped pairs)")
+    assert(out.toSet == want, "banded pair set diverges from the in-process recompute")
+  }
+
   test("dedup_semantic op: survivors are a subset with no within-cell near-dup pair left") {
     val out = SparkEntry.queries("dedup_semantic")(spark, sfDir)
     val n = out.count()

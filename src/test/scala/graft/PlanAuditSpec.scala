@@ -119,6 +119,38 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("dedup_embedding: first-match filter and cosine verify both run IN the join, before any exchange") {
+    // r13 shape: each banded pair is kept only at its smallest
+    // matching band (the element_at array compares) and the cosine
+    // verify runs in the same join condition — so the post-join
+    // exchange carries already-unique scalar pairs. Losing either
+    // from the join condition re-introduces per-band duplicate kernel
+    // evaluations or ships unverified pairs into the shuffle.
+    val p = plan("dedup_embedding")
+    val cond = p.linesIterator.filter(_.contains("Join condition")).mkString
+    assert(cond.contains("element_at"),
+      "first-match band predicate not in the join condition")
+    assert(cond.contains("graft_cosine"),
+      "cosine verify not in the join condition (pairs shuffle unverified)")
+  }
+
+  test("stream_sessionize: lag and session-id windows share ONE sort; no MergingSessions") {
+    // r13 shape: the lag gap-split and the running session-id sum
+    // stack as two Window operators over a SINGLE (user_id, ts) sort
+    // and a single key exchange; the session_window MergingSessions
+    // aggregate (the streaming face's operator) must not reappear
+    // here, and a second sort between the windows would mean they
+    // stopped sharing their ordering.
+    val p = plan("stream_sessionize")
+    assert(!p.contains("MergingSessions"),
+      "batch plan regressed to the MergingSessions aggregate")
+    val windowSorts =
+      "user_id#\\d+L ASC NULLS FIRST, ts#\\d+ ASC NULLS FIRST\\], false".r
+        .findAllIn(p).size
+    assert(windowSorts == 1,
+      s"expected the two window frames to share one (user_id, ts) sort, found $windowSorts")
+  }
+
   test("LM score: vocab joins broadcast, every aggregate stays hash-based") {
     val p = plan("text_lm_score")
     assert(p.contains("BroadcastHashJoin"),
